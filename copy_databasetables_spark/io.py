@@ -1,0 +1,187 @@
+"""Schema-checked loaders for the driver-generated testdata.
+
+Tables (TESTDATA.md / FIXTURES.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per table
+under /root/testdata/sf{0.001,0.01,0.1}/.
+
+Two deliberate design points:
+
+1. **Explicit schemas.** Fixed StructTypes declared from FIXTURES.md;
+   the reference reads schemas from the SQL Server catalog, never infers
+   (SURVEY.md §1.1) — we match that discipline. Passing an explicit schema
+   to ``spark.read`` also skips the footer-sampling schema-inference job.
+
+2. **The events NANOS workaround** (SURVEY.md §1.2): ``events.ts`` is
+   parquet TIMESTAMP(NANOS); with ``nanosAsLong=true`` it reads as int64
+   nanoseconds. We rebuild a microsecond timestamp with integer division
+   (``ts div 1000`` — exact floor, no double rounding), matching DuckDB
+   1.0's own floor-truncating ns→µs read of the same file (verified:
+   raw ...275999 ns → ...275 µs on both sides). Cast to timestamp_ntz so
+   every timestamp in the engine has uniform NTZ semantics.
+
+Scale note (100 TB): loaders return plain lazy DataFrames — no caching,
+no collect. Partitioning of a scan is governed by
+``spark.sql.files.maxPartitionBytes`` (default 128 MB) which is the right
+knob at cluster scale; filters and column pruning push into the parquet
+scan because every downstream operator is declarative.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from copy_databasetables_spark.session import configure_session
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+#: FK-respecting load/copy order (FIXTURES.md): parents before children.
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_NTZ = T.TimestampNTZType()
+
+#: Declared schemas, as Spark 4.1.2 loads the parquet files (FIXTURES.md).
+#: events.ts is declared long here (raw nanos under nanosAsLong=true);
+#: load_table converts it to timestamp_ntz before anyone sees it.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", _NTZ),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", _NTZ),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # raw nanos; converted on load
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its declared schema.
+
+    For ``events``, converts the raw-nanos ``ts`` long into a
+    microsecond-precision ``timestamp_ntz`` (floor division — see module
+    docstring). No operator in the engine ever sees the raw long.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    configure_session(spark)
+    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all ten."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so §2 operators are reachable
+    from ``spark.sql`` exactly as from the DataFrame API (SURVEY.md §3.2)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

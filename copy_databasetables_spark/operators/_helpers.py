@@ -1,0 +1,59 @@
+"""Shared helpers enforcing the oracle-determinism conventions.
+
+The #1 risk to the correctness gate is cross-system float/timestamp
+drift (SURVEY.md §7.3). These helpers pin the conventions once:
+
+- ``dsum`` — exact money/quantity sums: accumulate in DECIMAL(38,6)
+  (associative, partition-order independent — a double sum is NOT), then
+  cast the final value to double. The DuckDB oracle mirrors with
+  ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)``.
+- ``davg`` — exact-numerator average: dsum / count, a single deterministic
+  double division on both sides.
+- ``us`` — project any timestamp to epoch **microseconds** (BIGINT) at
+  output boundaries; DuckDB mirrors with ``epoch_us(...)``. Interior
+  computation stays on real timestamp types so Catalyst can still prune
+  and compare natively.
+- ``ds`` — project a date/timestamp to its ``yyyy-MM-dd`` string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: Column | str, alias: str) -> Column:
+    """Partition-order-independent sum of a double column, as double."""
+    return F.sum(_col(c).cast(DEC)).cast("double").alias(alias)
+
+
+def davg(c: Column | str, alias: str) -> Column:
+    """avg(x) with an exact decimal numerator: identical on both sides."""
+    col = _col(c)
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
+
+
+def us(c: Column | str, alias: str | None = None) -> Column:
+    """timestamp[_ntz] -> epoch microseconds BIGINT (session TZ is UTC)."""
+    out = F.unix_micros(_col(c).cast("timestamp"))
+    return out.alias(alias) if alias else out
+
+
+def ds(c: Column | str, alias: str | None = None) -> Column:
+    """timestamp[_ntz]/date -> 'yyyy-MM-dd' string."""
+    out = F.date_format(_col(c), "yyyy-MM-dd")
+    return out.alias(alias) if alias else out
+
+
+#: DuckDB-side fragments mirroring the helpers above (used in oracle SQL
+#: via ordinary string interpolation at registration time).
+SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+SQL_DAVG = "(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x}))"
+SQL_US = "epoch_us(CAST({x} AS TIMESTAMP))"
+SQL_DS = "strftime(CAST({x} AS TIMESTAMP), '%Y-%m-%d')"

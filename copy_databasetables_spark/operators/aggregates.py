@@ -1,0 +1,383 @@
+"""§2.4 Aggregations.
+
+Spark-first notes: ``groupBy().agg()`` compiles to a two-phase hash
+aggregate (partial map-side combine → shuffle on the group keys → final),
+so a 100 TB Q1 moves only ``|groups| × |aggs|`` bytes per mapper through
+the shuffle — the pattern the reference's SqlBulkCopy pipeline could never
+express. AQE coalesces the post-shuffle partitions at runtime.
+
+Determinism: money/quantity sums accumulate in DECIMAL(38,6) (associative;
+double sums are partition-order dependent — SURVEY.md §7.3#1); statistical
+moments use the builtin estimators rounded to safely-below the
+cross-system noise floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import DEC, davg, dsum
+
+# --------------------------------------------------------------------------
+# q_agg_global — whole-table aggregates (single global group).
+# Physical plan: partial agg per scan partition → single-row exchange →
+# final agg; only one tiny row crosses the wire regardless of input size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price,
+      COUNT(l_discount) AS n_discount
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("l_discount").alias("n_discount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_group — the FLAGSHIP query (TPC-H Q1 shape); also wired as entry().
+# --------------------------------------------------------------------------
+
+_Q1_CUTOFF = "2001-09-02"
+
+
+@register(
+    "q_agg_group",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+      (CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice)) AS avg_price,
+      (CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate over two low-cardinality
+    keys. The predicate pushes into the parquet scan; the shuffle carries
+    at most 6 group rows per mapper."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_having — post-aggregation filter.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT
+      o_custkey,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_distinct — exact distinct aggregation (expand + two-stage agg).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_price,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.sum_distinct(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_distinct_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_approx_distinct — HyperLogLog++ cardinality (rows-only check: HLL
+# estimates are engine-specific, so no value oracle exists by design).
+# At 100 TB this is THE cardinality tool: constant memory per group vs an
+# exact-distinct shuffle of every key.
+# --------------------------------------------------------------------------
+
+
+@register("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_stats — statistical moments. Builtin merge-able estimators
+# (Welford-style) are partition-order sensitive at ~1e-13 relative, so
+# outputs are rounded to well below that noise floor but far above it in
+# absolute terms (SURVEY.md §7.3#1).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(STDDEV_SAMP(l_extendedprice), 1) AS sd_price,
+      ROUND(VAR_SAMP(l_extendedprice), 0) AS var_price,
+      ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+      ROUND(COVAR_SAMP(l_extendedprice, l_discount), 2) AS cov_price_disc,
+      ROUND(STDDEV_POP(l_discount), 6) AS sd_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 1).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("cov_price_disc"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sd_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_percentile — exact percentiles (full sort per group). DuckDB's
+# quantile_cont uses the same linear interpolation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50_price,
+      ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+      ROUND(median(l_quantity), 4) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_collect — list/set aggregation, made deterministic by sorting the
+# collected values and projecting to a joined string (array hashing is
+# representation-sensitive across systems; a canonical string is not).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT
+      c_nationkey,
+      string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_all,
+      (SELECT string_agg(DISTINCT s, ',' ORDER BY s)
+         FROM (SELECT UNNEST(list_distinct(list(c2.c_mktsegment))) AS s
+                 FROM customer c2 WHERE c2.c_nationkey = customer.c_nationkey)) AS segments_set
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segments_all"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments_set"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_rollup / q_agg_cube / q_agg_grouping_sets — multi-dimensional
+# subtotals. Spark expands these into a single Expand + aggregate (one
+# pass over the data, not one pass per grouping set).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      c_nationkey,
+      GROUPING(c_mktsegment, c_nationkey) AS gid,
+      COUNT(*) AS n_customers,
+      (CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal)) AS avg_bal
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.cube("c_mktsegment", "c_nationkey").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        davg("c_acctbal", "avg_bal"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT
+      lang,
+      source,
+      GROUPING(lang, source) AS gid,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gs_documents")
+    return spark.sql(
+        """
+        SELECT
+          lang,
+          source,
+          grouping_id(lang, source) AS gid,
+          COUNT(*) AS n_docs,
+          SUM(n_chars) AS total_chars
+        FROM gs_documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q_pivot — event_type pivoted to columns. The value list is pinned so the
+# output schema is static (required for the oracle and for any sink);
+# Spark then plans a single pivot aggregate, and missing combinations are
+# filled with 0 to match SQL's FILTER-count semantics.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT
+      user_id,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=_EVENT_TYPES)
+    )

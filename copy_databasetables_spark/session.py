@@ -1,0 +1,80 @@
+"""SparkSession factory and required session configuration.
+
+Two critical confs (SURVEY.md §1.2, §7.3):
+
+- ``spark.sql.session.timeZone=UTC`` — testdata timestamps load as
+  ``timestamp_ntz``; the DuckDB oracle treats them as naive. Pinning the
+  session to UTC makes every NTZ<->LTZ cast wall-clock preserving, so
+  oracle comparisons can never skew.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is parquet
+  TIMESTAMP(NANOS); Spark 4.1.2 throws PARQUET_TYPE_ILLEGAL without it.
+  With it, the column reads as a raw int64 of nanoseconds which io.py
+  converts back to a microsecond timestamp.
+
+Scale notes (100 TB design): AQE stays on — it is the runtime answer to
+shuffle-partition sizing and skew-join splitting on a real cluster. The
+local shuffle-partition count is a *test* setting; on a 1000-executor
+cluster the starting point is ~2-3x total cores and AQE coalesces from
+there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that must hold on any session this engine runs under, including a
+#: driver-provided one. All are runtime-settable SQL confs.
+REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply REQUIRED_RUNTIME_CONFS to an existing session (idempotent).
+
+    The correctness driver constructs its own SparkSession; every query
+    entry point calls this defensively before touching testdata.
+    """
+    for key, value in REQUIRED_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Static / non-settable conf on this build: only fatal if the
+            # effective value is wrong, which the loader will surface.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "copy-databasetables-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's required confs.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) for local runs;
+    on a real cluster pass ``None`` with a spark-submit-provided master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for key, value in REQUIRED_RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return configure_session(builder.getOrCreate())
