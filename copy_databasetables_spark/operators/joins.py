@@ -1,1 +1,343 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""§2.3 Joins.
+
+Scale notes (100 TB): Catalyst picks the physical join. We make the
+choices it cannot infer:
+
+- dimension tables (region/nation/supplier at any SF, customer at small
+  SF) are hinted with ``F.broadcast`` where the query shape guarantees
+  they stay small — a broadcast-hash join removes the big side's shuffle
+  entirely;
+- fact⋈fact equi-joins (lineitem⋈orders) stay sort-merge with AQE skew
+  handling on — the correct default at 100 TB;
+- non-equi joins (theta/interval) are kept *bounded*: one side is tiny
+  (bands) or the predicate is band-limited per key (1-hour window per
+  user), because an unbounded BNL join is quadratic no matter the engine;
+- the as-of join composes join + window ``row_number()==1`` — the
+  Spark-native plan for "latest prior per key" (no native asof in the
+  DataFrame API; pandas-on-Spark ``merge_asof`` exists but funnels
+  through Python, wrong at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import dsum, us
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with an extra join-side predicate so null-extension
+    actually occurs (every customer has orders in this data)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000.0)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P")
+    return o.join(c, cond, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH neg AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0),
+         big AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                 WHERE o_totalprice > 400000.0)
+    SELECT neg.c_custkey, neg.c_name, big.o_orderkey, big.o_totalprice
+    FROM neg FULL JOIN big ON big.o_custkey = neg.c_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer between two filtered subsets → nulls on both sides."""
+    neg = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_name")
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return neg.join(big, big.o_custkey == neg.c_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence: left-semi emits each left row at most once and never
+    materializes right columns — strictly cheaper than join+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           (n.n_regionkey = r.r_regionkey) AS is_home_region
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian (5×25). At scale a cross join is only ever
+    sane when one side is broadcast-tiny — which Catalyst detects here
+    (BroadcastNestedLoopJoin)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home_region"),
+    )
+
+
+_BANDS = [
+    ("budget", 900.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, 1000.0),
+]
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, b.band
+    FROM part p
+    JOIN (VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 950.0),
+                 ('premium', 950.0, 975.0), ('luxury', 975.0, 1000.0))
+         AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a literal band table. Catalyst plans
+    BroadcastNestedLoopJoin — correct: the band side is 4 rows, so the
+    'nested loop' is 4 comparisons per part row, fully scan-parallel."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi)
+    return p.join(F.broadcast(bands), cond).select("p_partkey", "p_retailprice", "band")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on the 25-row dimension: no shuffle of the
+    customer side at any scale factor — the map-side join pattern that
+    must hold at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_bal"))
+    )
+
+
+@register(
+    "q_join_multi_star",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join (TPC-H Q5 shape). lineitem⋈orders is the only
+    shuffle join; customer/nation/region collapse into broadcasts, so the
+    fact table is shuffled exactly once on l_orderkey."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    SELECT p.event_id AS purchase_id, k.event_id AS click_id, p.user_id
+    FROM events p
+    JOIN events k
+      ON k.user_id = p.user_id
+     AND p.event_type = 'purchase' AND k.event_type = 'click'
+     AND k.ts >= p.ts - INTERVAL 1 HOUR AND k.ts < p.ts
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs within a bounded interval per user: clicks in the hour
+    before each purchase. Equi on user_id (hash-partitionable) + band
+    predicate on ts — at scale, the equi key keeps this a shuffle-hash
+    join; the time band keeps per-key fan-out bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    k = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("k_user"),
+        F.col("ts").alias("k_ts"),
+    )
+    cond = (
+        (k.k_user == p.user_id)
+        & (k.k_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (k.k_ts < p.p_ts)
+    )
+    return p.join(k, cond).select("purchase_id", "click_id", "user_id")
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts_us, signup_id, signup_ts_us
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+             s.event_id AS signup_id,
+             epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_ts_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY s.ts DESC NULLS LAST, s.event_id DESC NULLS LAST
+             ) AS rn
+      FROM events p
+      LEFT JOIN events s
+        ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest signup at-or-before it
+    by the same user (left: purchases with no prior signup survive with
+    nulls). Composition: banded join + per-purchase window row_number==1
+    with a deterministic (ts, event_id) tie-break — the Spark-native asof
+    plan; both sides stay hash-partitioned on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (s.s_user == p.user_id) & (s.s_ts <= p.p_ts)
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("s_ts").desc_nulls_last(), F.col("signup_id").desc_nulls_last()
+    )
+    return (
+        p.join(s, cond, "left")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            us("p_ts", "purchase_ts_us"),
+            "signup_id",
+            us("s_ts", "signup_ts_us"),
+        )
+    )
