@@ -1,1 +1,393 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""§2.10 Deduplication operators for training-data pipelines.
+
+Five dedup families over ``documents``, all pure JVM-side DataFrame
+expressions (no UDFs):
+
+- exact        — content-hash groupBy (``sha2``)
+- near (token) — blocked self-join + exact token-set Jaccard
+- near (ngram) — same, over bigram shingles (catches local reordering)
+- SimHash      — 16-bit portable fingerprint + Hamming-distance pairs
+- MinHash-LSH  — 16 hashes, 4 bands × 4 rows, banded candidate join +
+                 exact-Jaccard verification (the 100 TB scale path)
+- embedding    — cosine near-dup pairs over the vector column
+
+Portability note: every hash is built from ``md5`` (identical across
+Spark and DuckDB) with hex→int via Spark ``conv(...,16,10)`` ↔ DuckDB
+``CAST('0x…' AS BIGINT)`` — so even the LSH pipeline is fully
+deterministic and value-hash-checkable against the SQL oracle.
+
+Scale notes (100 TB):
+- The O(n²) self-joins here are *blocked*: language equality + a
+  size-ratio band (sound for Jaccard ≥ τ: |A∩B|/|A∪B| ≥ τ implies
+  τ ≤ |A|/|B| ≤ 1/τ), so candidate pairs shuffle on (lang) and the
+  band prunes within the partition.
+- MinHash-LSH replaces the pair join entirely: cost is O(n · bands)
+  with a shuffle on the band bucket key — the only dedup join that
+  survives a 5-billion-document corpus. Band buckets are naturally
+  skew-prone (common shingle sets) — AQE skew-split handles the hot
+  buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+
+# --- shared fragments ----------------------------------------------------
+
+#: Spark SQL: distinct token set of a document.
+_TOKS = "array_distinct(split(text, ' '))"
+#: DuckDB: the same token set.
+_D_TOKS = "list_distinct(string_split(text, ' '))"
+
+#: Spark SQL: portable 60-bit hash of a string expression {x}.
+_H = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+#: DuckDB: the same 60-bit hash.
+_D_H = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_TOKS).alias("toks"), F.expr(f"size({_TOKS})").alias("sz")
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by content hash; the canonical survivor is
+    the minimum doc_id. One shuffle on the 256-bit hash — at 100 TB hash
+    first, group second, so the shuffle key is 32 bytes, not the text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_JACCARD_TAU = 0.95
+
+
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks,
+                      len({_D_TOKS}) AS sz
+               FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           len(list_intersect(a.toks, b.toks))::DOUBLE
+             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_TAU}
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard ≥ 0.95 within language.
+
+    Blocking: lang equality (join key → hash shuffle) + size-ratio band
+    100·|A| ≥ 95·|B| ∧ 100·|B| ≥ 95·|A| (integer arithmetic; sound for
+    τ=0.95, so blocked output ≡ unblocked oracle). Exact Jaccard is an
+    int/int division — bit-identical across engines."""
+    t = _toks_df(spark, sf_dir)
+    a = t.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("lang"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.doc_id_a < b.doc_id_b)
+            & (a.sz_a * 100 >= b.sz_b * 95)
+            & (b.sz_b * 100 >= a.sz_a * 95),
+        )
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+_NGRAM_TAU = 0.60
+
+#: Spark SQL: distinct bigram shingles (0-based [] indexing).
+_BIGRAMS = (
+    "array_distinct(transform(slice(split(text,' '), 1, size(split(text,' ')) - 1), "
+    "(t, i) -> concat(t, ' ', split(text,' ')[i + 1])))"
+)
+#: DuckDB: the same shingles (1-based indexing, range(1,n) = [1..n-1]).
+_D_BIGRAMS = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' '))), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
+)
+
+
+@register(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_D_BIGRAMS} AS grams FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= {_NGRAM_TAU}
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (bigram-shingle) Jaccard near-dup pairs: stricter than
+    token-set Jaccard because shingles encode local word order."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_BIGRAMS).alias("grams")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_id_a"), "lang", F.col("grams").alias("grams_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    return (
+        a.join(b, (a.lang == b.lang_b) & (a.doc_id_a < b.doc_id_b))
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= _NGRAM_TAU)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+#: Spark SQL: 16-bit SimHash of the distinct token set. Bit b is set when
+#: more tokens have bit b of their 60-bit hash set than clear.
+_SIMHASH = (
+    "aggregate(transform(sequence(0, 15), b -> "
+    "  case when aggregate(toks, 0L, (acc, t) -> acc + "
+    f"    (case when (shiftright({_H.format(x='t')}, b) & 1) = 1 then 1 else -1 end)"
+    "  ) > 0 then 1L else 0L end), "
+    "0L, (acc, bit) -> acc * 2 + bit)"
+)
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    fp AS (
+      SELECT doc_id, lang,
+             list_aggregate(
+               list_transform(range(0, 16), b ->
+                 CASE WHEN list_aggregate(
+                        list_transform(toks, t ->
+                          CASE WHEN (({_D_H.format(x='t')} >> b) & 1) = 1
+                               THEN 1 ELSE -1 END),
+                        'sum') > 0
+                      THEN CAST(2 ** (15 - b) AS BIGINT) ELSE 0 END),
+               'sum') AS simhash
+      FROM t)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit sign-aggregate fingerprint per doc
+    (portable md5-derived token hashes), then Hamming distance ≤ 3 within
+    language. At 100 TB the pair join is replaced by grouping on the
+    fingerprint's bit-masked prefixes (pigeonhole blocks); here the
+    lang-blocked join keeps the oracle exactly mirrorable."""
+    t = _toks_df(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(_SIMHASH).alias("simhash")
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_id_a"), "lang", F.col("simhash").alias("sh_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    ham = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        a.join(b, (a.lang == b.lang_b) & (a.doc_id_a < b.doc_id_b))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= 3)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = 4
+
+#: Spark SQL: MinHash signature — for seed i, min over tokens of H(i#tok).
+_MINHASH_SIG = (
+    f"transform(sequence(0, {_N_HASHES - 1}), i -> "
+    f"  array_min(transform(toks, t -> {_H.format(x=chr(39) + '#' + chr(39) + ' || i || t')})))"
+)
+_D_MINHASH_SIG = (
+    f"list_transform(range(0, {_N_HASHES}), i -> "
+    f"  list_min(list_transform(toks, t -> {_D_H.format(x=chr(39) + '#' + chr(39) + ' || i || t')})))"
+)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    sigs AS (SELECT doc_id, lang, toks, {_D_MINHASH_SIG} AS sig FROM t),
+    bands AS (
+      SELECT doc_id, lang, toks,
+             CAST(UNNEST(range({_N_BANDS})) AS INT) AS band
+      FROM sigs),
+    keyed AS (
+      SELECT b.doc_id, b.lang, b.toks, b.band,
+             array_to_string(s.sig[b.band * {_ROWS_PER_BAND} + 1 :
+                                   b.band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+                             '_') AS bucket
+      FROM bands b JOIN sigs s USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.toks AS toks_a, b.toks AS toks_b
+      FROM keyed a JOIN keyed b
+        ON a.lang = b.lang AND a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b,
+           len(list_intersect(toks_a, toks_b))::DOUBLE
+             / len(list_distinct(list_concat(toks_a, toks_b))) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(toks_a, toks_b))::DOUBLE
+            / len(list_distinct(list_concat(toks_a, toks_b))) >= {_JACCARD_TAU}
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the dedup pipeline that scales:
+    shingle → 16 minhashes → 4 bands of 4 → band-bucket join for
+    candidates → exact-Jaccard verification at τ=0.95.
+
+    Detection probability at τ: 1-(1-τ⁴)⁴ ≈ 0.999 for τ=0.95. Every hash
+    is the portable md5-based integer, so candidates — and therefore the
+    final verified pair set — are deterministic and identical to the SQL
+    oracle's replication of the same pipeline. Cost model at 100 TB:
+    no O(n²) anywhere; one shuffle on (lang, band, bucket)."""
+    t = _toks_df(spark, sf_dir).select(
+        "doc_id", "lang", "toks", F.expr(_MINHASH_SIG).alias("sig")
+    )
+    keyed = t.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "lang",
+        "toks",
+        "band",
+        F.array_join(
+            F.slice(
+                F.col("sig"), F.col("band") * _ROWS_PER_BAND + 1, _ROWS_PER_BAND
+            ),
+            "_",
+        ).alias("bucket"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_id_a"),
+        "lang",
+        "band",
+        "bucket",
+        F.col("toks").alias("toks_a"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.band == b.band_b)
+            & (a.bucket == b.bucket_b)
+            & (a.doc_id_a < b.doc_id_b),
+        )
+        .select("doc_id_a", "doc_id_b", "toks_a", "toks_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+_EMBED_TAU = 0.40  # demonstration threshold: testdata vectors are random
+# N(0,σ) so true near-dup cosines (≥0.95) don't occur; production τ≈0.95+.
+
+
+@register(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {_EMBED_TAU}
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, computed with higher-order
+    functions only (zip_with dot product + aggregate norms) — no UDF, no
+    Python. The all-pairs join is the *verification* shape; at 100 TB
+    candidates come from q_sim_ivf-style bucketing first."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("ea") * norm("eb"))
+    return (
+        a.join(b, a.vec_id_a < b.vec_id_b)
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= _EMBED_TAU)
+        .select(
+            "vec_id_a", "vec_id_b", F.round(F.col("cos_raw"), 4).alias("cosine")
+        )
+    )
