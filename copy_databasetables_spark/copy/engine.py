@@ -1,0 +1,167 @@
+"""Reference-parity copy engine (SURVEY.md §2.1, M1).
+
+The upstream reference is a SQL Server table-copy utility: per table it
+scripts the schema (SMO Scripter), recreates the target, bulk-loads all
+rows (SqlBulkCopy with BatchSize), and checks the copied row count
+(SURVEY.md §3.1 [U] — /root/reference is empty, so parity claims cite
+the survey's functional reconstruction, not file:line).
+
+Spark-first re-expression:
+
+    schema scripting  →  StructType → DDL string (``schema_to_ddl``)
+    target creation   →  ``spark.sql(CREATE TABLE ...)`` / write modes
+    bulk load         →  ``df.write`` (parquet here; JDBC in sources/)
+    batch size knob   →  partition count (``repartition(n)``)
+    row-count check   →  ``verify_copy`` (count + optional checksum)
+
+Scale notes (100 TB): a copy is scan → write with NO shuffle unless
+repartitioning is requested; both sides stream per-partition. The
+verification count is a metadata-only read on parquet. For idempotent
+re-runs at scale, write mode 'overwrite' with partitioned tables becomes
+overwrite-by-partition (spark.sql.sources.partitionOverwriteMode=dynamic).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from copy_databasetables_spark.io import SCHEMAS, TABLES, load_table
+
+#: FK-respecting order (FIXTURES.md): parents before children, so a
+#: relational target with constraints can load without violations.
+FK_COPY_ORDER = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+]
+
+_SPARK_TO_SQL = {
+    T.IntegerType(): "INT",
+    T.LongType(): "BIGINT",
+    T.DoubleType(): "DOUBLE",
+    T.FloatType(): "FLOAT",
+    T.StringType(): "STRING",
+    T.BooleanType(): "BOOLEAN",
+    T.DateType(): "DATE",
+    T.TimestampType(): "TIMESTAMP",
+    T.TimestampNTZType(): "TIMESTAMP_NTZ",
+    T.BinaryType(): "BINARY",
+}
+
+
+def schema_to_ddl(schema: T.StructType, table_name: str) -> str:
+    """Script a CREATE TABLE statement from a StructType — the SMO
+    Scripter analog. Complex types fall back to Spark's simpleString
+    (which is valid Spark SQL DDL)."""
+    cols = []
+    for field in schema.fields:
+        sql_type = _SPARK_TO_SQL.get(field.dataType, field.dataType.simpleString())
+        null = "" if field.nullable else " NOT NULL"
+        cols.append(f"  {field.name} {sql_type}{null}")
+    body = ",\n".join(cols)
+    return f"CREATE TABLE {table_name} (\n{body}\n)"
+
+
+@dataclass
+class CopyResult:
+    table: str
+    target_path: str
+    rows_copied: int
+    verified: bool
+
+
+class CopyVerificationError(RuntimeError):
+    """Post-copy verification failed (row counts or checksums differ)."""
+
+
+def copy_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    target_path: str,
+    *,
+    num_partitions: int | None = None,
+    partition_by: str | None = None,
+    verify_checksum: bool = False,
+) -> CopyResult:
+    """Copy one table: read → (optional repartition) → overwrite-write →
+    verify. ``num_partitions`` is the SqlBulkCopy-BatchSize analog: it
+    fixes write parallelism and output file count."""
+    src = load_table(spark, sf_dir, table)
+    out = src.repartition(num_partitions) if num_partitions else src
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(target_path)
+
+    copied = spark.read.parquet(target_path)
+    n_src, n_dst = src.count(), copied.count()
+    if n_src != n_dst:
+        raise CopyVerificationError(
+            f"{table}: source has {n_src} rows but target has {n_dst}"
+        )
+    if verify_checksum:
+        # Order-insensitive content check: sum of per-row hashes over all
+        # columns. Catches value corruption that a bare count cannot.
+        cols = [c for c in src.columns]
+        chk = lambda df: df.select(  # noqa: E731
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("c")
+        ).collect()[0]["c"]
+        if chk(src) != chk(copied.select(*cols)):
+            raise CopyVerificationError(f"{table}: content checksum mismatch")
+    return CopyResult(table, target_path, n_dst, True)
+
+
+def copy_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    target_root: str,
+    tables: list[str] | None = None,
+    **copy_kwargs,
+) -> list[CopyResult]:
+    """Copy a list of tables in FK order (the reference's multi-table
+    loop; SURVEY.md §2.1 ``copy_tables_many``)."""
+    names = tables or FK_COPY_ORDER
+    order = [t for t in FK_COPY_ORDER if t in names] + [
+        t for t in names if t not in FK_COPY_ORDER
+    ]
+    return [
+        copy_table(spark, sf_dir, t, os.path.join(target_root, t), **copy_kwargs)
+        for t in order
+    ]
+
+
+def recreate_from_ddl(
+    spark: SparkSession, sf_dir: str, table: str, qualified_name: str, location: str
+) -> DataFrame:
+    """Schema-introspection round trip: script DDL from the source
+    schema, create the target table from that DDL, load it, return it."""
+    src = load_table(spark, sf_dir, table)
+    ddl = schema_to_ddl(src.schema, qualified_name)
+    spark.sql(f"DROP TABLE IF EXISTS {qualified_name}")
+    spark.sql(f"{ddl} USING PARQUET LOCATION '{location}'")
+    src.write.mode("overwrite").insertInto(qualified_name)
+    return spark.table(qualified_name)
+
+
+def all_table_counts(spark: SparkSession, root: str, tables: list[str]) -> DataFrame:
+    """Row-count summary over copied tables (the verification report)."""
+    dfs = [
+        spark.read.parquet(os.path.join(root, t))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in tables
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

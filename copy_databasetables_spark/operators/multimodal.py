@@ -1,1 +1,176 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""§2.10 Multimodal columns: text ⋈ vectors ⋈ binary payloads.
+
+Design for multimodal data at 100 TB (SURVEY.md §2.10): media are opaque
+``binary`` columns with a typed metadata struct alongside; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes stream
+JVM→Python in columnar batches, never row-at-a-time. The actual
+image/audio decode libraries are not in this environment, so
+``decode_media`` below is a clearly-marked deterministic stub behind the
+*real* plumbing (schema, batching, partitioning are all live and
+tested) — swap the stub body for PIL/torchaudio in production.
+
+The hash-checked operators keep their outputs expressible in SQL so the
+oracle can verify the plumbing end to end (byte lengths, first bytes,
+digests — facts DuckDB can compute about the same payloads).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+
+
+@register(
+    "q_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, e.label,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           round(sqrt(list_aggregate(
+             list_transform(e.embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unify modalities: text metadata ⋈ vector (1:1 on doc_id=vec_id).
+    Inside the engine the row is one struct column {meta, vector, label}
+    (modality-complete record); scalars are projected back out for the
+    check. Equi join on the shared key — bucketable at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    record = F.struct(
+        F.struct("lang", "source", "text").alias("meta"),
+        v.alias("vector"),
+        F.col("label"),
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .withColumn("record", record)
+        .select(
+            "doc_id",
+            F.col("record.meta.lang").alias("lang"),
+            F.col("record.meta.source").alias("source"),
+            F.col("record.label").alias("label"),
+            F.size(F.split(F.col("record.meta.text"), " ")).alias("n_tokens"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("record.vector"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x * x,
+                    )
+                ),
+                4,
+            ).alias("l2_norm"),
+        )
+    )
+
+
+@register(
+    "q_multimodal_filter",
+    oracle="""
+    SELECT d.doc_id, e.label,
+           round(sqrt(list_aggregate(
+             list_transform(e.embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE contains(d.text, 'join')
+      AND e.label IN (1, 2, 3)
+      AND sqrt(list_aggregate(
+            list_transform(e.embedding::DOUBLE[], x -> x * x), 'sum'))
+          BETWEEN 0.5 AND 2.0
+    """,
+)
+def q_multimodal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal predicate: a text condition AND a label condition AND
+    a vector-norm band, evaluated in one pass over the joined record."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.expr("transform(embedding, x -> cast(x as double))"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .withColumn("l2_raw", norm)
+        .where(
+            F.col("text").contains("join")
+            & F.col("label").isin(1, 2, 3)
+            & F.col("l2_raw").between(0.5, 2.0)
+        )
+        .select("doc_id", "label", F.round("l2_raw", 4).alias("l2_norm"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Binary-payload plumbing (mapInPandas feature extraction).
+# --------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, byte_len int, first_byte int, head_digest string, kind string"
+)
+
+
+def decode_media(payload: bytes, kind: str) -> dict:
+    """Stub decoder for media payloads.
+
+    Real decode (PIL / torchaudio / pyav) is unavailable in this
+    container. For ``kind='text'`` the features are computed for real;
+    any other modality raises — the Spark-side plumbing (schema,
+    batching, UDF signature) is identical either way.
+    """
+    if kind != "text":
+        raise NotImplementedError(
+            f"decoder for kind={kind!r} requires media libraries not present "
+            "in this environment; plug PIL/torchaudio in here"
+        )
+    import hashlib
+
+    return {
+        "byte_len": len(payload),
+        "first_byte": payload[0] if payload else None,
+        "head_digest": hashlib.md5(payload[:16]).hexdigest(),
+        "kind": kind,
+    }
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over binary payloads."""
+    for pdf in batches:
+        feats = [decode_media(p, "text") for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@register(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           md5(substring(text, 1, 16)) AS head_digest,
+           'text' AS kind
+    FROM documents
+    """,
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode path: text → binary payload column →
+    ``mapInPandas`` feature extraction (byte length, first byte, head
+    digest). The payload here is UTF-8 text so the oracle can recompute
+    every feature; with images the only change is the decode_media body.
+    Arrow moves the bytes in columnar batches — the per-row Python cost
+    is one dict, not one JVM round-trip."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.mapInPandas(_extract_features, schema=_DECODE_SCHEMA)

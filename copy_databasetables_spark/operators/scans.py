@@ -1,1 +1,200 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""§2.1 Scans / sources / sinks — the reference's actual job surface.
+
+The copy operators delegate to copy/engine.py (the reference-parity
+engine); here they are bound to concrete testdata tables and verified by
+re-reading the copy and hashing it against the *source* oracle — i.e.
+the check asserts the round trip lost nothing.
+
+JDBC read/write (src_jdbc_read / snk_jdbc_write in SURVEY.md §2.1) are
+deliberately NOT registered: no database is reachable in this offline
+environment, so they are unit-level checks over sources/jdbc.py
+(tests/test_jdbc.py) per the inventory's 'unit' designation.
+
+Copies write under /tmp/spark_graft_io/<op>/<sf>/ with mode=overwrite so
+repeated driver runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.copy.engine import (
+    all_table_counts,
+    copy_table,
+    copy_tables,
+    recreate_from_ddl,
+)
+from copy_databasetables_spark.io import SCHEMAS, load_table
+from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import us
+
+_IO_ROOT = "/tmp/spark_graft_io"
+
+
+def _out(op: str, sf_dir: str, *extra: str) -> str:
+    return os.path.join(_IO_ROOT, op, os.path.basename(sf_dir.rstrip("/")), *extra)
+
+
+#: lineitem projected with the timestamp as epoch-µs (output-boundary rule).
+_LINEITEM_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+]
+_D_LINEITEM = (
+    "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS l_shipdate_us FROM lineitem"
+)
+
+
+@register("src_parquet_scan", oracle=_D_LINEITEM)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan with declared schema — every column, every row.
+    The vectorized reader materializes ColumnarBatches; schema is pinned,
+    never inferred (the reference reads schemas from the catalog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(*_LINEITEM_COLS, us("l_shipdate", "l_shipdate_us"))
+
+
+@register(
+    "src_parquet_scan_nanos",
+    oracle="""
+    SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           user_id, event_type, value, props
+    FROM events
+    """,
+)
+def src_parquet_scan_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the TIMESTAMP(NANOS) events table — the io.py workaround
+    (nanosAsLong + integer-division reconstruction, SURVEY.md §1.2).
+    DuckDB floor-truncates the same nanos on read, so epoch-µs values
+    agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", us("ts", "ts_us"), "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "src_csv_json_roundtrip",
+    oracle="""
+    SELECT *, 'csv' AS fmt FROM customer
+    UNION ALL
+    SELECT *, 'json' AS fmt FROM customer
+    """,
+)
+def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write customer to CSV and JSON, read both back with the declared
+    schema, return both tagged — the hash against 2× the source proves
+    both text formats round-trip losslessly (header/quote/escape for
+    CSV; line-delimited JSON)."""
+    c = load_table(spark, sf_dir, "customer")
+    csv_path, json_path = _out("roundtrip_csv", sf_dir), _out("roundtrip_json", sf_dir)
+    c.write.mode("overwrite").option("header", "true").csv(csv_path)
+    c.write.mode("overwrite").json(json_path)
+    csv_back = (
+        spark.read.schema(SCHEMAS["customer"]).option("header", "true").csv(csv_path)
+    )
+    json_back = spark.read.schema(SCHEMAS["customer"]).json(json_path)
+    return csv_back.withColumn("fmt", F.lit("csv")).unionByName(
+        json_back.withColumn("fmt", F.lit("json"))
+    )
+
+
+_D_ORDERS = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us, "
+    "o_orderpriority FROM orders"
+)
+
+
+def _orders_projected(df: DataFrame) -> DataFrame:
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        us("o_orderdate", "o_orderdate_us"),
+        "o_orderpriority",
+    )
+
+
+@register("copy_table", oracle=_D_ORDERS)
+def q_copy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference core op: read source table → recreate target → load
+    all rows → verify row count + content checksum (SURVEY.md §3.1 data
+    path). Hash vs the *source* oracle proves the copy is lossless."""
+    target = _out("copy_table", sf_dir, "orders")
+    copy_table(spark, sf_dir, "orders", target, verify_checksum=True)
+    return _orders_projected(spark.read.parquet(target))
+
+
+@register("copy_table_partitioned", oracle=_D_ORDERS)
+def q_copy_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel copy in N partitions — the SqlBulkCopy-batching analog:
+    8 writer tasks, 8 output files, same verified content."""
+    target = _out("copy_table_partitioned", sf_dir, "orders")
+    copy_table(spark, sf_dir, "orders", target, num_partitions=8)
+    return _orders_projected(spark.read.parquet(target))
+
+
+@register(
+    "copy_tables_many",
+    oracle="""
+    SELECT 'region' AS table_name, COUNT(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    """,
+)
+def q_copy_tables_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table copy in FK order (region → nation → customer →
+    orders), returning the per-table row-count verification report."""
+    root = _out("copy_tables_many", sf_dir)
+    tables = ["region", "nation", "customer", "orders"]
+    copy_tables(spark, sf_dir, root, tables)
+    return all_table_counts(spark, root, tables)
+
+
+@register(
+    "schema_introspect",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMO-Scripter analog: StructType → CREATE TABLE DDL → execute →
+    load → read back through the catalog table."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"spark_graft_introspect_nation_{sf_tag}"
+    out = recreate_from_ddl(
+        spark, sf_dir, "nation", name, _out("schema_introspect", sf_dir, "nation")
+    )
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register("snk_partitioned_write", oracle=_D_LINEITEM)
+def q_snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned lake write: partitionBy(l_returnflag)
+    produces one directory per flag value; reading the root back prunes
+    by partition when filtered (dynamic partition pruning at scale).
+    Readback restores the partition column (as string) and the hash vs
+    the source proves nothing was dropped or duplicated."""
+    target = _out("snk_partitioned_write", sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(target)
+    back = spark.read.parquet(target)
+    return back.select(
+        *[c for c in _LINEITEM_COLS if c != "l_returnflag"],
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+        us("l_shipdate", "l_shipdate_us"),
+    )

@@ -1,1 +1,329 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""§2.10 Text analysis for training-data pipelines.
+
+Seven operators over ``documents``, all builtin-expression (JVM) code:
+word counts, tf-idf, corpus stats, n-grams, language-ID, quality
+scoring, token counting, and rolling-hash fingerprinting.
+
+Scale notes (100 TB): everything here is a scan + one aggregation —
+the canonical map-heavy/reduce-light shape. The explode operators
+multiply rows ~40× *inside the scan stage* (Generate), then partial
+aggregation collapses them before the shuffle, so the wire carries
+(token → partial count) pairs, never raw token rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import davg
+
+#: Spark/DuckDB portable 60-bit hash (see dedup.py).
+_H = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+_D_H = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "q_text_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top-50 (count desc, token asc tie-break
+    makes the k-set deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS idf,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1.
+    Shape at scale: two aggregations sharing the tokenized scan; the df
+    side is |vocab| rows → broadcast back onto tf."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_raw = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(idf_raw, 6).alias("idf"),
+            F.round(F.col("tf") * idf_raw, 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
+           (CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)) AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q_text_ngrams",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+      SELECT UNNEST(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1])) AS bigram
+      FROM documents)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 30
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequencies via array slicing (multiset — duplicates count),
+    top-30 with deterministic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(split(text,' '), 1, size(split(text,' ')) - 1), "
+        "(t, i) -> concat(t, ' ', split(text,' ')[i + 1]))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
+    prof AS (
+      SELECT lang, term FROM (
+        SELECT lang, term, row_number() OVER (
+                 PARTITION BY lang ORDER BY COUNT(*) DESC, term ASC) AS rn
+        FROM tok GROUP BY lang, term)
+      WHERE rn <= 10),
+    profiles AS (
+      SELECT lang AS cand_lang, list(term ORDER BY term) AS marker FROM prof GROUP BY lang),
+    scored AS (
+      SELECT d.doc_id, d.lang, p.cand_lang,
+             len(list_intersect(list_distinct(string_split(lower(d.text), ' ')),
+                                p.marker)) AS score
+      FROM documents d CROSS JOIN profiles p),
+    best AS (
+      SELECT doc_id, lang, cand_lang AS predicted_lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scored)
+    SELECT doc_id, lang, predicted_lang, score FROM best WHERE rn = 1
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by corpus-trained token profiles: the 10 most frequent
+    tokens per language form that language's marker set; each document is
+    scored by marker overlap and assigned the argmax language (ties →
+    smaller lang code). The n-gram-profile scoring pattern of real
+    lang-ID, trained on the corpus itself so it stays self-contained."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    rn_w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    profiles = (
+        tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .where(F.col("rn") <= 10)
+        .groupBy(F.col("lang").alias("cand_lang"))
+        .agg(F.array_sort(F.collect_list("term")).alias("marker"))
+    )
+    scored = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+        )
+        .crossJoin(F.broadcast(profiles))
+        .select(
+            "doc_id",
+            "lang",
+            "cand_lang",
+            F.size(F.array_intersect("toks", "marker")).alias("score"),
+        )
+    )
+    best_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(best_w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("predicted_lang"), "score")
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the', 'a', 'of', 'and', 'or', 'in', 'to'))) AS n_stop,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           (CAST(n_chars AS DOUBLE) - (n_tokens - 1)) / n_tokens AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+                 + least(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.2,
+                 6) AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: length, punctuation density,
+    stopword ratio → composite [0,1] score — the cheap pre-filter stage
+    of a training-data pipeline (drop score < threshold before any
+    model-based scoring)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda x: x.isin("the", "a", "of", "and", "or", "in", "to"),
+        )
+    )
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_ratio = n_punct.cast("double") / F.col("n_chars")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ((F.col("n_chars").cast("double") - (n_tokens - 1)) / n_tokens).alias(
+            "avg_token_len"
+        ),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "q_text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_llm_est
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish lexer regex
+    (letter runs | digit runs | single punctuation), and the chars/4
+    LLM-token estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_bpe_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("n_llm_est"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+               i -> {_D_H.format(x="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+               AS hashes
+      FROM t)
+    SELECT doc_id,
+           list_min(hashes) AS fingerprint,
+           len(list_distinct(hashes)) AS n_shingles
+    FROM sh
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: hash every 3-token shingle
+    (the rolling window) and keep the minimum — a 1-hash MinHash, the
+    core of winnowing-style fingerprint indexes. Identical md5-derived
+    integers on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    shingle_hashes = F.expr(
+        "transform(slice(split(lower(text),' '), 1, size(split(lower(text),' ')) - 2), "
+        "(t, i) -> " + _H.format(
+            x="concat(t, ' ', split(lower(text),' ')[i + 1], ' ', split(lower(text),' ')[i + 2])"
+        )
+        + ")"
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(shingle_hashes).alias("fingerprint"),
+        F.size(F.array_distinct(shingle_hashes)).alias("n_shingles"),
+    )
