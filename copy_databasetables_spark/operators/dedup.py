@@ -55,6 +55,13 @@ def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Spark/DuckDB: hash each distinct token ONCE (md5 → 60-bit int); the
+#: per-seed hash families below derive from this value arithmetically, so
+#: the md5 cost is O(tokens), not O(tokens × hashes).
+_TOKH = f"transform(toks, t -> {_H.format(x='t')})"
+_D_TOKH = f"list_transform(toks, t -> {_D_H.format(x='t')})"
+
+
 @register(
     "q_dedup_exact",
     oracle="""
@@ -185,12 +192,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Spark SQL: 16-bit SimHash of the distinct token set. Bit b is set when
-#: more tokens have bit b of their 60-bit hash set than clear.
+#: Spark SQL: 16-bit SimHash over precomputed token hashes (``tokh``
+#: column). Bit b is set when more tokens have bit b of their 60-bit
+#: hash set than clear.
 _SIMHASH = (
     "aggregate(transform(sequence(0, 15), b -> "
-    "  case when aggregate(toks, 0L, (acc, t) -> acc + "
-    f"    (case when (shiftright({_H.format(x='t')}, b) & 1) = 1 then 1 else -1 end)"
+    "  case when aggregate(tokh, 0L, (acc, h) -> acc + "
+    "    (case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)"
     "  ) > 0 then 1L else 0L end), "
     "0L, (acc, bit) -> acc * 2 + bit)"
 )
@@ -198,18 +206,18 @@ _SIMHASH = (
     "q_dedup_simhash",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id, lang, {_D_TOKH} AS tokh FROM t),
     fp AS (
       SELECT doc_id, lang,
              list_aggregate(
                list_transform(range(0, 16), b ->
                  CASE WHEN list_aggregate(
-                        list_transform(toks, t ->
-                          CASE WHEN (({_D_H.format(x='t')} >> b) & 1) = 1
-                               THEN 1 ELSE -1 END),
+                        list_transform(tokh, h ->
+                          CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END),
                         'sum') > 0
                       THEN CAST(2 ** (15 - b) AS BIGINT) ELSE 0 END),
                'sum') AS simhash
-      FROM t)
+      FROM th)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -222,8 +230,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     language. At 100 TB the pair join is replaced by grouping on the
     fingerprint's bit-masked prefixes (pigeonhole blocks); here the
     lang-blocked join keeps the oracle exactly mirrorable."""
-    t = _toks_df(spark, sf_dir).select(
-        "doc_id", "lang", F.expr(_SIMHASH).alias("simhash")
+    t = (
+        _toks_df(spark, sf_dir)
+        .withColumn("tokh", F.expr(_TOKH))
+        .select("doc_id", "lang", F.expr(_SIMHASH).alias("simhash"))
     )
     a = t.select(
         F.col("doc_id").alias("doc_id_a"), "lang", F.col("simhash").alias("sh_a")
@@ -246,14 +256,22 @@ _N_HASHES = 16
 _N_BANDS = 4
 _ROWS_PER_BAND = 4
 
-#: Spark SQL: MinHash signature — for seed i, min over tokens of H(i#tok).
+#: MinHash signature from the single per-token md5: seed i's hash is the
+#: affine family (a_i·h₃₁ + b_i) mod (2⁶¹-1) over the token
+#: hash's low 31 bits, with per-seed multipliers a_i = odd((2654435761·(2i+1))
+#: mod 2³¹) — genuinely distinct per seed (near-identical multipliers
+#: correlate the permutations and collapse LSH recall) — and offsets
+#: b_i = (1099511628211·i) mod p. One md5 per token; no int64 overflow
+#: (2³¹·2³¹ + 2⁶¹ < 2⁶³).
 _MINHASH_SIG = (
     f"transform(sequence(0, {_N_HASHES - 1}), i -> "
-    f"  array_min(transform(toks, t -> {_H.format(x=chr(39) + '#' + chr(39) + ' || i || t')})))"
+    "  array_min(transform(tokh, h -> "
+    "    ((((2654435761 * (2 * i + 1)) % 2147483648) | 1) * (h & 2147483647) + (1099511628211 * i) % 2305843009213693951) % 2305843009213693951)))"
 )
 _D_MINHASH_SIG = (
     f"list_transform(range(0, {_N_HASHES}), i -> "
-    f"  list_min(list_transform(toks, t -> {_D_H.format(x=chr(39) + '#' + chr(39) + ' || i || t')})))"
+    "  list_min(list_transform(tokh, h -> "
+    "    ((((2654435761 * (2 * i + 1)) % 2147483648) | 1) * (h & 2147483647) + (1099511628211 * i) % 2305843009213693951) % 2305843009213693951)))"
 )
 
 
@@ -261,29 +279,31 @@ _D_MINHASH_SIG = (
     "q_dedup_minhash",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
-    sigs AS (SELECT doc_id, lang, toks, {_D_MINHASH_SIG} AS sig FROM t),
+    th AS (SELECT doc_id, lang, toks, {_D_TOKH} AS tokh FROM t),
+    sigs AS (SELECT doc_id, lang, {_D_MINHASH_SIG} AS sig FROM th),
     bands AS (
-      SELECT doc_id, lang, toks,
+      SELECT doc_id, lang, sig,
              CAST(UNNEST(range({_N_BANDS})) AS INT) AS band
       FROM sigs),
     keyed AS (
-      SELECT b.doc_id, b.lang, b.toks, b.band,
-             array_to_string(s.sig[b.band * {_ROWS_PER_BAND} + 1 :
-                                   b.band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+      SELECT doc_id, lang, band,
+             array_to_string(sig[band * {_ROWS_PER_BAND} + 1 :
+                                 band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
                              '_') AS bucket
-      FROM bands b JOIN sigs s USING (doc_id)),
+      FROM bands),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             a.toks AS toks_a, b.toks AS toks_b
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       FROM keyed a JOIN keyed b
         ON a.lang = b.lang AND a.band = b.band AND a.bucket = b.bucket
        AND a.doc_id < b.doc_id)
     SELECT doc_id_a, doc_id_b,
-           len(list_intersect(toks_a, toks_b))::DOUBLE
-             / len(list_distinct(list_concat(toks_a, toks_b))) AS jaccard
+           len(list_intersect(ta.toks, tb.toks))::DOUBLE
+             / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
     FROM cand
-    WHERE len(list_intersect(toks_a, toks_b))::DOUBLE
-            / len(list_distinct(list_concat(toks_a, toks_b))) >= {_JACCARD_TAU}
+    JOIN t ta ON ta.doc_id = cand.doc_id_a
+    JOIN t tb ON tb.doc_id = cand.doc_id_b
+    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= {_JACCARD_TAU}
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,19 +316,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     final verified pair set — are deterministic and identical to the SQL
     oracle's replication of the same pipeline. Cost model at 100 TB:
     no O(n²) anywhere; one shuffle on (lang, band, bucket)."""
-    t = _toks_df(spark, sf_dir).select(
-        "doc_id", "lang", "toks", F.expr(_MINHASH_SIG).alias("sig")
+    toks = _toks_df(spark, sf_dir)
+    sigs = toks.withColumn("tokh", F.expr(_TOKH)).select(
+        "doc_id", "lang", F.expr(_MINHASH_SIG).alias("sig")
     )
-    keyed = t.select(
+    keyed = sigs.select(
         "doc_id",
         "lang",
-        "toks",
         F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
         F.col("sig"),
     ).select(
         "doc_id",
         "lang",
-        "toks",
         "band",
         F.array_join(
             F.slice(
@@ -318,19 +337,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     a = keyed.select(
-        F.col("doc_id").alias("doc_id_a"),
-        "lang",
-        "band",
-        "bucket",
-        F.col("toks").alias("toks_a"),
+        F.col("doc_id").alias("doc_id_a"), "lang", "band", "bucket"
     )
     b = keyed.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
-        F.col("toks").alias("toks_b"),
     )
+    # candidate ids only — token arrays join back once per side, so the
+    # expensive dedup-DISTINCT shuffles 2 longs per row, not 2 arrays
     cand = (
         a.join(
             b,
@@ -339,14 +355,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (a.bucket == b.bucket_b)
             & (a.doc_id_a < b.doc_id_b),
         )
-        .select("doc_id_a", "doc_id_b", "toks_a", "toks_b")
+        .select("doc_id_a", "doc_id_b")
         .distinct()
     )
+    ta = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
         F.array_union("toks_a", "toks_b")
     )
     return (
-        cand.withColumn("jaccard", jac)
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )

@@ -101,7 +101,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flagged AS (
       SELECT *,
-             CASE WHEN ts_us - lag(ts_us) OVER w >= {_US_HOUR // 2} OR
+             CASE WHEN ts_us - lag(ts_us) OVER w > {_US_HOUR // 2} OR
                        lag(ts_us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)
@@ -123,10 +123,11 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap
     (``F.session_window`` works in batch groupBy since Spark 3.2; the
-    same expression is the stateful streaming operator). Session spans
-    [first_ts, last_ts + gap); a gap of exactly 30min starts a NEW
-    session (half-open interval) — the oracle's gaps-and-islands uses
-    ``>=`` to match."""
+    same expression is the stateful streaming operator). Session end is
+    CLOSED: an event at exactly last_ts + gap merges into the session
+    (probed on Spark 4.1.2 — tests/test_operators.py pins it), so the
+    oracle's gaps-and-islands flags a new session only when the gap is
+    strictly greater than 30 minutes."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")

@@ -1,0 +1,111 @@
+"""Structured Streaming wrappers (SURVEY.md §2.9, incremental row).
+
+The batch operators in operators/streaming_sem.py are written with
+streaming-capable expressions; this module runs the same logic under
+``readStream`` to prove it. The file source replays the events parquet
+as a bounded stream; ``Trigger.AvailableNow`` drains it in micro-batches
+and stops — so tests can assert batch ≡ stream on identical input.
+
+Scale notes: in production these jobs run continuously with
+checkpointing (exactly-once state); watermarks bound the state store —
+without one, a windowed agg in append mode would buffer forever. The
+state shuffle is keyed on (window, group keys), same partitioning story
+as the batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import SCHEMAS, table_path
+from copy_databasetables_spark.session import configure_session
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """The streaming file source requires a *directory* to watch; the
+    testdata ships one parquet file per table. Stage the events file into
+    a per-SF directory under /tmp (copy once, reuse)."""
+    import os
+    import shutil
+
+    src = table_path(sf_dir, "events")
+    dst_dir = os.path.join(
+        "/tmp/spark_graft_stream", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    dst = os.path.join(dst_dir, "events.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        os.makedirs(dst_dir, exist_ok=True)
+        shutil.copy2(src, dst)
+    return dst_dir
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a file-source stream, with the same NANOS
+    conversion the batch loader applies (io.py)."""
+    configure_session(spark)
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_source_dir(sf_dir))
+    )
+    # timestamp (LTZ), not timestamp_ntz: watermarks require TIMESTAMP
+    # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); with the session pinned to
+    # UTC the wall clock is identical to the batch loader's NTZ values.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked 1-hour tumbling counts — the streaming twin of
+    q_stream_tumbling. The watermark lets Spark finalize+evict window
+    state once event time passes window_end + 10 min."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup by event_id within the watermark —
+    ``dropDuplicatesWithinWatermark`` keeps first-arrival per key and
+    evicts state as the watermark advances (bounded memory, unlike plain
+    dropDuplicates whose state grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "complete"
+) -> DataFrame:
+    """Drain a bounded stream into an in-memory table with AvailableNow
+    and return the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def foreach_batch_jdbc_sink(write_spec):
+    """foreachBatch sink that lands each micro-batch over JDBC — the
+    streaming version of the reference's bulk-copy target. Returned
+    function plugs into ``stream.writeStream.foreachBatch(...)``;
+    batch_id gives at-least-once idempotency hooks (e.g. delete-then-
+    insert keyed on batch_id). Not executable offline — unit-tested for
+    construction only."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_spec.save(batch_df.withColumn("_batch_id", F.lit(batch_id)))
+
+    return _sink

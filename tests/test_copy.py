@@ -1,0 +1,86 @@
+"""Copy-engine tests (SURVEY.md §2.1 / M1): round trips, verification,
+DDL scripting, FK ordering."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.copy.engine import (
+    FK_COPY_ORDER,
+    CopyVerificationError,
+    copy_table,
+    copy_tables,
+    schema_to_ddl,
+)
+from copy_databasetables_spark.io import SCHEMAS, load_table
+from tests.conftest import SF_SMOKE
+
+ROOT = "/tmp/spark_graft_test_copy"
+
+
+def test_copy_roundtrip_exact(spark):
+    res = copy_table(
+        spark, SF_SMOKE, "customer", f"{ROOT}/customer", verify_checksum=True
+    )
+    assert res.rows_copied == 150 and res.verified
+    src = load_table(spark, SF_SMOKE, "customer")
+    back = spark.read.parquet(f"{ROOT}/customer")
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_copy_is_idempotent(spark):
+    for _ in range(2):
+        res = copy_table(spark, SF_SMOKE, "region", f"{ROOT}/region")
+        assert res.rows_copied == 5
+
+
+def test_copy_partitioned_file_count(spark):
+    copy_table(spark, SF_SMOKE, "orders", f"{ROOT}/orders_p", num_partitions=4)
+    files = glob.glob(f"{ROOT}/orders_p/part-*")
+    assert len(files) == 4  # the BatchSize analog: one file per partition
+
+
+def test_checksum_catches_corruption(spark):
+    target = f"{ROOT}/nation_corrupt"
+    copy_table(spark, SF_SMOKE, "nation", target)
+    # tamper: rewrite the copy with one value changed, same row count
+    broken = load_table(spark, SF_SMOKE, "nation").withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 0, "XX").otherwise(F.col("n_name"))
+    )
+    broken.write.mode("overwrite").parquet(target + "2")
+    src = load_table(spark, SF_SMOKE, "nation")
+    chk = lambda df: df.select(  # noqa: E731
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("c")
+    ).collect()[0]["c"]
+    assert chk(src) != chk(spark.read.parquet(target + "2"))
+    assert chk(src) == chk(spark.read.parquet(target))
+
+
+def test_copy_tables_fk_order(spark):
+    results = copy_tables(spark, SF_SMOKE, f"{ROOT}/many", ["orders", "region", "customer"])
+    # requested out of order; engine must restore FK order
+    assert [r.table for r in results] == ["region", "customer", "orders"]
+
+
+def test_schema_to_ddl_scripts_all_columns(spark):
+    ddl = schema_to_ddl(SCHEMAS["orders"], "t_orders")
+    assert ddl.startswith("CREATE TABLE t_orders")
+    for col in SCHEMAS["orders"].fieldNames():
+        assert col in ddl
+    assert "TIMESTAMP_NTZ" in ddl and "BIGINT" in ddl
+    # scripted DDL must be executable Spark SQL
+    spark.sql("DROP TABLE IF EXISTS t_orders")
+    spark.sql(ddl + f" USING PARQUET LOCATION '{ROOT}/ddl_orders'")
+    assert spark.table("t_orders").schema == SCHEMAS["orders"]
+    spark.sql("DROP TABLE t_orders")
+
+
+def test_fk_order_is_parents_first():
+    assert FK_COPY_ORDER.index("region") < FK_COPY_ORDER.index("nation")
+    assert FK_COPY_ORDER.index("nation") < FK_COPY_ORDER.index("customer")
+    assert FK_COPY_ORDER.index("orders") < FK_COPY_ORDER.index("lineitem")

@@ -1,0 +1,153 @@
+"""Per-operator unit tests with tiny inline DataFrames: the tricky
+semantic corners that the sf0.01 differential can't isolate
+(SURVEY.md §5.2 item 3, §7.3 items 5 and 7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def test_asof_picks_latest_prior_with_tiebreak(spark):
+    """As-of semantics on a handcrafted timeline: latest signup at or
+    before each purchase; equal timestamps break toward larger event_id."""
+    events = spark.createDataFrame(
+        [
+            # (event_id, user, ts, type)
+            (1, 1, "2024-01-01 10:00:00", "signup"),
+            (2, 1, "2024-01-01 11:00:00", "signup"),
+            (3, 1, "2024-01-01 11:00:00", "purchase"),  # same-ts signup counts
+            (4, 1, "2024-01-01 12:00:00", "purchase"),
+            (5, 2, "2024-01-01 09:00:00", "purchase"),  # no prior signup
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    p = events.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+    )
+    s = events.where("event_type = 'signup'").select(
+        F.col("event_id").alias("sid"), F.col("user_id").alias("su"), F.col("ts").alias("s_ts")
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("s_ts").desc_nulls_last(), F.col("sid").desc_nulls_last()
+    )
+    out = {
+        r["pid"]: r["sid"]
+        for r in p.join(s, (s.su == p.user_id) & (s.s_ts <= p.p_ts), "left")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert out == {3: 2, 4: 2, 5: None}
+
+
+def test_session_window_end_is_closed(spark):
+    """An event at exactly last_ts + gap MERGES into the session (closed
+    end — probed on Spark 4.1.2); one microsecond beyond starts a new
+    one. This pins the strict-> convention the q_stream_session oracle
+    uses in its gaps-and-islands rewrite."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-01 10:30:00"),          # exactly 30min later → merges
+            (3, "2024-01-01 11:00:00.000001"),   # 1µs past the end → new
+        ],
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("w.start")
+        .collect()
+    )
+    assert [r["n"] for r in sessions] == [2, 1]
+
+
+def test_jaccard_blocking_is_sound(spark):
+    """Size-ratio blocking can never drop a pair with Jaccard ≥ 0.95:
+    |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|) force the size ratio
+    into [τ, 1/τ]. Construct a boundary pair and check it survives."""
+    df = spark.createDataFrame(
+        [(1, list("abcdefghijklmnopqrs")), (2, list("abcdefghijklmnopqrst"))],
+        "doc_id long, toks array<string>",
+    )
+    a, b = df.collect()
+    inter = len(set(a["toks"]) & set(b["toks"]))
+    union = len(set(a["toks"]) | set(b["toks"]))
+    jac = inter / union
+    assert jac >= 0.95
+    assert len(a["toks"]) * 100 >= len(b["toks"]) * 95
+    assert len(b["toks"]) * 100 >= len(a["toks"]) * 95
+
+
+def test_simhash_similar_docs_have_close_fingerprints(spark):
+    from copy_databasetables_spark.operators.dedup import _SIMHASH, _TOKH
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog".split(" ")),
+            (2, "the quick brown fox jumps over the lazy cat".split(" ")),
+            (3, "completely different words appear in this line".split(" ")),
+        ],
+        "doc_id long, toks array<string>",
+    ).withColumn("tokh", F.expr(_TOKH))
+    fp = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", F.expr(_SIMHASH).alias("sh")).collect()
+    }
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_minhash_lsh_recall_against_exact(spark):
+    """LSH with 4×4 banding at τ=0.95 must find ≥95% of the exact
+    near-dup pairs on the smoke data (expected detection ≈ 99.9%)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in qs["q_dedup_near"](spark, sf).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in qs["q_dedup_minhash"](spark, sf).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.95
+
+
+def test_cosine_self_similarity_and_symmetry(spark):
+    from copy_databasetables_spark.operators.similarity import _cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        _cosine("a", "a").alias("self"),
+        _cosine("a", "b").alias("ab"),
+        _cosine("b", "a").alias("ba"),
+    ).collect()
+    for r in rows:
+        assert r["self"] == pytest.approx(1.0, abs=1e-12)
+        assert r["ab"] == pytest.approx(r["ba"], abs=1e-12)
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    from copy_databasetables_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a")).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.1  # 5σ of rsd=0.02
+
+
+def test_pivot_missing_combination_is_zero(spark):
+    from copy_databasetables_spark.operators import all_queries
+
+    df = all_queries()["q_pivot"](spark, "/root/testdata/sf0.001").toPandas()
+    assert (df[["click", "error", "purchase", "signup", "view"]] >= 0).all().all()
+    assert df.notna().all().all()  # na.fill(0) leaves no nulls

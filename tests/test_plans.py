@@ -1,0 +1,89 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the scale properties the
+engine is designed around must be visible in .explain — filter/column
+pushdown into the parquet scan, broadcast joins on dimensions, partial
+(map-side) aggregation, and no Python evaluation in builtin-only paths.
+A plan regression here is a 100×-at-scale bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def plan(df) -> str:
+    # Execute first: under AQE the physical plan (join strategies,
+    # codegen spans) is only final after at least one run.
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = load_table(spark, SF_SMOKE, "orders").where(F.col("o_totalprice") > 300000.0)
+    p = full_plan(df)
+    assert "PushedFilters" in p and "o_totalprice" in p.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_read_schema(spark):
+    df = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    p = full_plan(df)
+    read_schema = p.split("ReadSchema")[1][:200]
+    assert "c_custkey" in read_schema and "c_name" in read_schema
+    assert "c_acctbal" not in read_schema  # unused column never read
+
+
+def test_dimension_join_broadcasts(spark):
+    df = all_queries()["q_join_broadcast"](spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in plan(df)
+
+
+def test_star_join_single_fact_shuffle(spark):
+    """lineitem⋈orders shuffles; customer/nation/region must broadcast —
+    exactly one pair of shuffle-join sides in the whole star."""
+    p = plan(all_queries()["q_join_multi_star"](spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_semi_join_stays_semi(spark):
+    p = plan(all_queries()["q_join_semi"](spark, SF_SMOKE))
+    assert "LeftSemi" in p
+
+
+def test_groupby_has_partial_aggregate(spark):
+    """Two-phase hash aggregation: a partial_ aggregate must appear below
+    the exchange (map-side combine — the reason Q1 ships group rows, not
+    raw rows, through the shuffle)."""
+    p = plan(all_queries()["q_agg_group"](spark, SF_SMOKE))
+    assert "partial_" in p and "Exchange" in p
+
+
+def test_topk_uses_take_ordered(spark):
+    p = plan(all_queries()["q_limit_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_higher_order_ops_have_no_python(spark):
+    """The no-UDF guarantee for vector math and text dedup: nothing in
+    these plans may cross to a Python worker."""
+    for name in ("q_higher_order", "q_sim_topk", "q_dedup_minhash", "q_text_tfidf"):
+        p = plan(all_queries()[name](spark, SF_SMOKE))
+        assert "PythonUDF" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    # codegen stages print as "*(n)" markers in the executed-plan tree
+    p = plan(all_queries()["q_agg_group"](spark, SF_SMOKE))
+    assert "*(1)" in p and "*(2)" in p
+
+
+def test_events_window_partition_count_honors_session_conf(spark):
+    df = all_queries()["q_stream_tumbling"](spark, SF_SMOKE)
+    assert "Exchange hashpartitioning" in plan(df)

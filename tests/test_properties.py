@@ -1,0 +1,90 @@
+"""Property-based invariants (SURVEY.md §5.2 item 4). Hypothesis drives
+small generated inputs through the same primitives the operators use;
+examples are kept small because each runs a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.floats(-100, 100, allow_nan=False)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(a=_rows, b=_rows)
+@_settings
+def test_union_all_counts_add(spark, a, b):
+    df_a = spark.createDataFrame(a, "k int, v double")
+    df_b = spark.createDataFrame(b, "k int, v double")
+    assert df_a.unionByName(df_b).count() == len(a) + len(b)
+
+
+@given(rows=_rows)
+@_settings
+def test_distinct_is_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v double").select("k").distinct()
+    assert df.count() == df.distinct().count() == len({k for k, _ in rows})
+
+
+@given(rows=_rows)
+@_settings
+def test_except_self_is_empty(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v double")
+    assert df.exceptAll(df).count() == 0
+
+
+@given(toks=st.lists(st.text("abcde", min_size=1, max_size=3), min_size=1, max_size=12))
+@_settings
+def test_jaccard_self_is_one_and_bounded(spark, toks):
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    row = df.select(
+        (
+            F.size(F.array_intersect("toks", "toks"))
+            / F.size(F.array_union("toks", "toks"))
+        ).alias("self_jac")
+    ).collect()[0]
+    assert row["self_jac"] == 1.0
+
+
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, allow_infinity=False).filter(
+            lambda x: abs(x) > 1e-3
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@_settings
+def test_l2_norm_positive_and_scale_equivariant(spark, vec):
+    df = spark.createDataFrame([(vec, [2.0 * x for x in vec])], "a array<double>, b array<double>")
+    sq = lambda c: F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
+    r = df.select(F.sqrt(sq("a")).alias("na"), F.sqrt(sq("b")).alias("nb")).collect()[0]
+    assert r["na"] > 0
+    assert abs(r["nb"] - 2.0 * r["na"]) < 1e-9 * max(1.0, r["na"])
+
+
+@given(rows=_rows)
+@_settings
+def test_scaled_int_sum_matches_fsum(spark, rows):
+    """dsum's scaled-integer accumulation equals an exact fsum for
+    2-decimal inputs — the invariant the whole oracle strategy rests on."""
+    import math
+
+    vals = [round(v, 2) for _, v in rows]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    from copy_databasetables_spark.operators._helpers import dsum
+
+    got = df.agg(dsum("v", "s")).collect()[0]["s"]
+    assert got == round(math.fsum(vals), 6)

@@ -1,0 +1,64 @@
+"""Batch/stream equivalence (SURVEY.md §5.2 item 5): the §2.9 operators
+are written with streaming-capable expressions; these tests run the same
+logic under readStream with an AvailableNow trigger and assert equality
+with the batch result on identical input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.streaming.jobs import (
+    dedup_stream,
+    read_events_stream,
+    run_to_memory,
+    tumbling_counts_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream_out = run_to_memory(
+        tumbling_counts_stream(read_events_stream(spark, SF_SMOKE)),
+        "t_tumbling",
+        mode="complete",
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    assert stream_out.count() == batch.count()
+    assert stream_out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_out).count() == 0
+
+
+def test_stream_dedup_unique_ids(spark):
+    out = run_to_memory(
+        dedup_stream(read_events_stream(spark, SF_SMOKE)), "t_dedup", mode="append"
+    )
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()
+    # event_id is unique in the source, so dedup must keep everything
+    assert n == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_stream_is_incremental(spark):
+    """The file source must deliver multiple micro-batches (maxFilesPerTrigger
+    honored) — i.e. the pipeline really executed incrementally."""
+    stream = tumbling_counts_stream(read_events_stream(spark, SF_SMOKE))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_progress")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 1
+    assert sum(p["numInputRows"] for p in q.recentProgress) == 1000
