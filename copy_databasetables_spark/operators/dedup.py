@@ -50,8 +50,20 @@ _D_H = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
 
 
 def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.expr(_TOKS).alias("toks"), F.expr(f"size({_TOKS})").alias("sz")
+    # documents is one small parquet file → one scan partition. The
+    # self-joins below multiply it into millions of candidate pairs, so
+    # without an explicit repartition ALL downstream pair work would run
+    # in a single task (AQE won't split it: the *bytes* look tiny).
+    # Small-input × heavy-derived-compute wants explicit parallelism.
+    return (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(_TOKS).alias("toks"),
+            F.expr(f"size({_TOKS})").alias("sz"),
+        )
     )
 
 
@@ -158,7 +170,10 @@ _D_BIGRAMS = (
 @register(
     "q_dedup_ngram",
     oracle=f"""
-    WITH t AS (SELECT doc_id, lang, {_D_BIGRAMS} AS grams FROM documents)
+    WITH t AS (SELECT doc_id, lang,
+                      list_distinct(list_transform({_D_BIGRAMS},
+                        g -> {_D_H.format(x='g')})) AS grams
+               FROM documents)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            len(list_intersect(a.grams, b.grams))::DOUBLE
              / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
@@ -169,9 +184,16 @@ _D_BIGRAMS = (
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (bigram-shingle) Jaccard near-dup pairs: stricter than
-    token-set Jaccard because shingles encode local word order."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.expr(_BIGRAMS).alias("grams")
+    token-set Jaccard because shingles encode local word order. Shingles
+    are hashed to 60-bit ints (portable md5, once per shingle) so the
+    O(n²·|grams|) intersection work compares ints, not strings."""
+    grams_hashed = (
+        f"array_distinct(transform({_BIGRAMS}, g -> {_H.format(x='g')}))"
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
+        .select("doc_id", "lang", F.expr(grams_hashed).alias("grams"))
     )
     a = d.select(
         F.col("doc_id").alias("doc_id_a"), "lang", F.col("grams").alias("grams_a")
@@ -297,13 +319,13 @@ _D_MINHASH_SIG = (
         ON a.lang = b.lang AND a.band = b.band AND a.bucket = b.bucket
        AND a.doc_id < b.doc_id)
     SELECT doc_id_a, doc_id_b,
-           len(list_intersect(ta.toks, tb.toks))::DOUBLE
-             / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+           len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
+             / len(list_distinct(list_concat(ta.tokh, tb.tokh))) AS jaccard
     FROM cand
-    JOIN t ta ON ta.doc_id = cand.doc_id_a
-    JOIN t tb ON tb.doc_id = cand.doc_id_b
-    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
-            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= {_JACCARD_TAU}
+    JOIN th ta ON ta.doc_id = cand.doc_id_a
+    JOIN th tb ON tb.doc_id = cand.doc_id_b
+    WHERE len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
+            / len(list_distinct(list_concat(ta.tokh, tb.tokh))) >= {_JACCARD_TAU}
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,10 +338,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     final verified pair set — are deterministic and identical to the SQL
     oracle's replication of the same pipeline. Cost model at 100 TB:
     no O(n²) anywhere; one shuffle on (lang, band, bucket)."""
-    toks = _toks_df(spark, sf_dir)
-    sigs = toks.withColumn("tokh", F.expr(_TOKH)).select(
-        "doc_id", "lang", F.expr(_MINHASH_SIG).alias("sig")
-    )
+    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    sigs = toks.select("doc_id", "lang", F.expr(_MINHASH_SIG).alias("sig"))
     keyed = sigs.select(
         "doc_id",
         "lang",
@@ -357,15 +377,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id_a", "doc_id_b")
         .distinct()
+        # AQE coalesces the distinct's shuffle to ~1 partition (candidate
+        # ids are only a few MB) but each row still owes an array-Jaccard
+        # — rebalance so verification keeps full parallelism.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    ta = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("toks_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
+    # Verification: Jaccard over the int hash arrays (distinct tokens ↔
+    # distinct hashes), not the string arrays — int equality beats string
+    # equality across millions of candidate pairs, and the doc side is
+    # broadcast so candidates never shuffle for the join.
+    ta = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("tokh").alias("tokh_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("tokh").alias("tokh_b"))
+    jac = F.size(F.array_intersect("tokh_a", "tokh_b")) / F.size(
+        F.array_union("tokh_a", "tokh_b")
     )
     return (
-        cand.join(ta, "doc_id_a")
-        .join(tb, "doc_id_b")
+        cand.join(F.broadcast(ta), "doc_id_a")
+        .join(F.broadcast(tb), "doc_id_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")
@@ -391,18 +419,32 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions only (zip_with dot product + aggregate norms) — no UDF, no
     Python. The all-pairs join is the *verification* shape; at 100 TB
     candidates come from q_sim_ivf-style bucketing first."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    # Norms are per-vector facts: compute each of the 2 norms once per
+    # vector BEFORE the pair join (per-pair recompute would cost 2M extra
+    # aggregates); repartition because the single-file scan would
+    # otherwise run the whole O(n²) loop in one task.
+    norm = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        .withColumn("nrm", norm)
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm("ea") * norm("eb"))
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, a.vec_id_a < b.vec_id_b)
         .withColumn("cos_raw", cos)

@@ -44,10 +44,17 @@ _CENTROID_FILTER = "vec_id % 50 = 7"
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    # embeddings is one small parquet file → one scan partition; the
+    # pair joins below are compute-heavy per row, so parallelism must be
+    # created explicitly (AQE sees tiny bytes and won't split).
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
     )
 
 
