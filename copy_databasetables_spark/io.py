@@ -172,6 +172,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    # Local-bench parallelism knob: the testdata files are single-row-group
+    # parquet, so a scan is ONE task no matter how many cores exist (a row
+    # group is the parquet split atom). When the bench protocol sets
+    # SPARK_GRAFT_SCAN_PARALLELISM (to its core count) it also caches the
+    # repartitioned plans (bench.py), so queries hit a partitioned
+    # InMemoryRelation. Partitions scale with file size (~1 MB each,
+    # capped) — blanket max-parallelism taxes sub-MB tables with task
+    # scheduling for no gain. Unset (the default, and the 100 TB posture —
+    # real tables have many row groups) this is a no-op.
+    cap = int(os.environ.get("SPARK_GRAFT_SCAN_PARALLELISM", "0"))
+    if cap > 0:
+        size_mb = os.path.getsize(table_path(sf_dir, name)) // (1 << 20)
+        n = max(1, min(cap, int(size_mb)))
+        if n > 1:
+            df = df.repartition(n)
     return df
 
 
