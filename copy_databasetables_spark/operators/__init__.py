@@ -44,6 +44,7 @@ _MODULES = [
     "dedup",
     "similarity",
     "text",
+    "pipeline",
     "multimodal",
     "udfs",
 ]

@@ -1,0 +1,174 @@
+"""Training-dataset assembly operators (§2.10 extensions).
+
+The last mile of a 100 TB corpus build: reproducible splits, sampling,
+sequence packing, and class balancing. The common design rule: NEVER use
+RNG sampling for anything that must be reproducible across runs/engines —
+assignment is always a pure function of a stable key (portable md5-derived
+hash), so adding data never reshuffles existing assignments and any
+engine recomputes identical splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+
+#: portable hash of a string expr (see dedup.py) folded to [0, 100).
+_PCT = "pmod(cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint), 100)"
+_D_PCT = "(CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT) % 100)"
+
+
+@register(
+    "q_split_train_test",
+    oracle=f"""
+    WITH t AS (
+      SELECT *, CASE WHEN {_D_PCT.format(x="CAST(doc_id AS VARCHAR)")} < 80 THEN 'train'
+                     WHEN {_D_PCT.format(x="CAST(doc_id AS VARCHAR)")} < 90 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY split, lang
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the split is a pure
+    function of doc_id's hash, so it is stable under re-runs, engine
+    changes, and corpus growth (new docs never move old ones — the
+    property RNG-with-seed sampling does NOT have under repartitioning)."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.expr(_PCT.format(x="cast(doc_id as string)"))
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_D_PCT.format(x="CAST(o_orderkey AS VARCHAR)")} < 10
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample by key hash. Unlike ``df.sample`` (RNG
+    per partition — resample on any repartition), the hash predicate
+    pushes down, is stable forever, and two pipelines sampling the same
+    keys get the same rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.expr(_PCT.format(x="cast(o_orderkey as string)")) < 10
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "q_text_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t),
+    binned AS (
+      SELECT *, CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin FROM c)
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM binned GROUP BY source, bin
+    """,
+)
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in a deterministic
+    per-source order) into ~512-token training bins (budget sized so the testdata actually produces multiple bins per source). bin = floor(
+    starting-offset / budget) over a running token count — the streaming
+    -friendly packing rule (no global state; each source packs
+    independently, so sources parallelize across the cluster)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tokens").over(w))
+        # explicit floor: a bare double→bigint CAST truncates in Spark
+        # but ROUNDS in DuckDB — the cross-engine trap from §2.8 notes
+        .withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET).cast("bigint"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "q_class_balance",
+    oracle="""
+    WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+    SELECT label, n,
+           MIN(n) OVER () AS target_n,
+           ROUND(CAST(MIN(n) OVER () AS DOUBLE) / n, 4) AS keep_ratio,
+           CAST(FLOOR(100.0 * MIN(n) OVER () / n) AS BIGINT) AS keep_pct_floor
+    FROM counts
+    """,
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing plan: per-label keep ratios that downsample every
+    label to the minority class's count. Composes with q_sample_hash:
+    keep rows whose key hash lands under keep_pct_floor — deterministic
+    balanced sampling with no RNG."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy()
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    target = F.min("n").over(w)
+    return counts.select(
+        "label",
+        "n",
+        target.alias("target_n"),
+        F.round(target.cast("double") / F.col("n"), 4).alias("keep_ratio"),
+        F.floor(100.0 * target / F.col("n")).alias("keep_pct_floor"),
+    )
+
+
+@register("q_agg_percentile_approx")
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — THE percentile
+    operator at 100 TB: bounded memory, mergeable across partitions,
+    tunable accuracy. Rows-only check by design: sketch outputs are
+    engine-specific (DuckDB's approx_quantile uses t-digest); the unit
+    suite bounds its error against exact percentiles instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("p"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p50_approx"),
+            F.col("p")[1].alias("p95_approx"),
+            F.col("p")[2].alias("p99_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -5,10 +5,13 @@ engine); here they are bound to concrete testdata tables and verified by
 re-reading the copy and hashing it against the *source* oracle — i.e.
 the check asserts the round trip lost nothing.
 
-JDBC read/write (src_jdbc_read / snk_jdbc_write in SURVEY.md §2.1) are
-deliberately NOT registered: no database is reachable in this offline
-environment, so they are unit-level checks over sources/jdbc.py
-(tests/test_jdbc.py) per the inventory's 'unit' designation.
+JDBC read/write (src_jdbc_read / snk_jdbc_write in SURVEY.md §2.1) run
+against *in-process Apache Derby* (the embedded database Spark already
+ships for its Hive metastore) — no network, no server process, but a
+real JDBC driver, real CREATE TABLE/INSERT batching, and a real
+partitioned-read path. This upgrades the survey's planned 'unit' level
+to full hash checks: write over JDBC, read back over JDBC, hash against
+the parquet source oracle.
 
 Copies write under /tmp/spark_graft_io/<op>/<sf>/ with mode=overwrite so
 repeated driver runs are idempotent.
@@ -110,6 +113,64 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_back.withColumn("fmt", F.lit("csv")).unionByName(
         json_back.withColumn("fmt", F.lit("json"))
     )
+
+
+def _derby_url(sf_dir: str, name: str) -> str:
+    # Per-process database path: a Derby db killed mid-boot leaves a
+    # lock that makes the next process fail with XSDB6 — fresh names
+    # make every run self-contained (tiny dbs under /tmp).
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"jdbc:derby:/tmp/spark_graft_derby/p{os.getpid()}_{sf_tag}_{name};create=true"
+
+
+@register(
+    "snk_jdbc_write",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def q_snk_jdbc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink — the SqlBulkCopy analog over a real driver: batched
+    INSERTs (batchsize=5000) into embedded Derby with mode=overwrite
+    (drop-and-recreate, the reference's drop-existing option), then read
+    back over JDBC and hash against the parquet source. numPartitions
+    bounds the writer's connection count via coalesce."""
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec, JdbcWriteSpec
+
+    url = _derby_url(sf_dir, "customer")
+    src = load_table(spark, sf_dir, "customer")
+    JdbcWriteSpec(
+        url=url, table="customer", mode="overwrite", batchsize=5000, num_partitions=4
+    ).save(src)
+    return JdbcReadSpec(url=url, table="customer").load(spark)
+
+
+@register(
+    "src_jdbc_read",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders",
+)
+def q_src_jdbc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned JDBC source: each of 8 executor tasks opens its own
+    cursor over a key range (partitionColumn/lowerBound/upperBound/
+    numPartitions) — the only JDBC read shape that scales; an
+    unpartitioned read is a single-threaded cursor no matter the cluster
+    size. Timestamps are excluded from this projection (Derby stores µs;
+    the orders table is ms — covered by the parquet scans) so the hash
+    stays type-clean."""
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec, JdbcWriteSpec
+
+    url = _derby_url(sf_dir, "orders")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    JdbcWriteSpec(url=url, table="orders", mode="overwrite", batchsize=5000).save(src)
+    n = src.count()
+    return JdbcReadSpec(
+        url=url,
+        table="orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=int(n * 10),
+        num_partitions=8,
+    ).load(spark)
 
 
 _D_ORDERS = (

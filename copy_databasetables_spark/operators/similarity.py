@@ -187,6 +187,72 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_topk_blas",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
+    scored AS (
+      SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+             list_cosine_similarity(p.e, v.e) AS cos_raw,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_cosine_similarity(p.e, v.e) DESC,
+                                         v.vec_id ASC) AS rank_pos
+      FROM p JOIN v ON v.vec_id <> p.vec_id)
+    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_K}
+    """,
+)
+def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as q_sim_topk via the vectorized Arrow path: the probe
+    matrix is broadcast to Python workers and each corpus batch scores
+    against ALL probes in one BLAS matmul inside ``mapInPandas``. This is
+    the documented exception to the no-UDF rule (SURVEY.md §3.2): per-
+    element higher-order lambdas can't touch a dgemm on wide batches, and
+    Arrow moves vectors columnar. NumPy's float64 matmul agrees with the
+    sequential oracle to ~1e-15 — far below both the 4dp rounding and the
+    ~1e-3 cosine gaps that decide ranks."""
+    import numpy as np
+    import pandas as pd
+
+    v = _vecs(spark, sf_dir)
+    probes = v.where(_PROBE_FILTER).select("vec_id", "e").toPandas()
+    probe_ids = probes["vec_id"].to_numpy()
+    pm = np.stack(probes["e"].to_numpy())  # (P, 64)
+    pm_unit = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((probe_ids, pm_unit))
+
+    def score(batches):
+        ids, punit = bc.value
+        for pdf in batches:
+            cm = np.stack(pdf["e"].to_numpy())  # (B, 64)
+            cm_unit = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm_unit @ punit.T  # (B, P)
+            n_b, n_p = sims.shape
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.tile(ids, n_b),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), n_p),
+                    "cos_raw": sims.ravel(),
+                }
+            )
+
+    scored = v.select("vec_id", "e").mapInPandas(
+        score, schema="probe_id long, neighbor_id long, cos_raw double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.where(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _K)
+        .select(
+            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+        )
+    )
+
+
+@register(
     "q_sim_ivf",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -151,3 +151,45 @@ def test_pivot_missing_combination_is_zero(spark):
     df = all_queries()["q_pivot"](spark, "/root/testdata/sf0.001").toPandas()
     assert (df[["click", "error", "purchase", "signup", "view"]] >= 0).all().all()
     assert df.notna().all().all()  # na.fill(0) leaves no nulls
+
+
+def test_percentile_approx_error_bound(spark):
+    """Sketch percentiles must land within 1% relative of exact ones at
+    accuracy=10000 (rows-only op — this is its value check)."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in all_queries()["q_agg_percentile_approx"](spark, sf).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for flag, (a50, a95) in approx.items():
+        e50, e95 = exact[flag]
+        assert abs(a50 - e50) / e50 < 0.01
+        assert abs(a95 - e95) / e95 < 0.01
+
+
+def test_hash_split_is_stable_and_partitions(spark):
+    """The train/val/test assignment must be a pure function of doc_id:
+    identical across runs, and every doc lands in exactly one split."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    q = all_queries()["q_split_train_test"]
+    a = {(r["split"], r["lang"]): r["n_docs"] for r in q(spark, sf).collect()}
+    b = {(r["split"], r["lang"]): r["n_docs"] for r in q(spark, sf).collect()}
+    assert a == b
+    assert sum(a.values()) == 500
