@@ -22,21 +22,38 @@ from copy_databasetables_spark.io import SCHEMAS, table_path
 from copy_databasetables_spark.session import configure_session
 
 
+_STREAM_CHUNKS = 4
+
+
 def _stream_source_dir(sf_dir: str) -> str:
     """The streaming file source requires a *directory* to watch; the
     testdata ships one parquet file per table. Stage the events file into
-    a per-SF directory under /tmp (copy once, reuse)."""
+    a per-SF directory under /tmp as several row-sliced chunks (pyarrow,
+    type-preserving — the TIMESTAMP(NANOS) column survives) so that
+    ``maxFilesPerTrigger=1`` actually produces multiple micro-batches —
+    one file would collapse every run into a single batch and stateful
+    operators would never exercise cross-batch state."""
     import os
-    import shutil
+
+    import pyarrow.parquet as pq
 
     src = table_path(sf_dir, "events")
     dst_dir = os.path.join(
         "/tmp/spark_graft_stream", os.path.basename(sf_dir.rstrip("/")), "events"
     )
-    dst = os.path.join(dst_dir, "events.parquet")
-    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+    marker = os.path.join(dst_dir, f"part-{_STREAM_CHUNKS - 1}.parquet")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
         os.makedirs(dst_dir, exist_ok=True)
-        shutil.copy2(src, dst)
+        table = pq.read_table(src)
+        step = max(1, (table.num_rows + _STREAM_CHUNKS - 1) // _STREAM_CHUNKS)
+        for i in range(_STREAM_CHUNKS):
+            chunk = table.slice(i * step, step)
+            pq.write_table(
+                chunk,
+                os.path.join(dst_dir, f"part-{i}.parquet"),
+                version="2.6",
+                coerce_timestamps=None,
+            )
     return dst_dir
 
 
@@ -95,6 +112,44 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def user_totals_stateful_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY.md
+    §2.9): a per-user running aggregate whose state (count, total value)
+    lives in the state store and is updated incrementally per
+    micro-batch — the escape hatch for stateful logic that windowed
+    aggregation can't express (custom eviction, conditional resets,
+    model-ish accumulators). Arrow batches rows per key into pandas;
+    output mode 'update' emits one refreshed row per touched user."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def foreach_batch_jdbc_sink(write_spec):

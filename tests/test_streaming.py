@@ -62,3 +62,38 @@ def test_stream_is_incremental(spark):
     q.awaitTermination()
     assert len(q.recentProgress) >= 1
     assert sum(p["numInputRows"] for p in q.recentProgress) == 1000
+
+
+def test_stateful_apply_in_pandas_equals_batch(spark):
+    """applyInPandasWithState: after draining the bounded stream, each
+    user's final (count, total) state must equal the batch aggregate —
+    i.e. incremental state updates across micro-batches lose nothing."""
+    from copy_databasetables_spark.streaming.jobs import user_totals_stateful_stream
+
+    batches = []
+    q = (
+        user_totals_stateful_stream(read_events_stream(spark, SF_SMOKE))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: batches.append((bid, df.toPandas())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user wins
+    final = {}
+    for bid, pdf in sorted(batches, key=lambda x: x[0]):
+        for r in pdf.itertuples(index=False):
+            final[r.user_id] = (r.n_events, r.total_value)
+    expected = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, t) in final.items():
+        en, et = expected[uid]
+        assert n == en
+        assert abs(t - et) < 1e-6 * max(1.0, abs(et))
+    assert len(batches) > 1  # state really carried across micro-batches
