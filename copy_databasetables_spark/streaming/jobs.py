@@ -161,6 +161,10 @@ def foreach_batch_jdbc_sink(write_spec):
     construction only."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # NB: a foreachBatch body MUST consume every partition of the
+        # batch DataFrame (Spark 4.1 validates state-store commits and
+        # fails the query otherwise — show()/limit()/no-op bodies break
+        # stateful queries). A full save() qualifies.
         write_spec.save(batch_df.withColumn("_batch_id", F.lit(batch_id)))
 
     return _sink
