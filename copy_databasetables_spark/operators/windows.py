@@ -218,16 +218,19 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            ntile(4)       OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
 )
 def q_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist per nation. Order is total (unique
-    c_custkey tie-break), so tile assignment is deterministic; the two
-    ratios are exact small-integer divisions, rounded identically."""
+    c_custkey tie-break), so tile assignment is deterministic, and the
+    two ratios are int/int IEEE divisions — bit-identical across engines
+    UNROUNDED. (Rounding would *add* risk here: rank/(n-1) rationals can
+    sit on a decimal half-boundary, where Spark's repr-based round and
+    DuckDB's binary round disagree — observed at sf0.1.)"""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
@@ -236,8 +239,8 @@ def q_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
