@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from copy_databasetables_spark.io import SCHEMAS, TABLES, load_table
+from copy_databasetables_spark.io import load_table
 
 #: FK-respecting order (FIXTURES.md): parents before children, so a
 #: relational target with constraints can load without violations.

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import DEC, davg, dsum, us
+from copy_databasetables_spark.operators._helpers import davg, dsum, us
 
 _US_15MIN = 900_000_000
 _US_HOUR = 3_600_000_000

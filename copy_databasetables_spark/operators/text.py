@@ -19,7 +19,6 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import davg
 
 #: Spark/DuckDB portable 60-bit hash (see dedup.py).
 _H = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"

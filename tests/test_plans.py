@@ -87,3 +87,38 @@ def test_whole_stage_codegen_covers_flagship(spark):
 def test_events_window_partition_count_honors_session_conf(spark):
     df = all_queries()["q_stream_tumbling"](spark, SF_SMOKE)
     assert "Exchange hashpartitioning" in plan(df)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketing is the SCALE.md co-located-join technique: two tables
+    bucketed by the same key into the same bucket count join WITHOUT any
+    exchange — at 100 TB this removes the dominant cost of repeated
+    fact-to-fact joins. (saveAsTable is required; plain parquet has no
+    bucket metadata.)"""
+    from copy_databasetables_spark.io import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .option("path", "/tmp/spark_graft_bucket/orders").saveAsTable("b_orders"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .option("path", "/tmp/spark_graft_bucket/lineitem").saveAsTable("b_lineitem"))
+    # disable broadcast so the join would otherwise have to shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderstatus").count()
+        p = plan(joined)
+        assert "SortMergeJoin" in p
+        # the join itself must not exchange either side (only the final
+        # groupBy shuffles) — bucket co-location did the partitioning
+        assert "Exchange hashpartitioning(l_orderkey" not in p
+        assert "Exchange hashpartitioning(o_orderkey" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
