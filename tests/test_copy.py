@@ -84,3 +84,17 @@ def test_fk_order_is_parents_first():
     assert FK_COPY_ORDER.index("region") < FK_COPY_ORDER.index("nation")
     assert FK_COPY_ORDER.index("nation") < FK_COPY_ORDER.index("customer")
     assert FK_COPY_ORDER.index("orders") < FK_COPY_ORDER.index("lineitem")
+
+
+def test_copy_partition_by_layout(spark):
+    """partition_by produces hive-style directories and survives the
+    roundtrip with identical content."""
+    import os
+
+    target = f"{ROOT}/orders_by_status"
+    copy_table(spark, SF_SMOKE, "orders", target, partition_by="o_orderstatus")
+    subdirs = {d for d in os.listdir(target) if d.startswith("o_orderstatus=")}
+    assert subdirs == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+    back = spark.read.parquet(target).select(*load_table(spark, SF_SMOKE, "orders").columns)
+    src = load_table(spark, SF_SMOKE, "orders")
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0

@@ -122,3 +122,12 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_topk_per_group_pushes_window_group_limit(spark):
+    """rank-filter pushdown: row_number()<=k compiles to WindowGroupLimit
+    (a per-partition top-k heap BELOW the shuffle), so mappers emit at
+    most k rows per group instead of whole groups — the property that
+    makes per-group top-k viable at 100 TB."""
+    p = plan(all_queries()["q_win_topk_per_group"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p
