@@ -40,6 +40,7 @@ _MODULES = [
     "sorts",
     "setops",
     "scalar_funcs",
+    "subqueries",
     "streaming_sem",
     "dedup",
     "similarity",

@@ -131,3 +131,12 @@ def test_topk_per_group_pushes_window_group_limit(spark):
     makes per-group top-k viable at 100 TB."""
     p = plan(all_queries()["q_win_topk_per_group"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in p
+
+
+def test_scalar_subquery_decorrelates_to_join(spark):
+    """Correlated scalar subqueries must not re-execute per row: Catalyst
+    decorrelates them into aggregate + join (no nested-loop 'Subquery'
+    execution nodes in the physical plan)."""
+    p = plan(all_queries()["q_subquery_scalar"](spark, SF_SMOKE))
+    assert "Join" in p  # rewritten into join form
+    assert "CartesianProduct" not in p
