@@ -26,10 +26,16 @@ from pyspark.sql import SparkSession
 
 #: Confs that must hold on any session this engine runs under, including a
 #: driver-provided one. All are runtime-settable SQL confs.
+#: shuffle.partitions: an externally-built session defaults to 200 —
+#: pure scheduling waste at local test scales; AQE re-coalesces per
+#: stage either way, so pinning the engine's recommendation is safe.
 REQUIRED_RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 
