@@ -360,6 +360,40 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @register(
+    "q_unpivot",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id)
+    SELECT user_id, kind, n FROM (
+      SELECT user_id, 'click' AS kind, click AS n FROM p
+      UNION ALL SELECT user_id, 'purchase', purchase FROM p
+      UNION ALL SELECT user_id, 'view', view FROM p)
+    WHERE n > 0
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (``df.unpivot``, the inverse of pivot): the pivoted
+    per-user counts fold back into (user, kind, n) rows. Unpivot is an
+    Expand node — row multiplication inside the stage, no shuffle beyond
+    the pivot's own."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "purchase", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=kinds)
+    )
+    return wide.unpivot(
+        ids=["user_id"], values=kinds, variableColumnName="kind", valueColumnName="n"
+    ).where(F.col("n") > 0)
+
+
+@register(
     "q_pivot",
     oracle="""
     SELECT

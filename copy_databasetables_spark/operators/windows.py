@@ -245,6 +245,46 @@ def q_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_distinct_count",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS n_types,
+           COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_so_far
+    FROM events
+    """,
+)
+def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a window — Spark does not support it
+    natively, so the engine composes it: whole-partition distinct count
+    is max(dense_rank ordered by the value); the *running* distinct
+    count is a cumulative sum of first-occurrence flags (lag-based).
+    Both are single-shuffle window plans; DuckDB's native form is the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    by_type = Window.partitionBy("user_id").orderBy(F.col("event_type").asc())
+    whole = Window.partitionBy("user_id")
+    by_time = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    cum = by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first_seen = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("dr", F.dense_rank().over(by_type))
+        .withColumn("n_types", F.max("dr").over(whole))
+        .withColumn(
+            "is_first",
+            (F.row_number().over(first_seen) == 1).cast("long"),
+        )
+        .withColumn("n_types_so_far", F.sum("is_first").over(cum))
+        .select("event_id", "user_id", "n_types", "n_types_so_far")
+    )
+
+
+@register(
     "q_win_first_last",
     oracle="""
     SELECT DISTINCT user_id,
