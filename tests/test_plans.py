@@ -140,3 +140,47 @@ def test_scalar_subquery_decorrelates_to_join(spark):
     p = plan(all_queries()["q_subquery_scalar"](spark, SF_SMOKE))
     assert "Join" in p  # rewritten into join form
     assert "CartesianProduct" not in p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALE.md's skew answer, proven: a join where one key holds 90% of
+    the rows gets its hot partition split by AQE (SortMergeJoin(skew=true)
+    over a 'coalesced and skewed' shuffle read). Thresholds are lowered
+    to make local data register as skewed; forceOptimizeSkewedJoin lets
+    the rule fire even though the downstream agg would prefer the join's
+    partitioning."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        left = spark.range(0, 1_000_000).select(
+            F.when(F.col("id") < 900_000, 0)
+            .otherwise((F.col("id") % 1000) + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        agg = left.join(right, "k").groupBy().count()
+        assert agg.collect()[0]["count"] == 1_000_000
+        p = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p
+        assert "skewed" in p  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
