@@ -151,6 +151,81 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH canonical AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    kept AS (
+      SELECT d.* FROM documents d JOIN canonical c USING (doc_id)),
+    scored AS (
+      SELECT *, len(string_split(text, ' ')) AS n_tokens
+      FROM kept
+      WHERE len(string_split(text, ' ')) >= 10
+        AND CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              / n_chars < 0.3),
+    split AS (
+      SELECT *, CASE WHEN {_D_PCT.format(x="CAST(doc_id AS VARCHAR)")} < 80 THEN 'train'
+                     WHEN {_D_PCT.format(x="CAST(doc_id AS VARCHAR)")} < 90 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM scored),
+    packed AS (
+      SELECT *, CAST(FLOOR((SUM(n_tokens) OVER (
+                  PARTITION BY split, source ORDER BY doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) - n_tokens) / {_PACK_BUDGET})
+                AS BIGINT) AS bin
+      FROM split)
+    SELECT split, source, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY split, source, bin
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: a complete corpus-prep pipeline — exact dedup (keep
+    canonical doc per content hash) → quality gate (length + punctuation
+    density) → deterministic train/val/test split → per-(split, source)
+    sequence packing — composed as ONE declarative DataFrame plan, so
+    Catalyst optimizes across stage boundaries (the dedup semi join, the
+    filters, and the split expression all collapse into the scan side of
+    a single pipeline; only the window and the final aggregate shuffle).
+    This is the shape a 100 TB run ships as one job."""
+    d = load_table(spark, sf_dir, "documents")
+    canonical = d.groupBy(F.sha2(F.col("text"), 256)).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = d.join(canonical.select("doc_id"), "doc_id", "left_semi")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    scored = kept.withColumn("n_tokens", n_tokens).where(
+        (F.col("n_tokens") >= 10) & (punct_ratio < 0.3)
+    )
+    pct = F.expr(_PCT.format(x="cast(doc_id as string)"))
+    split = F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("split", split)
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+            ).cast("bigint"),
+        )
+        .groupBy("split", "source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
 @register("q_agg_percentile_approx")
 def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) — THE percentile
