@@ -40,6 +40,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_sim_topk",
     "q_text_tfidf",
+    "q_pipeline_e2e",
     "copy_table_partitioned",
 ]
 
