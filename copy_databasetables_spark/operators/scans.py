@@ -104,10 +104,26 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV; line-delimited JSON)."""
     c = load_table(spark, sf_dir, "customer")
     csv_path, json_path = _out("roundtrip_csv", sf_dir), _out("roundtrip_json", sf_dir)
-    c.write.mode("overwrite").option("header", "true").csv(csv_path)
+    (
+        c.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(csv_path)
+    )
     c.write.mode("overwrite").json(json_path)
+    # Lossless CSV needs non-default options (pinned by tests/test_io.py):
+    # without multiLine the reader silently TRUNCATES values at embedded
+    # newlines, and both writer and reader TRIM whitespace padding by
+    # default. multiLine costs splittability (one read task per file), so
+    # at scale prefer many moderate files over few huge ones.
     csv_back = (
-        spark.read.schema(SCHEMAS["customer"]).option("header", "true").csv(csv_path)
+        spark.read.schema(SCHEMAS["customer"])
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(csv_path)
     )
     json_back = spark.read.schema(SCHEMAS["customer"]).json(json_path)
     return csv_back.withColumn("fmt", F.lit("csv")).unionByName(
