@@ -71,6 +71,28 @@ def schema_to_ddl(schema: T.StructType, table_name: str) -> str:
     return f"CREATE TABLE {table_name} (\n{body}\n)"
 
 
+def content_checksum(df: DataFrame) -> tuple:
+    """Order-insensitive content checksum over all columns.
+
+    Combines three independent order-insensitive aggregates of the
+    per-row xxhash64 — COUNT, SUM, and BIT_XOR — so a pair of
+    compensating row corruptions (which an additive sum alone admits:
+    +d on one row, -d on another) cannot collide: the xor of two
+    changed hashes matching AND their sum matching simultaneously is
+    implausible. One pass over the data, all JVM-side."""
+    cols = [F.col(c) for c in df.columns]
+    row = (
+        df.select(F.xxhash64(*cols).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(h)").alias("x"),
+        )
+        .collect()[0]
+    )
+    return (row["n"], row["s"], row["x"])
+
+
 @dataclass
 class CopyResult:
     table: str
@@ -110,13 +132,8 @@ def copy_table(
             f"{table}: source has {n_src} rows but target has {n_dst}"
         )
     if verify_checksum:
-        # Order-insensitive content check: sum of per-row hashes over all
-        # columns. Catches value corruption that a bare count cannot.
         cols = [c for c in src.columns]
-        chk = lambda df: df.select(  # noqa: E731
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("c")
-        ).collect()[0]["c"]
-        if chk(src) != chk(copied.select(*cols)):
+        if content_checksum(src) != content_checksum(copied.select(*cols)):
             raise CopyVerificationError(f"{table}: content checksum mismatch")
     return CopyResult(table, target_path, n_dst, True)
 

@@ -6,7 +6,8 @@ expressions (no UDFs):
 - exact        — content-hash groupBy (``sha2``)
 - near (token) — blocked self-join + exact token-set Jaccard
 - near (ngram) — same, over bigram shingles (catches local reordering)
-- SimHash      — 16-bit portable fingerprint + Hamming-distance pairs
+- SimHash      — 16-bit portable fingerprint + pigeonhole-blocked
+                 Hamming-distance pairs (equi join on 4-bit blocks)
 - MinHash-LSH  — 16 hashes, 4 bands × 4 rows, banded candidate join +
                  exact-Jaccard verification (the 100 TB scale path)
 - embedding    — cosine near-dup pairs over the vector column
@@ -173,11 +174,14 @@ _D_BIGRAMS = (
     WITH t AS (SELECT doc_id, lang,
                       list_distinct(list_transform({_D_BIGRAMS},
                         g -> {_D_H.format(x='g')})) AS grams
-               FROM documents)
+               FROM documents),
+    s AS (SELECT doc_id, lang, grams, len(grams) AS gsz FROM t)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            len(list_intersect(a.grams, b.grams))::DOUBLE
              / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND a.gsz * 100 >= b.gsz * 60 AND b.gsz * 100 >= a.gsz * 60
     WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
             / len(list_distinct(list_concat(a.grams, b.grams))) >= {_NGRAM_TAU}
     """,
@@ -186,7 +190,14 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (bigram-shingle) Jaccard near-dup pairs: stricter than
     token-set Jaccard because shingles encode local word order. Shingles
     are hashed to 60-bit ints (portable md5, once per shingle) so the
-    O(n²·|grams|) intersection work compares ints, not strings."""
+    pair-intersection work compares ints, not strings.
+
+    Blocking mirrors q_dedup_near: lang equality + the size-ratio band
+    sound for τ=0.60 (J(A,B) ≥ 0.6 ⇒ 0.6 ≤ |A|/|B| ≤ 1/0.6, integer
+    form 100·|A| ≥ 60·|B| ∧ 100·|B| ≥ 60·|A|) — the band prunes the
+    per-language O(n²) without changing the result set (the oracle
+    carries the same band, and its output is provably identical to the
+    unbanded query)."""
     grams_hashed = (
         f"array_distinct(transform({_BIGRAMS}, g -> {_H.format(x='g')}))"
     )
@@ -194,20 +205,31 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
         .select("doc_id", "lang", F.expr(grams_hashed).alias("grams"))
+        .withColumn("gsz", F.size("grams"))
     )
     a = d.select(
-        F.col("doc_id").alias("doc_id_a"), "lang", F.col("grams").alias("grams_a")
+        F.col("doc_id").alias("doc_id_a"),
+        "lang",
+        F.col("grams").alias("grams_a"),
+        F.col("gsz").alias("gsz_a"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
         F.col("grams").alias("grams_b"),
+        F.col("gsz").alias("gsz_b"),
     )
     jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
         F.array_union("grams_a", "grams_b")
     )
     return (
-        a.join(b, (a.lang == b.lang_b) & (a.doc_id_a < b.doc_id_b))
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.doc_id_a < b.doc_id_b)
+            & (a.gsz_a * 100 >= b.gsz_b * 60)
+            & (b.gsz_b * 100 >= a.gsz_a * 60),
+        )
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= _NGRAM_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")
@@ -239,35 +261,82 @@ _SIMHASH = (
                         'sum') > 0
                       THEN CAST(2 ** (15 - b) AS BIGINT) ELSE 0 END),
                'sum') AS simhash
-      FROM th)
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      FROM th),
+    blocks AS (
+      SELECT doc_id, lang, simhash, r.blk,
+             (simhash >> (CAST(r.blk AS BIGINT) * 4)) & 15 AS bval
+      FROM fp, range(0, 4) r(blk)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM blocks a JOIN blocks b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.bval = b.bval
+       AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b,
+           bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = cand.doc_id_a
+    JOIN fp fb ON fb.doc_id = cand.doc_id_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit sign-aggregate fingerprint per doc
     (portable md5-derived token hashes), then Hamming distance ≤ 3 within
-    language. At 100 TB the pair join is replaced by grouping on the
-    fingerprint's bit-masked prefixes (pigeonhole blocks); here the
-    lang-blocked join keeps the oracle exactly mirrorable."""
-    t = (
+    language.
+
+    The pair join is *pigeonhole-blocked*, not all-pairs: split the 16
+    bits into 4 blocks of 4; Hamming ≤ 3 means at most 3 bits differ, so
+    at least one block is bit-identical. Exploding each doc into its 4
+    (block, value) keys turns candidate generation into an equi join on
+    (lang, block, value) — O(n·4) rows shuffled on a fine-grained key
+    instead of O(n²) per language — and the Hamming verify runs only on
+    bucket-mates. The recall of the blocked query is exactly 100% (a
+    sound cover, not an approximation), so the oracle — blocked the same
+    way — proves blocked ≡ all-pairs output."""
+    fp = (
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", F.expr(_SIMHASH).alias("simhash"))
     )
-    a = t.select(
-        F.col("doc_id").alias("doc_id_a"), "lang", F.col("simhash").alias("sh_a")
+    blocks = fp.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+        F.col("simhash"),
+    ).select(
+        "doc_id",
+        "lang",
+        "blk",
+        F.expr("shiftright(simhash, blk * 4) & 15").alias("bval"),
     )
-    b = t.select(
+    a = blocks.select(F.col("doc_id").alias("doc_id_a"), "lang", "blk", "bval")
+    b = blocks.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
-        F.col("simhash").alias("sh_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("bval").alias("bval_b"),
     )
+    cand = (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.blk == b.blk_b)
+            & (a.bval == b.bval_b)
+            & (a.doc_id_a < b.doc_id_b),
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+        # candidate ids are few bytes → AQE coalesces the DISTINCT to ~1
+        # partition, but each row owes a fingerprint join + bit_count —
+        # rebalance so verification keeps full parallelism (see minhash).
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.expr("sh_a ^ sh_b"))
     return (
-        a.join(b, (a.lang == b.lang_b) & (a.doc_id_a < b.doc_id_b))
+        cand.join(fa, "doc_id_a")
+        .join(fb, "doc_id_b")
         .withColumn("hamming", ham)
         .where(F.col("hamming") <= 3)
         .select("doc_id_a", "doc_id_b", "hamming")
@@ -384,16 +453,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verification: Jaccard over the int hash arrays (distinct tokens ↔
     # distinct hashes), not the string arrays — int equality beats string
-    # equality across millions of candidate pairs, and the doc side is
-    # broadcast so candidates never shuffle for the join.
+    # equality across millions of candidate pairs. NO broadcast hint on
+    # either side: the token table IS the corpus (O(100 TB) — it can
+    # never be broadcast), so both verify joins shuffle on doc_id and AQE
+    # picks the strategy from actual sizes (locally it may still choose
+    # broadcast because the doc side is tiny; at scale it cannot).
     ta = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("tokh").alias("tokh_a"))
     tb = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("tokh").alias("tokh_b"))
     jac = F.size(F.array_intersect("tokh_a", "tokh_b")) / F.size(
         F.array_union("tokh_a", "tokh_b")
     )
     return (
-        cand.join(F.broadcast(ta), "doc_id_a")
-        .join(F.broadcast(tb), "doc_id_b")
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")

@@ -233,8 +233,11 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way star join (TPC-H Q5 shape). lineitem⋈orders is the only
-    shuffle join; customer/nation/region collapse into broadcasts, so the
-    fact table is shuffled exactly once on l_orderkey."""
+    guaranteed shuffle join. nation/region carry explicit broadcast
+    hints (fixed 25/5 rows at EVERY scale factor). customer does NOT:
+    it grows linearly with SF, so a hardcoded hint would force an
+    executor-OOM build side at 100×; size-based selection (AQE) picks
+    broadcast while it fits and demotes to sort-merge when it doesn't."""
     l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
@@ -245,7 +248,7 @@ def q_join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name", "r_name")

@@ -39,6 +39,11 @@ _SIM_TAU = 0.45
 
 #: probe set: every 50th vector (10 probes at sf0.01, 40 at sf0.1).
 _PROBE_FILTER = "vec_id % 50 = 0"
+#: hard cap on the probe set the BLAS path collects to the driver: the
+#: collected matrix is O(cap·dim) bytes REGARDLESS of corpus size (the
+#: bare probe filter selects 2% of the corpus, which would grow without
+#: bound). Deterministic: smallest vec_ids win.
+_BLAS_MAX_PROBES = 32
 #: coarse centroids for IVF: a disjoint deterministic sample.
 _CENTROID_FILTER = "vec_id % 50 = 7"
 
@@ -55,6 +60,18 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
         )
+    )
+
+
+def _bounded_probes(v: DataFrame) -> DataFrame:
+    """The BLAS path's driver-collected probe set: filter → deterministic
+    order → hard LIMIT. Compiles to TakeOrdered, so only cap rows ever
+    reach the driver (unit-tested in tests/test_operators.py)."""
+    return (
+        v.where(_PROBE_FILTER)
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .limit(_BLAS_MAX_PROBES)
     )
 
 
@@ -190,7 +207,8 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_topk_blas",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
+    p AS (SELECT * FROM v WHERE {_PROBE_FILTER}
+          ORDER BY vec_id LIMIT {_BLAS_MAX_PROBES}),
     scored AS (
       SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
              list_cosine_similarity(p.e, v.e) AS cos_raw,
@@ -210,12 +228,18 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     element higher-order lambdas can't touch a dgemm on wide batches, and
     Arrow moves vectors columnar. NumPy's float64 matmul agrees with the
     sequential oracle to ~1e-15 — far below both the 4dp rounding and the
-    ~1e-3 cosine gaps that decide ranks."""
+    ~1e-3 cosine gaps that decide ranks.
+
+    Driver-memory bound: the probe pull is capped at ``_BLAS_MAX_PROBES``
+    rows (deterministic smallest-vec_id order), so the collected matrix
+    is O(cap·dim) independent of corpus size — without the cap the
+    probe filter alone selects 2% of the corpus and the driver pull
+    would grow linearly with the data."""
     import numpy as np
     import pandas as pd
 
     v = _vecs(spark, sf_dir)
-    probes = v.where(_PROBE_FILTER).select("vec_id", "e").toPandas()
+    probes = _bounded_probes(v).toPandas()
     probe_ids = probes["vec_id"].to_numpy()
     pm = np.stack(probes["e"].to_numpy())  # (P, 64)
     pm_unit = pm / np.linalg.norm(pm, axis=1, keepdims=True)

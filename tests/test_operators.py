@@ -193,3 +193,41 @@ def test_hash_split_is_stable_and_partitions(spark):
     b = {(r["split"], r["lang"]): r["n_docs"] for r in q(spark, sf).collect()}
     assert a == b
     assert sum(a.values()) == 500
+
+
+def test_blas_probe_pull_is_bounded(spark):
+    """q_sim_topk_blas collects its probe set to the driver; that pull
+    must be capped at _BLAS_MAX_PROBES rows (deterministic smallest
+    vec_ids) so driver memory is O(cap·dim) regardless of corpus size."""
+    from copy_databasetables_spark.operators.similarity import (
+        _BLAS_MAX_PROBES,
+        _bounded_probes,
+        _vecs,
+    )
+
+    v = _vecs(spark, "/root/testdata/sf0.01")
+    probes = _bounded_probes(v).collect()
+    assert 0 < len(probes) <= _BLAS_MAX_PROBES
+    # deterministic: the smallest qualifying vec_ids, in order
+    ids = [r["vec_id"] for r in probes]
+    assert ids == sorted(ids)
+
+
+def test_content_checksum_catches_compensating_corruption(spark):
+    """The copy-verification checksum must not be fooled by two row
+    edits whose hash deltas cancel additively: count+sum+bit_xor of the
+    row hashes together make that implausible (bit_xor changes when any
+    even-sum pair of hashes flips)."""
+    from copy_databasetables_spark.copy.engine import content_checksum
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    )
+    same = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "id long, s string"
+    )
+    corrupt = spark.createDataFrame(
+        [(1, "a"), (2, "c"), (3, "b")], "id long, s string"  # swapped payloads
+    )
+    assert content_checksum(base) == content_checksum(same)  # order-insensitive
+    assert content_checksum(base) != content_checksum(corrupt)

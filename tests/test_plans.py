@@ -124,6 +124,54 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_minhash_verify_join_strategy_is_size_driven(spark):
+    """The LSH verify join must NOT be hint-forced to broadcast: the
+    token table IS the corpus at 100 TB, so the only acceptable plan is
+    one where the strategy follows size/config. With broadcast disabled
+    the whole pipeline must compile to shuffle joins — a lingering
+    F.broadcast hint would override the conf and fail this test."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(all_queries()["q_dedup_minhash"](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_multi_star_customer_join_is_size_driven(spark):
+    """customer grows with SF so it must not carry a broadcast hint;
+    nation/region (fixed 25/5 rows) keep theirs. With broadcast disabled
+    exactly the two hinted dimensions still broadcast and the customer
+    join demotes to a shuffle join."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(all_queries()["q_join_multi_star"](spark, SF_SMOKE))
+        final = p.split("== Initial Plan ==")[0]  # AQE prints both plans
+        assert final.count("BroadcastHashJoin") == 2  # nation + region only
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_simhash_candidates_use_bucket_equi_join(spark):
+    """SimHash candidate generation must be the pigeonhole bucket join
+    (equi keys include the 4-bit block value), never a per-language
+    all-pairs theta join."""
+    df = all_queries()["q_dedup_simhash"](spark, SF_SMOKE)
+    p = plan(df)
+    assert "bval" in p  # block value participates in the join keys
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_join_carries_size_band(spark):
+    """The τ=0.60 size-ratio band must appear in the ngram join
+    condition (it prunes the per-language O(n²) soundly)."""
+    df = all_queries()["q_dedup_ngram"](spark, SF_SMOKE)
+    p = full_plan(df)
+    assert "gsz" in p
+
+
 def test_topk_per_group_pushes_window_group_limit(spark):
     """rank-filter pushdown: row_number()<=k compiles to WindowGroupLimit
     (a per-partition top-k heap BELOW the shuffle), so mappers emit at

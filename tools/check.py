@@ -124,9 +124,12 @@ def main() -> int:
             traceback.print_exc(limit=8)
             continue
         if name not in oracles:
-            status = "PASS" if len(sdf) >= 0 else "FAIL"
+            # mirror the driver's rows>0 gate: an oracle-less operator
+            # that regresses to zero rows is a FAIL, not a pass.
+            ok = len(sdf) > 0
+            status = "PASS" if ok else "FAIL"
             print(f"{status}* {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
-            passed.append(name)
+            (passed if ok else failed).append(name)
             continue
         try:
             ddf = con.execute(oracles[name]).df()
