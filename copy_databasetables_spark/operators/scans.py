@@ -275,3 +275,65 @@ def q_snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").cast("string").alias("l_returnflag"),
         us("l_shipdate", "l_shipdate_us"),
     )
+
+
+@register(
+    "schema_introspect_constraints",
+    oracle="""
+    SELECT kind, detail FROM (VALUES
+      ('pk', 'n_nationkey'),
+      ('unique_index', 'ux_nname_c:n_name'),
+      ('index', 'ix_nregion_c:n_regionkey'),
+      ('not_null', 'n_name'),
+      ('not_null', 'n_nationkey')) AS t(kind, detail)
+    UNION ALL
+    SELECT 'row_count', CAST(COUNT(*) AS VARCHAR) FROM nation
+    """,
+)
+def q_schema_introspect_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMO-Scripter constraint parity end-to-end: build a Derby source
+    holding ``nation`` with a PK, a unique index and a secondary index;
+    schema-fidelity-copy it (introspect → script DDL → recreate → load →
+    index); then report what the TARGET catalog actually contains. The
+    hash check proves PK/NOT NULL/index scripting survives the copy —
+    the depth the reference's Scripter emits beyond bare column DDL."""
+    from copy_databasetables_spark.sources.introspect import (
+        copy_table_jdbc_with_schema,
+        drop_table_if_exists,
+        execute_ddl,
+        introspect_jdbc_table,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcWriteSpec
+
+    src_url = _derby_url(sf_dir, "cons_src")
+    dst_url = _derby_url(sf_dir, "cons_dst")
+    drop_table_if_exists(spark, src_url, "nation_c")
+    execute_ddl(spark, src_url, [
+        "CREATE TABLE nation_c ("
+        " n_nationkey INTEGER NOT NULL,"
+        " n_name VARCHAR(64) NOT NULL,"
+        " n_regionkey INTEGER,"
+        " CONSTRAINT pk_nation_c PRIMARY KEY (n_nationkey))",
+        "CREATE UNIQUE INDEX ux_nname ON nation_c (n_name)",
+        "CREATE INDEX ix_nregion ON nation_c (n_regionkey)",
+    ])
+    nation = load_table(spark, sf_dir, "nation")
+    JdbcWriteSpec(url=src_url, table="nation_c", mode="append").save(nation)
+    copy_table_jdbc_with_schema(spark, src_url, dst_url, "nation_c")
+
+    meta = introspect_jdbc_table(spark, dst_url, "nation_c")
+    rows = [("pk", c) for c in meta.pk_columns]
+    rows += [
+        (("unique_index" if ix.unique else "index"),
+         f"{ix.name.lower()}:{','.join(ix.columns)}")
+        for ix in meta.indexes
+    ]
+    rows += [("not_null", c.name) for c in meta.columns if not c.nullable]
+    n = (
+        spark.read.format("jdbc")
+        .options(url=dst_url, dbtable="nation_c")
+        .load()
+        .count()
+    )
+    rows.append(("row_count", str(n)))
+    return spark.createDataFrame(rows, "kind string, detail string")

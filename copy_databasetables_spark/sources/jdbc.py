@@ -54,7 +54,10 @@ MSSQL_TO_SPARK = {
     "datetime": "timestamp_ntz",
     "datetime2": "timestamp_ntz",
     "smalldatetime": "timestamp_ntz",
-    "datetimeoffset": "string",
+    # Spark 4's MsSqlServerDialect reads DATETIMEOFFSET as TIMESTAMP
+    # (UTC-normalized); the pre-4.0 legacy behavior was string
+    # (spark.sql.legacy.mssqlserver.datetimeoffsetMapping.enabled).
+    "datetimeoffset": "timestamp",
     "binary": "binary",
     "varbinary": "binary",
     "image": "binary",

@@ -151,3 +151,162 @@ def test_copy_table_jdbc_end_to_end(spark):
     )
     back = JdbcReadSpec(url=dst_url, table="nation_copy").load(spark)
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Constraint/index introspection + DDL scripting (the SMO-Scripter analog):
+# PK, unique and secondary indexes must survive a schema-fidelity copy.
+# ---------------------------------------------------------------------------
+
+
+def _exec(spark, url, statements):
+    from copy_databasetables_spark.sources.introspect import execute_ddl
+
+    execute_ddl(spark, url, statements)
+
+
+def test_introspect_scripts_pk_and_indexes(spark):
+    from copy_databasetables_spark.sources.introspect import (
+        introspect_jdbc_table,
+        script_create_table,
+        script_indexes,
+    )
+
+    url = DERBY.format(n="meta_src")
+    _exec(spark, url, [
+        "CREATE TABLE widgets ("
+        " w_id BIGINT NOT NULL,"
+        " w_name VARCHAR(40) NOT NULL,"
+        " w_price DECIMAL(12,2),"
+        " w_owner INTEGER,"
+        " CONSTRAINT pk_widgets PRIMARY KEY (w_id))",
+        "CREATE INDEX ix_owner ON widgets (w_owner)",
+        "CREATE UNIQUE INDEX ux_name ON widgets (w_name)",
+    ])
+    meta = introspect_jdbc_table(spark, url, "widgets")
+    assert [c.name for c in meta.columns] == ["w_id", "w_name", "w_price", "w_owner"]
+    assert meta.pk_columns == ["w_id"]
+    by_name = {ix.name.lower(): ix for ix in meta.indexes}
+    assert by_name["ix_owner"].columns == ["w_owner"] and not by_name["ix_owner"].unique
+    assert by_name["ux_name"].columns == ["w_name"] and by_name["ux_name"].unique
+
+    ddl = script_create_table(meta, "widgets2")
+    assert "w_id BIGINT NOT NULL" in ddl
+    assert "w_price DECIMAL(12,2)" in ddl
+    assert "PRIMARY KEY (w_id)" in ddl
+    idx = "\n".join(script_indexes(meta, "widgets2"))
+    assert "CREATE INDEX ix_owner" in idx and "CREATE UNIQUE INDEX ux_name" in idx
+
+
+def test_copy_with_schema_round_trips_constraints(spark):
+    """Full schema-fidelity copy: the target database ends up with the
+    source's PK, unique index, secondary index, NOT NULL columns AND all
+    rows — then the copied constraints actually enforce (duplicate PK
+    insert must fail)."""
+    import pytest as _pytest
+
+    from copy_databasetables_spark.sources.introspect import (
+        copy_table_jdbc_with_schema,
+        introspect_jdbc_table,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec
+
+    src_url, dst_url = DERBY.format(n="schm_src"), DERBY.format(n="schm_dst")
+    _exec(spark, src_url, [
+        "CREATE TABLE parts ("
+        " p_id BIGINT NOT NULL,"
+        " p_sku VARCHAR(20) NOT NULL,"
+        " p_qty INTEGER,"
+        " CONSTRAINT pk_parts PRIMARY KEY (p_id))",
+        "CREATE UNIQUE INDEX ux_sku ON parts (p_sku)",
+        "CREATE INDEX ix_qty ON parts (p_qty)",
+        "INSERT INTO parts VALUES (1, 'A-1', 10), (2, 'B-2', 20), (3, 'C-3', NULL)",
+    ])
+    copy_table_jdbc_with_schema(spark, src_url, dst_url, "parts")
+
+    back = JdbcReadSpec(url=dst_url, table="parts").load(spark)
+    assert back.count() == 3
+    tmeta = introspect_jdbc_table(spark, dst_url, "parts")
+    assert tmeta.pk_columns == ["p_id"]
+    assert {c.name for c in tmeta.columns if not c.nullable} == {"p_id", "p_sku"}
+    tix = {(ix.unique, tuple(ix.columns)) for ix in tmeta.indexes}
+    assert (True, ("p_sku",)) in tix and (False, ("p_qty",)) in tix
+    # the copied PK must enforce, not just exist
+    with _pytest.raises(Exception, match="(?i)duplicate|unique|constraint"):
+        _exec(spark, dst_url, ["INSERT INTO parts VALUES (1, 'DUP', 0)"])
+
+
+def test_copy_with_schema_is_rerunnable(spark):
+    """Drop-and-recreate semantics (the reference's drop-existing mode):
+    a second run against the same target succeeds and does not duplicate
+    rows or indexes."""
+    from copy_databasetables_spark.sources.introspect import (
+        copy_table_jdbc_with_schema,
+        introspect_jdbc_table,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec
+
+    src_url, dst_url = DERBY.format(n="rerun_src"), DERBY.format(n="rerun_dst")
+    _exec(spark, src_url, [
+        "CREATE TABLE evs (e_id INTEGER NOT NULL, e_v VARCHAR(5),"
+        " CONSTRAINT pk_evs PRIMARY KEY (e_id))",
+        "INSERT INTO evs VALUES (1, 'x'), (2, 'y')",
+    ])
+    copy_table_jdbc_with_schema(spark, src_url, dst_url, "evs")
+    copy_table_jdbc_with_schema(spark, src_url, dst_url, "evs")
+    assert JdbcReadSpec(url=dst_url, table="evs").load(spark).count() == 2
+    assert introspect_jdbc_table(spark, dst_url, "evs").pk_columns == ["e_id"]
+
+
+# ---------------------------------------------------------------------------
+# MSSQL dialect mapping at the Spark JdbcDialects level (SURVEY.md §1.1):
+# no SQL Server is reachable offline, but the dialect object that would
+# govern a real connection is on the classpath — assert the survey's
+# type-mapping table rows against it directly.
+# ---------------------------------------------------------------------------
+
+
+def _mssql_dialect(spark):
+    return spark._sc._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+        "jdbc:sqlserver://host;databaseName=db"
+    )
+
+
+def _catalyst_type(spark, dialect, sql_type, type_name, size=0, scale=0):
+    jvm = spark._sc._jvm
+    md = jvm.org.apache.spark.sql.types.MetadataBuilder()
+    opt = dialect.getCatalystType(sql_type, type_name, size, md)
+    return opt.get().simpleString() if not opt.isEmpty() else None
+
+
+def test_mssql_dialect_resolves_for_sqlserver_urls(spark):
+    d = _mssql_dialect(spark)
+    assert "MsSqlServer" in d.getClass().getName()
+    assert d.canHandle("jdbc:sqlserver://x")
+
+
+def test_mssql_dialect_maps_survey_types(spark):
+    """The §1.1 mapping rows the engine owns on a real MSSQL connection.
+    java.sql.Types constants: OTHER=1111 (datetimeoffset ships as the
+    vendor's microsoft.sql.DateTimeOffset), REAL=7, TINYINT=-6."""
+    d = _mssql_dialect(spark)
+    # datetimeoffset (vendor type, JDBC OTHER=1111 or ms -155): Spark 4
+    # normalizes it to TIMESTAMP (legacy pre-4.0 mapping was string)
+    assert _catalyst_type(spark, d, 1111, "datetimeoffset") == "timestamp"
+    assert _catalyst_type(spark, d, -155, "datetimeoffset") == "timestamp"
+    # REAL → float (Spark's MsSqlServerDialect overrides the default double)
+    assert _catalyst_type(spark, d, 7, "real") == "float"
+    # TINYINT is unsigned 0-255 on SQL Server; dialect widens to smallint
+    assert _catalyst_type(spark, d, -6, "tinyint") == "smallint"
+    # types with no dialect override fall back to Spark's JDBC defaults —
+    # pin the engine's own documented mapping for those
+    from copy_databasetables_spark.sources.jdbc import MSSQL_TO_SPARK
+
+    assert MSSQL_TO_SPARK["money"] == "decimal(19,4)"
+    assert MSSQL_TO_SPARK["uniqueidentifier"] == "string"
+    assert MSSQL_TO_SPARK["varbinary"] == "binary"
+    assert MSSQL_TO_SPARK["datetime2"] == "timestamp_ntz"
+
+
+def test_mssql_dialect_quotes_identifiers(spark):
+    assert _mssql_dialect(spark).quoteIdentifier("my table") == '"my table"'
