@@ -44,12 +44,64 @@ HEADLINE = [
     "copy_table_partitioned",
 ]
 
-_RUNS = 2  # best-of
+_RUNS = 3  # best-of; 2 under-warms the JIT on sub-second queries
 
 
 def execute(df) -> None:
     """Run the full plan without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
+    """Protocol-matched flagship measurements against BASELINE.md's
+    PySpark row (0.14 s, warm ``collect()``, plain-double aggregates).
+
+    The headline ``q_agg_group`` number is NOT directly comparable to
+    that row: it pays (a) the noop-sink job instead of a bare collect
+    and (b) the scaled-int64 exactness tax that makes the sums
+    hash-stable cross-engine. This probe removes both mismatches — same
+    collect sink, and a plain-double variant with the baseline's exact
+    aggregate semantics — so the 2× budget can be judged
+    apples-to-apples. Both numbers land in the bench JSON."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.io import load_table
+
+    def best(fn, runs=_RUNS):
+        b = float("inf")
+        for _ in range(runs):
+            t0 = _t.perf_counter()
+            fn()
+            b = min(b, _t.perf_counter() - t0)
+        return round(b, 4)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    plain = (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    plain.collect()  # warm
+    exact = queries["q_agg_group"](spark, sf_dir)
+    exact.collect()  # warm
+    return {
+        "flagship_collect_exact_sec": best(lambda: exact.collect()),
+        "flagship_collect_plain_double_sec": best(lambda: plain.collect()),
+        "baseline_row_sec": 0.14,  # BASELINE.md: warm collect, local[4]
+    }
 
 
 def main() -> None:
@@ -95,6 +147,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "protocol": _flagship_protocol(spark, queries, sf_dir),
             }
         )
     )

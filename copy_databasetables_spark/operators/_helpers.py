@@ -33,6 +33,24 @@ def _col(c: Column | str) -> Column:
 _SCALE = 1_000_000
 
 
+def _scaled(col: Column) -> Column:
+    """round(x·10⁶) as FLOOR(x·10⁶ + 0.5) — numerically identical here,
+    ~2× faster end-to-end on the flagship.
+
+    Why not ``F.round``: Spark's ROUND on a double routes every row
+    through BigDecimal (measured +0.2 s on the sf0.1 flagship — the bulk
+    of the "exactness tax" in BASELINE.md). FLOOR is a single
+    ``Math.floor`` in codegen. Equivalence: for ≤6-true-decimal data,
+    x·10⁶ lands within ~1e-6 of an integer k, so k ± 1e-6 + 0.5 can
+    never straddle the next integer and FLOOR(x·10⁶+0.5) = k =
+    HALF_UP-round for positive AND negative values (acctbal can be
+    negative — a plain BIGINT cast would truncate toward zero and break
+    there). The 0.5-boundary case where FLOOR and HALF_UP could diverge
+    requires a true 7th decimal of exactly 5, which ≤6-decimal data
+    cannot produce."""
+    return F.floor(col * _SCALE + F.lit(0.5)).cast("bigint")
+
+
 def dsum(c: Column | str, alias: str) -> Column:
     """Partition-order-independent sum of a fixed-decimal double column.
 
@@ -43,15 +61,13 @@ def dsum(c: Column | str, alias: str) -> Column:
     the scaled sum stays below 2⁵³ (true for every checked scale factor;
     beyond that, fall back to DECIMAL — SURVEY.md §7.3#1). The DuckDB
     oracle keeps the decimal form: identical values, different engine."""
-    scaled = F.round(_col(c) * _SCALE).cast("bigint")
-    return (F.sum(scaled).cast("double") / _SCALE).alias(alias)
+    return (F.sum(_scaled(_col(c))).cast("double") / _SCALE).alias(alias)
 
 
 def davg(c: Column | str, alias: str) -> Column:
     """avg(x) with an exact numerator: identical on both sides."""
     col = _col(c)
-    scaled = F.round(col * _SCALE).cast("bigint")
-    return ((F.sum(scaled).cast("double") / _SCALE) / F.count(col)).alias(alias)
+    return ((F.sum(_scaled(col)).cast("double") / _SCALE) / F.count(col)).alias(alias)
 
 
 def us(c: Column | str, alias: str | None = None) -> Column:

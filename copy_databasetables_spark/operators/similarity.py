@@ -3,7 +3,8 @@
 Four operators on ``embeddings`` (``array<float>``, dim 64):
 
 - ``q_sim_topk``      — brute-force cosine top-k (the exactness baseline)
-- ``q_sim_threshold`` — all pairs above a cosine threshold
+- ``q_sim_threshold`` — all pairs above a cosine threshold (exact baseline)
+- ``q_sim_threshold_blocked`` — the same, IVF-cell-blocked (the scale shape)
 - ``q_knn_label``     — k-NN majority-label classification
 - ``q_sim_ivf``       — IVF-style bucketed ANN (the 100 TB scale path)
 
@@ -146,6 +147,69 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"))
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cos_raw", _cosine("ea", "eb"))
+        .where(F.col("cos_raw") >= _SIM_TAU)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "q_sim_threshold_blocked",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE {_CENTROID_FILTER}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                           c.cid ASC) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_cosine_similarity(av.e, bv.e), 4) AS cosine
+    FROM assign a
+    JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN v av ON av.vec_id = a.vec_id
+    JOIN v bv ON bv.vec_id = b.vec_id
+    WHERE list_cosine_similarity(av.e, bv.e) >= {_SIM_TAU}
+    """,
+)
+def q_sim_threshold_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold similarity, IVF-cell-blocked — the 100 TB shape for
+    ``q_sim_threshold``: candidate pairs are generated only WITHIN a
+    vector's coarse-quantization cell (same deterministic centroids as
+    q_sim_ivf), so total pair work drops from O(n²) to ~O(n²/K) and the
+    join shuffles on the cell id instead of materializing the cross
+    product. This is the standard ANN-candidate near-dup pipeline
+    (cell-blocking trades cross-cell recall for tractable cost — the
+    production choice at corpus scale); the oracle replicates the exact
+    same deterministic pipeline, so the result is hash-checked, and
+    q_sim_threshold remains the exact all-pairs reference."""
+    v = _vecs(spark, sf_dir)
+    c = v.where(_CENTROID_FILTER).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    assign = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("cos_c", _cosine("e", "ce"))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(v, "vec_id")
+        .select("vec_id", "cid", "e")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_id_a"), "cid", F.col("e").alias("ea")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, (a.cid == b.cid_b) & (F.col("vec_id_a") < F.col("vec_id_b")))
         .withColumn("cos_raw", _cosine("ea", "eb"))
         .where(F.col("cos_raw") >= _SIM_TAU)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
