@@ -55,11 +55,20 @@ class IndexMeta:
 
 
 @dataclass
+class ForeignKeyMeta:
+    name: str
+    columns: list[str] = field(default_factory=list)
+    ref_table: str = ""
+    ref_columns: list[str] = field(default_factory=list)
+
+
+@dataclass
 class TableMeta:
     table: str
     columns: list[ColumnMeta] = field(default_factory=list)
     pk_columns: list[str] = field(default_factory=list)
     indexes: list[IndexMeta] = field(default_factory=list)  # non-PK only
+    foreign_keys: list[ForeignKeyMeta] = field(default_factory=list)
 
 
 def _connect(spark: SparkSession, url: str):
@@ -121,7 +130,28 @@ def introspect_jdbc_table(spark: SparkSession, url: str, table: str) -> TableMet
             if not (ix.unique and ix.columns == pk_columns)
             and not ix.name.upper().startswith("SQL")
         ]
-        return TableMeta(table=table, columns=cols, pk_columns=pk_columns, indexes=indexes)
+
+        fks: dict[str, ForeignKeyMeta] = {}
+        rs = md.getImportedKeys(None, None, t)
+        while rs.next():
+            fname = rs.getString("FK_NAME") or f"fk_{t.lower()}"
+            fk = fks.setdefault(
+                fname,
+                ForeignKeyMeta(
+                    name=fname, ref_table=rs.getString("PKTABLE_NAME").lower()
+                ),
+            )
+            fk.columns.append(rs.getString("FKCOLUMN_NAME").lower())
+            fk.ref_columns.append(rs.getString("PKCOLUMN_NAME").lower())
+        rs.close()
+
+        return TableMeta(
+            table=table,
+            columns=cols,
+            pk_columns=pk_columns,
+            indexes=indexes,
+            foreign_keys=list(fks.values()),
+        )
     finally:
         conn.close()
 
@@ -144,6 +174,21 @@ def script_indexes(meta: TableMeta, target_table: str | None = None) -> list[str
         uniq = "UNIQUE " if ix.unique else ""
         out.append(
             f"CREATE {uniq}INDEX {ix.name.lower()}_c ON {name} ({', '.join(ix.columns)})"
+        )
+    return out
+
+
+def script_foreign_keys(meta: TableMeta, target_table: str | None = None) -> list[str]:
+    """ALTER TABLE ADD CONSTRAINT … FOREIGN KEY statements. Applied
+    LAST, after every referenced table is loaded — the same reason the
+    reference copies tables in FK order."""
+    name = target_table or meta.table
+    out = []
+    for fk in meta.foreign_keys:
+        out.append(
+            f"ALTER TABLE {name} ADD CONSTRAINT {fk.name.lower()}_c "
+            f"FOREIGN KEY ({', '.join(fk.columns)}) "
+            f"REFERENCES {fk.ref_table} ({', '.join(fk.ref_columns)})"
         )
     return out
 
@@ -195,3 +240,30 @@ def copy_table_jdbc_with_schema(
     JdbcWriteSpec(url=dst_url, table=target, mode="append", batchsize=batchsize).save(rows)
     execute_ddl(spark, dst_url, script_indexes(meta, target))
     return meta
+
+
+def copy_tables_jdbc_with_schema(
+    spark: SparkSession,
+    src_url: str,
+    dst_url: str,
+    tables: list[str],
+    batchsize: int = 10_000,
+) -> list[TableMeta]:
+    """Multi-table schema-fidelity copy. ``tables`` must be in FK order
+    (parents first) — each table is created and loaded in turn, and
+    FOREIGN KEY constraints are applied only after ALL loads finish, so
+    child loads never race their parents' constraints (the reference's
+    multi-table loop + its FK-ordering requirement, SURVEY.md §3.1).
+
+    Re-runnable: existing targets are dropped children-first (reverse FK
+    order) — a parent cannot be dropped while a child's FK references it.
+    """
+    for t in reversed(tables):
+        drop_table_if_exists(spark, dst_url, t)
+    metas = [
+        copy_table_jdbc_with_schema(spark, src_url, dst_url, t, batchsize=batchsize)
+        for t in tables
+    ]
+    for meta in metas:
+        execute_ddl(spark, dst_url, script_foreign_keys(meta))
+    return metas

@@ -310,3 +310,44 @@ def test_mssql_dialect_maps_survey_types(spark):
 
 def test_mssql_dialect_quotes_identifiers(spark):
     assert _mssql_dialect(spark).quoteIdentifier("my table") == '"my table"'
+
+
+def test_multi_table_copy_scripts_foreign_keys(spark):
+    """Parent/child pair: the schema-fidelity multi-table copy must
+    recreate the FK on the target, apply it only after both loads, and
+    the copied FK must enforce (orphan child insert fails). Re-running
+    the whole copy must also work (children dropped before parents)."""
+    import pytest as _pytest
+
+    from copy_databasetables_spark.sources.introspect import (
+        copy_tables_jdbc_with_schema,
+        introspect_jdbc_table,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec
+
+    src_url, dst_url = DERBY.format(n="fk_src"), DERBY.format(n="fk_dst")
+    _exec(spark, src_url, [
+        "CREATE TABLE dept (d_id INTEGER NOT NULL,"
+        " d_name VARCHAR(20),"
+        " CONSTRAINT pk_dept PRIMARY KEY (d_id))",
+        "CREATE TABLE emp (e_id INTEGER NOT NULL,"
+        " e_dept INTEGER,"
+        " CONSTRAINT pk_emp PRIMARY KEY (e_id),"
+        " CONSTRAINT fk_emp_dept FOREIGN KEY (e_dept) REFERENCES dept (d_id))",
+        "INSERT INTO dept VALUES (1, 'eng'), (2, 'ops')",
+        "INSERT INTO emp VALUES (10, 1), (11, 2), (12, NULL)",
+    ])
+    metas = copy_tables_jdbc_with_schema(spark, src_url, dst_url, ["dept", "emp"])
+    assert [m.table for m in metas] == ["dept", "emp"]
+
+    emp_meta = introspect_jdbc_table(spark, dst_url, "emp")
+    assert len(emp_meta.foreign_keys) == 1
+    fk = emp_meta.foreign_keys[0]
+    assert fk.columns == ["e_dept"] and fk.ref_table == "dept"
+    assert fk.ref_columns == ["d_id"]
+    assert JdbcReadSpec(url=dst_url, table="emp").load(spark).count() == 3
+    with _pytest.raises(Exception, match="(?i)foreign key|constraint"):
+        _exec(spark, dst_url, ["INSERT INTO emp VALUES (13, 99)"])
+    # re-run: drop order must handle the FK dependency
+    copy_tables_jdbc_with_schema(spark, src_url, dst_url, ["dept", "emp"])
+    assert JdbcReadSpec(url=dst_url, table="emp").load(spark).count() == 3
