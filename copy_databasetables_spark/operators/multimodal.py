@@ -174,3 +174,67 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return d.mapInPandas(_extract_features, schema=_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Frame sampling (the video-preprocessing shape).
+# --------------------------------------------------------------------------
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 3  # keep every 3rd frame
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_digest string"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: one INPUT row (payload) explodes to
+    many OUTPUT rows (sampled frames) — the batch shape a real video
+    frame-sampler has (decode → pick every k-th frame → per-frame
+    features). Frames here are fixed-size byte windows; a real decoder
+    only changes how ``frames`` is produced from the payload."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, lens, digs = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + _FRAME_BYTES - 1) // _FRAME_BYTES
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                frame = payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                ids.append(doc_id)
+                idxs.append(i)
+                lens.append(len(frame))
+                digs.append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_digest": digs}
+        )
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text,
+                      CAST(ceil(octet_length(CAST(text AS BLOB)) / {_FRAME_BYTES}.0)
+                           AS INT) AS nf
+               FROM documents),
+    fr AS (SELECT doc_id, text, unnest(range(0, nf)) AS fi FROM t)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(length(substring(text, CAST(fi * {_FRAME_BYTES} + 1 AS INT),
+                                 {_FRAME_BYTES})) AS INT) AS frame_len,
+           md5(substring(text, CAST(fi * {_FRAME_BYTES} + 1 AS INT),
+                         {_FRAME_BYTES})) AS frame_digest
+    FROM fr WHERE fi % {_FRAME_STRIDE} = 0
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: each binary
+    payload is cut into fixed {16}-byte frames, every 3rd frame is kept,
+    and per-frame features (length, digest) come back one row per frame
+    — the explode-shaped ``mapInPandas`` a real frame sampler needs
+    (contrast q_multimodal_binary, which is 1 row in → 1 row out).
+    Payloads are UTF-8 text (all-ASCII testdata, verified), so the
+    oracle recomputes every frame with substring arithmetic; a real
+    video decoder changes only the frame-extraction body."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)

@@ -337,3 +337,36 @@ def q_schema_introspect_constraints(spark: SparkSession, sf_dir: str) -> DataFra
     )
     rows.append(("row_count", str(n)))
     return spark.createDataFrame(rows, "kind string, detail string")
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the other columnar lake format Spark ships a
+    vectorized reader for. orders is written to ORC and read back with
+    the declared schema; the hash against the parquet source proves the
+    format conversion is lossless (types, nulls, timestamps).
+
+    Scale note: ORC splits by stripe like parquet splits by row group,
+    so everything SCALE.md says about maxPartitionBytes applies; keep
+    NTZ timestamps — ORC TIMESTAMP is wall-clock (no zone), matching the
+    engine's uniform NTZ discipline."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _out("roundtrip_orc", sf_dir)
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.schema(SCHEMAS["orders"]).orc(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        us("o_orderdate", "o_orderdate_us"),
+        "o_orderpriority",
+    )
