@@ -351,3 +351,47 @@ def test_multi_table_copy_scripts_foreign_keys(spark):
     # re-run: drop order must handle the FK dependency
     copy_tables_jdbc_with_schema(spark, src_url, dst_url, ["dept", "emp"])
     assert JdbcReadSpec(url=dst_url, table="emp").load(spark).count() == 3
+
+
+def test_copy_with_schema_scripts_defaults_and_identity(spark):
+    """SMO-parity depth: column DEFAULTs and identity columns must
+    survive the copy. Identity is scripted BY DEFAULT (not ALWAYS) so
+    the bulk load can insert the source's values verbatim; after the
+    copy the target must (a) hold identical rows, (b) apply the default
+    on omitted columns, and (c) auto-generate identity values."""
+    from copy_databasetables_spark.sources.introspect import (
+        copy_table_jdbc_with_schema,
+        introspect_jdbc_table,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec
+
+    src_url, dst_url = DERBY.format(n="dflt_src"), DERBY.format(n="dflt_dst")
+    _exec(spark, src_url, [
+        "CREATE TABLE logs ("
+        " l_id BIGINT NOT NULL GENERATED BY DEFAULT AS IDENTITY,"
+        " l_msg VARCHAR(50) NOT NULL,"
+        " l_level VARCHAR(10) DEFAULT 'info',"
+        " CONSTRAINT pk_logs PRIMARY KEY (l_id))",
+        "INSERT INTO logs (l_msg) VALUES ('a'), ('b')",
+        "INSERT INTO logs (l_msg, l_level) VALUES ('c', 'error')",
+    ])
+    meta = introspect_jdbc_table(spark, src_url, "logs")
+    by = {c.name: c for c in meta.columns}
+    assert by["l_id"].identity
+    assert by["l_level"].default is not None and "info" in by["l_level"].default
+
+    copy_table_jdbc_with_schema(spark, src_url, dst_url, "logs")
+    back = JdbcReadSpec(url=dst_url, table="logs").load(spark)
+    assert back.count() == 3
+    # Derby reports unquoted identifiers uppercase over JDBC
+    assert {r["L_LEVEL"] for r in back.collect()} == {"info", "error"}
+    # (b) default applies on the target for omitted columns,
+    # (c) identity generates a fresh key for inserts that omit it
+    # (requires the copy to have reseeded the counter past copied keys)
+    _exec(spark, dst_url, ["INSERT INTO logs (l_msg) VALUES ('d')"])
+    rows = {
+        r["L_MSG"]: (r["L_ID"], r["L_LEVEL"])
+        for r in JdbcReadSpec(url=dst_url, table="logs").load(spark).collect()
+    }
+    assert rows["d"][1] == "info"
+    assert rows["d"][0] is not None and rows["d"][0] not in {rows["a"][0], rows["b"][0], rows["c"][0]}
