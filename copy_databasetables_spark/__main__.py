@@ -6,6 +6,13 @@ copy options), re-expressed over Spark:
         --source /root/testdata/sf0.001 --target /tmp/copy_out \
         --tables region nation customer --partitions 4 --checksum
 
+    # database→database (the reference's native shape): both endpoints
+    # jdbc: URLs — schema-fidelity copy (DDL/PK/indexes/defaults/
+    # identity/FKs scripted and applied, rows bulk-loaded in between)
+    python -m copy_databasetables_spark \
+        --source jdbc:derby:/tmp/src --target "jdbc:derby:/tmp/dst;create=true" \
+        --tables dept emp
+
 Copies run in FK order regardless of the order given, each verified by
 row count (and optionally an order-insensitive content checksum); the
 exit code is non-zero if any copy fails verification.
@@ -51,6 +58,41 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("copy-cli")
     t0 = time.time()
+
+    # JDBC→JDBC mode: both endpoints are jdbc: URLs — the reference's
+    # native shape (database to database). Tables are copied with full
+    # schema fidelity: scripted DDL (types, NOT NULL, PK, defaults,
+    # identity), bulk load, secondary indexes, then FKs after all loads.
+    if (args.source or "").startswith("jdbc:") or (args.target or "").startswith("jdbc:"):
+        if not (args.source.startswith("jdbc:") and args.target.startswith("jdbc:")):
+            print("FAILED: --source and --target must both be jdbc: URLs", file=sys.stderr)
+            return 2
+        if not args.tables:
+            print("FAILED: --tables is required in JDBC mode", file=sys.stderr)
+            return 2
+        try:
+            from copy_databasetables_spark.sources.introspect import (
+                copy_tables_jdbc_with_schema,
+            )
+            from copy_databasetables_spark.sources.jdbc import JdbcReadSpec
+
+            metas = copy_tables_jdbc_with_schema(
+                spark, args.source, args.target, args.tables
+            )
+            for m in metas:
+                n = JdbcReadSpec(url=args.target, table=m.table).load(spark).count()
+                n_src = JdbcReadSpec(url=args.source, table=m.table).load(spark).count()
+                if n != n_src:
+                    print(f"FAILED: {m.table}: {n_src} source rows, {n} copied", file=sys.stderr)
+                    return 1
+                print(f"copied {m.table:<10} {n:>9} rows -> {args.target}")
+        except Exception as err:
+            first_line = str(err).split("\n")[0]
+            print(f"FAILED: {type(err).__name__}: {first_line}", file=sys.stderr)
+            return 3
+        print(f"done: {len(metas)} tables in {time.time() - t0:.1f}s (verified)")
+        return 0
+
     try:
         results = copy_tables(
             spark,

@@ -29,3 +29,34 @@ def test_cli_unreadable_source(spark, capsys):
     rc = main(["--source", "/root/testdata/nope", "--target", OUT])
     assert rc == 3
     assert "FAILED" in capsys.readouterr().err
+
+
+def test_cli_jdbc_to_jdbc_schema_copy(spark, capsys):
+    """Database→database CLI mode (the reference's native shape): both
+    endpoints jdbc: URLs, schema-fidelity copy with PK surviving."""
+    import os
+
+    from copy_databasetables_spark.sources.introspect import (
+        execute_ddl,
+        introspect_jdbc_table,
+    )
+
+    src = f"jdbc:derby:/tmp/spark_graft_derby/cli{os.getpid()}_s;create=true"
+    dst = f"jdbc:derby:/tmp/spark_graft_derby/cli{os.getpid()}_d;create=true"
+    execute_ddl(spark, src, [
+        "CREATE TABLE items (i_id INTEGER NOT NULL, i_name VARCHAR(10),"
+        " CONSTRAINT pk_items PRIMARY KEY (i_id))",
+        "INSERT INTO items VALUES (1, 'a'), (2, 'b')",
+    ])
+    rc = main(["--source", src, "--target", dst, "--tables", "items"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "copied items" in out and "2 rows" in out
+    assert introspect_jdbc_table(spark, dst, "items").pk_columns == ["i_id"]
+
+
+def test_cli_jdbc_requires_both_urls_and_tables(spark, capsys):
+    rc = main(["--source", "jdbc:derby:memory:x", "--target", "/tmp/nope"])
+    assert rc == 2
+    rc = main(["--source", "jdbc:derby:memory:x", "--target", "jdbc:derby:memory:y"])
+    assert rc == 2
