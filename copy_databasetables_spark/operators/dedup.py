@@ -110,11 +110,11 @@ _JACCARD_TAU = 0.95
                FROM documents)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            len(list_intersect(a.toks, b.toks))::DOUBLE
-             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+             / (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) AS jaccard
     FROM t a JOIN t b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-            / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_TAU}
+            / (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) >= {_JACCARD_TAU}
     """,
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +123,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking: lang equality (join key → hash shuffle) + size-ratio band
     100·|A| ≥ 95·|B| ∧ 100·|B| ≥ 95·|A| (integer arithmetic; sound for
     τ=0.95, so blocked output ≡ unblocked oracle). Exact Jaccard is an
-    int/int division — bit-identical across engines."""
+    int/int division — bit-identical across engines. |A∪B| is computed
+    as |A|+|B|−|A∩B| (identical for distinct sets) so the hot pair loop
+    runs ONE set operation, not two — array_union would build and
+    materialize a union array per pair only to take its size."""
     t = _toks_df(spark, sf_dir)
     a = t.select(
         F.col("doc_id").alias("doc_id_a"),
@@ -137,9 +140,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("toks_b"),
         F.col("sz").alias("sz_b"),
     )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
         a.join(
             b,
@@ -148,7 +149,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (a.sz_a * 100 >= b.sz_b * 95)
             & (b.sz_b * 100 >= a.sz_a * 95),
         )
-        .withColumn("jaccard", jac)
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -178,12 +182,12 @@ _D_BIGRAMS = (
     s AS (SELECT doc_id, lang, grams, len(grams) AS gsz FROM t)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            len(list_intersect(a.grams, b.grams))::DOUBLE
-             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+             / (a.gsz + b.gsz - len(list_intersect(a.grams, b.grams))) AS jaccard
     FROM s a JOIN s b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
      AND a.gsz * 100 >= b.gsz * 60 AND b.gsz * 100 >= a.gsz * 60
     WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-            / len(list_distinct(list_concat(a.grams, b.grams))) >= {_NGRAM_TAU}
+            / (a.gsz + b.gsz - len(list_intersect(a.grams, b.grams))) >= {_NGRAM_TAU}
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,9 +223,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grams").alias("grams_b"),
         F.col("gsz").alias("gsz_b"),
     )
-    jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
-        F.array_union("grams_a", "grams_b")
-    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
         a.join(
             b,
@@ -230,7 +232,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (a.gsz_a * 100 >= b.gsz_b * 60)
             & (b.gsz_b * 100 >= a.gsz_a * 60),
         )
-        .withColumn("jaccard", jac)
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("gsz_a") + F.col("gsz_b") - F.col("inter")),
+        )
         .where(F.col("jaccard") >= _NGRAM_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -371,13 +377,13 @@ _D_MINHASH_SIG = (
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
     th AS (SELECT doc_id, lang, toks, {_D_TOKH} AS tokh FROM t),
-    sigs AS (SELECT doc_id, lang, {_D_MINHASH_SIG} AS sig FROM th),
+    sigs AS (SELECT doc_id, lang, len(toks) AS sz, {_D_MINHASH_SIG} AS sig FROM th),
     bands AS (
-      SELECT doc_id, lang, sig,
+      SELECT doc_id, lang, sz, sig,
              CAST(UNNEST(range({_N_BANDS})) AS INT) AS band
       FROM sigs),
     keyed AS (
-      SELECT doc_id, lang, band,
+      SELECT doc_id, lang, sz, band,
              array_to_string(sig[band * {_ROWS_PER_BAND} + 1 :
                                  band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
                              '_') AS bucket
@@ -386,15 +392,18 @@ _D_MINHASH_SIG = (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       FROM keyed a JOIN keyed b
         ON a.lang = b.lang AND a.band = b.band AND a.bucket = b.bucket
-       AND a.doc_id < b.doc_id)
+       AND a.doc_id < b.doc_id
+       AND a.sz * 100 >= b.sz * 95 AND b.sz * 100 >= a.sz * 95)
     SELECT doc_id_a, doc_id_b,
            len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
-             / len(list_distinct(list_concat(ta.tokh, tb.tokh))) AS jaccard
+             / (len(ta.tokh) + len(tb.tokh)
+                - len(list_intersect(ta.tokh, tb.tokh))) AS jaccard
     FROM cand
     JOIN th ta ON ta.doc_id = cand.doc_id_a
     JOIN th tb ON tb.doc_id = cand.doc_id_b
     WHERE len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
-            / len(list_distinct(list_concat(ta.tokh, tb.tokh))) >= {_JACCARD_TAU}
+            / (len(ta.tokh) + len(tb.tokh)
+               - len(list_intersect(ta.tokh, tb.tokh))) >= {_JACCARD_TAU}
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,17 +415,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the portable md5-based integer, so candidates — and therefore the
     final verified pair set — are deterministic and identical to the SQL
     oracle's replication of the same pipeline. Cost model at 100 TB:
-    no O(n²) anywhere; one shuffle on (lang, band, bucket)."""
+    no O(n²) anywhere; one shuffle on (lang, band, bucket).
+
+    The bucket join also carries the τ=0.95 size-ratio band (sound:
+    J ≥ τ ⇒ τ ≤ |A|/|B| ≤ 1/τ, same as q_dedup_near) — it prunes
+    bucket-collision pairs BEFORE they cost an exact-Jaccard intersect,
+    which on a boilerplate-heavy corpus (candidates ≈ all pairs) is the
+    dominant verify cost. Results are provably unchanged: every pruned
+    pair would have failed the τ filter anyway, and the oracle carries
+    the identical band."""
     toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
-    sigs = toks.select("doc_id", "lang", F.expr(_MINHASH_SIG).alias("sig"))
+    sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
     keyed = sigs.select(
         "doc_id",
         "lang",
+        "sz",
         F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
         F.col("sig"),
     ).select(
         "doc_id",
         "lang",
+        "sz",
         "band",
         F.array_join(
             F.slice(
@@ -426,13 +445,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     a = keyed.select(
-        F.col("doc_id").alias("doc_id_a"), "lang", "band", "bucket"
+        F.col("doc_id").alias("doc_id_a"), "lang", "band", "bucket", "sz"
     )
     b = keyed.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
+        F.col("sz").alias("sz_b"),
     )
     # candidate ids only — token arrays join back once per side, so the
     # expensive dedup-DISTINCT shuffles 2 longs per row, not 2 arrays
@@ -442,7 +462,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (a.lang == b.lang_b)
             & (a.band == b.band_b)
             & (a.bucket == b.bucket_b)
-            & (a.doc_id_a < b.doc_id_b),
+            & (a.doc_id_a < b.doc_id_b)
+            & (a.sz * 100 >= b.sz_b * 95)
+            & (b.sz_b * 100 >= a.sz * 95),
         )
         .select("doc_id_a", "doc_id_b")
         .distinct()
@@ -458,15 +480,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never be broadcast), so both verify joins shuffle on doc_id and AQE
     # picks the strategy from actual sizes (locally it may still choose
     # broadcast because the doc side is tiny; at scale it cannot).
-    ta = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("tokh").alias("tokh_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("tokh").alias("tokh_b"))
-    jac = F.size(F.array_intersect("tokh_a", "tokh_b")) / F.size(
-        F.array_union("tokh_a", "tokh_b")
+    ta = toks.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("tokh").alias("tokh_a"),
+        F.col("sz").alias("sz_a"),
     )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("tokh").alias("tokh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    # |A∪B| = |A|+|B|−|A∩B| for distinct sets: one hash-set probe per
+    # pair instead of intersect + a materialized union array (the verify
+    # loop is the dominant cost — candidates ≈ all pairs on this corpus).
+    inter = F.size(F.array_intersect("tokh_a", "tokh_b"))
     return (
         cand.join(ta, "doc_id_a")
         .join(tb, "doc_id_b")
-        .withColumn("jaccard", jac)
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
