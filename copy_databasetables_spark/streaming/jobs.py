@@ -98,6 +98,43 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def purchase_click_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    q_join_interval: each purchase joins the same user's clicks from the
+    hour before it. Both sides carry watermarks and the join condition
+    bounds event-time distance, so Spark can size the state store: a
+    click's state is evictable once the purchase-side watermark passes
+    click_ts + 1 hour (without the time bound, BOTH sides would buffer
+    forever). At scale the join shuffles both streams on user_id — the
+    same partitioning story as the batch plan."""
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    k = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("k_user"),
+            F.col("ts").alias("k_ts"),
+        )
+        .withWatermark("k_ts", watermark)
+    )
+    cond = (
+        (k["k_user"] == p["user_id"])
+        & (k["k_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (k["k_ts"] < p["p_ts"])
+    )
+    return p.join(k, cond).select("purchase_id", "click_id", "user_id")
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "complete"
 ) -> DataFrame:

@@ -97,3 +97,38 @@ def test_stateful_apply_in_pandas_equals_batch(spark):
         assert n == en
         assert abs(t - et) < 1e-6 * max(1.0, abs(et))
     assert len(batches) > 1  # state really carried across micro-batches
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream join with watermarks on both sides: the incremental
+    result over micro-batches must equal the batch interval join
+    (q_join_interval's shape) on the same input."""
+    from copy_databasetables_spark.streaming.jobs import (
+        purchase_click_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    out = run_to_memory(
+        purchase_click_join_stream(read_events_stream(spark, SF_SMOKE)),
+        "t_ssjoin",
+        mode="append",
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    k = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("k_user"),
+        F.col("ts").alias("k_ts"),
+    )
+    batch = p.join(
+        k,
+        (F.col("k_user") == F.col("user_id"))
+        & (F.col("k_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("k_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    assert out.count() == batch.count() > 0
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
