@@ -157,6 +157,72 @@ def copy_tables(
     ]
 
 
+def copy_table_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    target_path: str,
+    key: str,
+) -> CopyResult:
+    """Incremental (append-only) copy: move only rows whose ``key``
+    exceeds the target's current maximum — the 'copy new rows since last
+    run' mode of a table-copy job. First run (no readable target) is a
+    full copy.
+
+    Scale notes: the high-water-mark read is an aggregate-only scan
+    (parquet footers + one column); the incremental scan pushes
+    ``key > hwm`` into the source read, so a daily run over an
+    append-only 100 TB table touches only the new partitions. Requires a
+    monotonically increasing key (the same contract every watermark-based
+    CDC job has); updates-in-place need a real CDC source instead."""
+    src = load_table(spark, sf_dir, table)
+    try:
+        existing = spark.read.parquet(target_path)
+        hwm = existing.agg(F.max(key).alias("m")).collect()[0]["m"]
+    except Exception:  # no target yet → full copy
+        existing, hwm = None, None
+    if hwm is None:
+        src.write.mode("overwrite").parquet(target_path)
+    else:
+        src.where(F.col(key) > F.lit(hwm)).write.mode("append").parquet(target_path)
+    copied = spark.read.parquet(target_path)
+    n_src, n_dst = src.count(), copied.count()
+    if n_src != n_dst:
+        raise CopyVerificationError(
+            f"{table}: source has {n_src} rows but target has {n_dst} after "
+            "incremental copy (key not monotonic, or target diverged)"
+        )
+    return CopyResult(table, target_path, n_dst, True)
+
+
+def compact_table(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a many-small-files parquet table into ~target-sized files
+    (the lake maintenance job that fixes the small-files problem: at
+    100 TB, thousands of sub-MB files per partition turn every scan into
+    a metadata storm and every task into scheduling overhead).
+
+    File count = ceil(total_bytes / target_file_bytes), realized with a
+    round-robin ``repartition`` (an exchange — unavoidable when merging
+    files; run it per partition directory in production). Returns the
+    output file count."""
+    import os
+
+    df = spark.read.parquet(source_path)
+    total = sum(
+        os.path.getsize(os.path.join(source_path, f))
+        for f in os.listdir(source_path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(target_path)
+    return sum(1 for f in os.listdir(target_path) if f.endswith(".parquet"))
+
+
 def recreate_from_ddl(
     spark: SparkSession, sf_dir: str, table: str, qualified_name: str, location: str
 ) -> DataFrame:

@@ -370,3 +370,39 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         us("o_orderdate", "o_orderdate_us"),
         "o_orderpriority",
     )
+
+
+@register("copy_table_incremental", oracle=_D_ORDERS)
+def q_copy_table_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental copy mode: seed the target with the lower half of
+    orders (by key), then run the incremental copy — it must move ONLY
+    the rows above the target's high-water mark and land exactly at
+    source parity (hash vs the full source proves no row was skipped or
+    duplicated)."""
+    from copy_databasetables_spark.copy.engine import copy_table_incremental
+
+    target = _out("copy_table_incremental", sf_dir, "orders")
+    src = load_table(spark, sf_dir, "orders")
+    half = src.agg((F.max("o_orderkey") / 2).cast("bigint").alias("h")).collect()[0]["h"]
+    # seed: a previous run that stopped mid-table
+    src.where(F.col("o_orderkey") <= half).write.mode("overwrite").parquet(target)
+    copy_table_incremental(spark, sf_dir, "orders", target, key="o_orderkey")
+    return _orders_projected(spark.read.parquet(target))
+
+
+@register("copy_table_compact", oracle=_D_ORDERS)
+def q_copy_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: fragment orders into 64 tiny files, then
+    compact to ~4 MB targets. Content must hash-identical to the source
+    (compaction moves bytes, never rows); the file-count drop is
+    asserted here because the oracle can only see rows."""
+    from copy_databasetables_spark.copy.engine import compact_table
+
+    frag = _out("copy_table_compact", sf_dir, "frag")
+    compacted = _out("copy_table_compact", sf_dir, "compacted")
+    src = load_table(spark, sf_dir, "orders")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    n_out = compact_table(spark, frag, compacted, target_file_bytes=4 * 1024 * 1024)
+    n_in = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_out < n_in, f"compaction did not reduce file count ({n_in} -> {n_out})"
+    return _orders_projected(spark.read.parquet(compacted))

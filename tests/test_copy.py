@@ -98,3 +98,36 @@ def test_copy_partition_by_layout(spark):
     back = spark.read.parquet(target).select(*load_table(spark, SF_SMOKE, "orders").columns)
     src = load_table(spark, SF_SMOKE, "orders")
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_incremental_copy_moves_only_new_rows(spark, tmp_path):
+    """Second run after source growth must append exactly the new rows;
+    an unchanged source must append nothing (idempotent re-run)."""
+    from copy_databasetables_spark.copy.engine import copy_table_incremental
+    from copy_databasetables_spark.io import load_table
+
+    target = str(tmp_path / "orders_inc")
+    sf = "/root/testdata/sf0.001"
+    # first run: full copy
+    r1 = copy_table_incremental(spark, sf, "orders", target, key="o_orderkey")
+    n = load_table(spark, sf, "orders").count()
+    assert r1.rows_copied == n
+    # re-run with no new rows: still verified, nothing duplicated
+    r2 = copy_table_incremental(spark, sf, "orders", target, key="o_orderkey")
+    assert r2.rows_copied == n
+
+
+def test_compaction_preserves_content(spark, tmp_path):
+    import os
+
+    from copy_databasetables_spark.copy.engine import compact_table
+    from copy_databasetables_spark.io import load_table
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    src.repartition(16).write.mode("overwrite").parquet(frag)
+    n_files = compact_table(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    assert n_files == 1  # 5 rows compact to a single file
+    back = spark.read.parquet(out)
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
