@@ -559,3 +559,132 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id_a", "vec_id_b", F.round(F.col("cos_raw"), 4).alias("cosine")
         )
     )
+
+
+_BUCKET_CAP = 40  # max docs per (lang, band, bucket) before it's "boilerplate"
+
+
+@register(
+    "q_dedup_minhash_capped",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id, lang, toks, {_D_TOKH} AS tokh FROM t),
+    sigs AS (SELECT doc_id, lang, len(toks) AS sz, {_D_MINHASH_SIG} AS sig FROM th),
+    bands AS (
+      SELECT doc_id, lang, sz, sig,
+             CAST(UNNEST(range({_N_BANDS})) AS INT) AS band
+      FROM sigs),
+    keyed AS (
+      SELECT doc_id, lang, sz, band,
+             array_to_string(sig[band * {_ROWS_PER_BAND} + 1 :
+                                 band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+                             '_') AS bucket
+      FROM bands),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY lang, band, bucket) AS bucket_n
+      FROM keyed),
+    kept AS (SELECT * FROM sized WHERE bucket_n <= {_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+       AND a.sz * 100 >= b.sz * 95 AND b.sz * 100 >= a.sz * 95)
+    SELECT doc_id_a, doc_id_b,
+           len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
+             / (len(ta.tokh) + len(tb.tokh)
+                - len(list_intersect(ta.tokh, tb.tokh))) AS jaccard
+    FROM cand
+    JOIN th ta ON ta.doc_id = cand.doc_id_a
+    JOIN th tb ON tb.doc_id = cand.doc_id_b
+    WHERE len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
+            / (len(ta.tokh) + len(tb.tokh)
+               - len(list_intersect(ta.tokh, tb.tokh))) >= {_JACCARD_TAU}
+    """,
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with a hot-bucket cap — the production skew guard:
+    a band bucket holding more than {40} documents is boilerplate (a
+    shared header, a template), and its |bucket|² candidate pairs are
+    noise that would dominate the join. Buckets above the cap are
+    DROPPED before pair generation (a windowed count per bucket key —
+    one extra pass, no extra shuffle: the count partitions by the same
+    key the join shuffles on).
+
+    This is deliberately lossy (pairs only visible in a hot bucket are
+    sacrificed) — the uncapped q_dedup_minhash is the reference result;
+    the oracle replicates the same deterministic cap, so even the lossy
+    variant is hash-checked. At 100 TB the cap is what keeps the worst
+    bucket from holding a million docs and the job from dying on one
+    task."""
+    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
+    keyed = sigs.select(
+        "doc_id",
+        "lang",
+        "sz",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "lang",
+        "sz",
+        "band",
+        F.array_join(
+            F.slice(
+                F.col("sig"), F.col("band") * _ROWS_PER_BAND + 1, _ROWS_PER_BAND
+            ),
+            "_",
+        ).alias("bucket"),
+    )
+    from pyspark.sql.window import Window
+
+    bw = Window.partitionBy("lang", "band", "bucket")
+    kept = keyed.withColumn("bucket_n", F.count(F.lit(1)).over(bw)).where(
+        F.col("bucket_n") <= _BUCKET_CAP
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_id_a"), "lang", "band", "bucket", "sz"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.band == b.band_b)
+            & (a.bucket == b.bucket_b)
+            & (a.doc_id_a < b.doc_id_b)
+            & (a.sz * 100 >= b.sz_b * 95)
+            & (b.sz_b * 100 >= a.sz * 95),
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("tokh").alias("tokh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("tokh").alias("tokh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("tokh_a", "tokh_b"))
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )

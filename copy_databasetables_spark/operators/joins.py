@@ -344,3 +344,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             us("s_ts", "signup_ts_us"),
         )
     )
+
+
+_SALT = 8
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join — the skew mitigation for when AQE can't
+    help (e.g. the downstream aggregation wants the join's partitioning,
+    or the engine predates runtime re-planning): the probe side gets a
+    deterministic salt (l_linenumber mod 8 — NO rand(): results must be
+    reproducible under retries and re-partitioning), the build side is
+    exploded ×8 with every salt value, and the join key becomes
+    (orderkey, salt) — a hot orderkey's rows now land on 8 reducers
+    instead of 1. Salting is result-invariant: each probe row still
+    matches exactly its orderkey's build rows (once, at its own salt),
+    proven by the hash against the UNSALTED oracle join."""
+    l = load_table(spark, sf_dir, "lineitem").withColumn(  # noqa: E741
+        "salt", F.col("l_linenumber") % _SALT
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt_o", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey) & (F.col("salt") == F.col("salt_o")),
+        )
+        .groupBy("o_orderstatus")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )

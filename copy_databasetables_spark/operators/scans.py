@@ -406,3 +406,26 @@ def q_copy_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_in = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
     assert n_out < n_in, f"compaction did not reduce file count ({n_in} -> {n_out})"
     return _orders_projected(spark.read.parquet(compacted))
+
+
+@register("copy_table_bucketed", oracle=_D_ORDERS)
+def q_copy_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed catalog copy: land orders as a bucketed+sorted table
+    (8 buckets on o_orderkey). Bucketing is SCALE.md's co-located-join
+    answer — two tables bucketed the same way join with NO exchange
+    (plan-proven by tests/test_plans.py::test_bucketed_join_avoids_shuffle);
+    the copy here proves the bucketed layout is content-lossless (hash
+    vs source). saveAsTable is required: plain parquet has no bucket
+    metadata."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"spark_graft_bucketed_orders_{sf_tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _out("copy_table_bucketed", sf_dir, "orders"))
+        .saveAsTable(name)
+    )
+    return _orders_projected(spark.table(name))
