@@ -231,3 +231,32 @@ def test_content_checksum_catches_compensating_corruption(spark):
     )
     assert content_checksum(base) == content_checksum(same)  # order-insensitive
     assert content_checksum(base) != content_checksum(corrupt)
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The salted join must actually join on (orderkey, salt) — the
+    whole point is that a hot orderkey spreads across _SALT reducers."""
+    from copy_databasetables_spark.operators import all_queries
+
+    df = all_queries()["q_join_salted"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in p  # salt participates in the join/partition keys
+
+
+def test_capped_minhash_is_subset_of_uncapped(spark):
+    """The hot-bucket cap only DROPS candidate pairs — every surviving
+    pair must also be found (with identical jaccard) by the uncapped
+    pipeline."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in all_queries()["q_dedup_minhash_capped"](spark, sf).collect()
+    }
+    full = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in all_queries()["q_dedup_minhash"](spark, sf).collect()
+    }
+    assert capped <= full
