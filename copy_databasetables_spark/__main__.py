@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="verify an order-insensitive content checksum, not just counts",
     )
+    ap.add_argument(
+        "--incremental",
+        metavar="KEY",
+        default=None,
+        help="append-only copy: move only rows whose KEY exceeds the "
+        "target's current maximum (full copy on first run)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("copy-cli")
@@ -94,14 +101,34 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     try:
-        results = copy_tables(
-            spark,
-            args.source,
-            args.target,
-            tables=args.tables,
-            num_partitions=args.partitions,
-            verify_checksum=args.checksum,
-        )
+        if args.incremental:
+            import os
+
+            from copy_databasetables_spark.copy.engine import copy_table_incremental
+
+            # the high-water-mark key is table-specific — one table per run
+            if not args.tables or len(args.tables) != 1:
+                print(
+                    "FAILED: --incremental KEY requires exactly one --tables entry",
+                    file=sys.stderr,
+                )
+                return 2
+            t = args.tables[0]
+            results = [
+                copy_table_incremental(
+                    spark, args.source, t, os.path.join(args.target, t),
+                    key=args.incremental,
+                )
+            ]
+        else:
+            results = copy_tables(
+                spark,
+                args.source,
+                args.target,
+                tables=args.tables,
+                num_partitions=args.partitions,
+                verify_checksum=args.checksum,
+            )
     except CopyVerificationError as err:
         print(f"FAILED: {err}", file=sys.stderr)
         return 1

@@ -60,3 +60,23 @@ def test_cli_jdbc_requires_both_urls_and_tables(spark, capsys):
     assert rc == 2
     rc = main(["--source", "jdbc:derby:memory:x", "--target", "jdbc:derby:memory:y"])
     assert rc == 2
+
+
+def test_cli_incremental_copy(spark, capsys, tmp_path):
+    target = str(tmp_path / "inc")
+    rc = main(["--source", SF_SMOKE, "--target", target,
+               "--tables", "orders", "--incremental", "o_orderkey"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "copied orders" in out and "1500 rows" in out
+    # re-run: idempotent (high-water mark already at max)
+    rc = main(["--source", SF_SMOKE, "--target", target,
+               "--tables", "orders", "--incremental", "o_orderkey"])
+    assert rc == 0
+    assert "1500 rows" in capsys.readouterr().out
+
+
+def test_cli_incremental_requires_single_table(spark, capsys):
+    rc = main(["--source", SF_SMOKE, "--target", "/tmp/x",
+               "--tables", "orders", "region", "--incremental", "o_orderkey"])
+    assert rc == 2

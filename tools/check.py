@@ -99,12 +99,23 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query keys to run (default: all)")
     ap.add_argument("--sf", default="sf0.01")
     ap.add_argument("--show", action="store_true", help="print both outputs")
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=None,
+        metavar="N",
+        help="run only the first N queries() entries IN DECLARATION ORDER — "
+        "mirrors the external driver's capped window (N=50)",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/{args.sf}"
 
     queries = operators.all_queries()
     oracles = operators.all_oracles()
-    names = args.names or sorted(queries)
+    if args.first is not None:
+        names = list(queries)[: args.first]
+    else:
+        names = args.names or sorted(queries)
     unknown = [n for n in names if n not in queries]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
