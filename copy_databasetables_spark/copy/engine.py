@@ -195,6 +195,46 @@ def copy_table_incremental(
     return CopyResult(table, target_path, n_dst, True)
 
 
+def merge_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    target_path: str,
+    key: str,
+) -> CopyResult:
+    """Upsert (MERGE) copy: source rows replace same-key target rows,
+    new keys are inserted, unmatched target rows survive — the copy mode
+    for sources that update in place (the reference only drops and
+    recreates; a recurring sync needs merge).
+
+    Plain-parquet implementation: anti-join the target against the
+    source on ``key`` (keep rows the source doesn't supersede), union
+    the full source, rewrite. One shuffle on the key. On a transactional
+    table format this maps to MERGE INTO with file-level pruning; on raw
+    parquet the rewrite is the price of not having a log — at 100 TB,
+    partition the target and rewrite only partitions whose keys appear
+    in the update batch (partition pruning on the anti-join makes that
+    automatic when the key prefixes the partition scheme)."""
+    src = load_table(spark, sf_dir, table)
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:
+        existing = None
+    if existing is None:
+        out = src
+    else:
+        keep = existing.join(src.select(key), on=key, how="left_anti")
+        out = keep.unionByName(src)
+    # two-phase write: the plan reads target_path, so overwriting it
+    # in place would clobber inputs mid-job
+    tmp = target_path.rstrip("/") + "._merge_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    merged = spark.read.parquet(tmp)
+    merged.write.mode("overwrite").parquet(target_path)
+    n = spark.read.parquet(target_path).count()
+    return CopyResult(table, target_path, n, True)
+
+
 def compact_table(
     spark: SparkSession,
     source_path: str,

@@ -429,3 +429,28 @@ def q_copy_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .saveAsTable(name)
     )
     return _orders_projected(spark.table(name))
+
+
+@register("copy_table_merge", oracle=_D_ORDERS)
+def q_copy_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) copy: seed the target with the lower half of
+    orders CORRUPTED (prices zeroed, status X); the merge must REPLACE
+    every corrupted row with its source version and INSERT the upper
+    half — landing exactly at source parity, proven by the hash vs the
+    full source oracle. The third MERGE leg (target-only rows survive)
+    is unit-tested in test_copy.py, since it by definition leaves the
+    target different from the source."""
+    from copy_databasetables_spark.copy.engine import merge_table
+
+    target = _out("copy_table_merge", sf_dir, "orders")
+    src = load_table(spark, sf_dir, "orders")
+    half = src.agg((F.max("o_orderkey") / 2).cast("bigint").alias("h")).collect()[0]["h"]
+    (
+        src.where(F.col("o_orderkey") <= half)
+        .withColumn("o_totalprice", F.lit(0.0))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    merge_table(spark, sf_dir, "orders", target, key="o_orderkey")
+    return _orders_projected(spark.read.parquet(target))

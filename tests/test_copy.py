@@ -131,3 +131,23 @@ def test_compaction_preserves_content(spark, tmp_path):
     assert n_files == 1  # 5 rows compact to a single file
     back = spark.read.parquet(out)
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_merge_keeps_unmatched_target_rows(spark, tmp_path):
+    """MERGE semantics: source rows win on key collision, new source
+    keys insert, and target-only rows SURVIVE (unlike overwrite)."""
+    from copy_databasetables_spark.copy.engine import merge_table
+    from copy_databasetables_spark.io import SCHEMAS
+
+    target = str(tmp_path / "m")
+    # target holds one row the source will update (key 1, stale) and one
+    # row outside the source's key range entirely (key -7, must survive)
+    stale = spark.createDataFrame(
+        [(1, "stale"), (-7, "survivor")], "r_regionkey int, r_name string"
+    )
+    stale.write.mode("overwrite").parquet(target)
+    merge_table(spark, "/root/testdata/sf0.001", "region", target, key="r_regionkey")
+    back = {r["r_regionkey"]: r["r_name"] for r in spark.read.parquet(target).collect()}
+    assert back[-7] == "survivor"          # unmatched target row kept
+    assert back[1] != "stale"              # source version replaced it
+    assert len(back) == 6                  # 5 source regions + survivor
