@@ -88,6 +88,28 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked session windows — the streaming twin of
+    q_stream_session: per-user sessions close after a 30-minute silence.
+    Session windows are the hardest streaming state: windows MERGE when
+    a late row bridges two open sessions, so state is keyed (user,
+    open-session) and only finalizes once the watermark passes
+    last_event + gap. Append mode emits exactly the closed sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end").cast("timestamp")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup by event_id within the watermark —
     ``dropDuplicatesWithinWatermark`` keeps first-arrival per key and

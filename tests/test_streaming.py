@@ -132,3 +132,34 @@ def test_stream_stream_interval_join_equals_batch(spark):
     assert out.count() == batch.count() > 0
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_stream_session_windows_equal_batch(spark):
+    """Session windows under incremental execution: micro-batched
+    sessions (including cross-batch merges) must equal the batch
+    session_window result on the same input."""
+    from copy_databasetables_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        session_counts_stream,
+    )
+
+    out = run_to_memory(
+        session_counts_stream(read_events_stream(spark, SF_SMOKE)),
+        "t_sessions",
+        mode="complete",
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end").cast("timestamp")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    assert out.count() == batch.count() > 0
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
