@@ -454,3 +454,134 @@ def q_copy_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_table(spark, sf_dir, "orders", target, key="o_orderkey")
     return _orders_projected(spark.read.parquet(target))
+
+
+@register(
+    "q_integrity_report",
+    oracle="""
+    SELECT 'orders.o_custkey->customer.c_custkey' AS fk_edge,
+           (SELECT COUNT(*) FROM orders) AS n_child_rows,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation.n_nationkey',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region.r_regionkey',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report over the FK graph — the validation a
+    table-copy job runs after loading in FK order: for each edge, the
+    child row count and the orphan count (child keys with no parent).
+    Each orphan check is a LEFT ANTI join (shuffle on the key, no
+    payload columns move); at 100 TB each edge is one key-only shuffle,
+    and a nonzero orphan count is the signal to stop the pipeline."""
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_totalprice", "double"),
+    ("o_orderstatus", "string"),
+]
+
+
+@register(
+    "q_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_non_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report (the pre/post-copy data-profiling tool):
+    per column — row count, non-null count, exact distinct count,
+    min/max (as strings so heterogenous types stack in one report).
+    All four columns profile in ONE pass over the table: a single
+    aggregate computes every column's stats together (count-distincts
+    expand via Spark's single-pass multi-distinct rewrite). Doubles
+    format via repr-stable casts on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, typ in _PROFILE_COLS:
+        aggs += [
+            F.count(name).alias(f"{name}__nn"),
+            F.countDistinct(name).alias(f"{name}__nd"),
+            F.min(name).cast("string").alias(f"{name}__min"),
+            F.max(name).cast("string").alias(f"{name}__max"),
+        ]
+    row = o.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    parts = [
+        row.select(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"{name}__nn").alias("n_non_null"),
+            F.col(f"{name}__nd").alias("n_distinct"),
+            F.col(f"{name}__min").alias("min_repr"),
+            F.col(f"{name}__max").alias("max_repr"),
+        )
+        for name, _ in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
