@@ -556,10 +556,13 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile report (the pre/post-copy data-profiling tool):
     per column — row count, non-null count, exact distinct count,
     min/max (as strings so heterogenous types stack in one report).
-    All four columns profile in ONE pass over the table: a single
-    aggregate computes every column's stats together (count-distincts
-    expand via Spark's single-pass multi-distinct rewrite). Doubles
-    format via repr-stable casts on both engines."""
+    All four columns profile in ONE aggregate over the table.
+
+    Scale note: multiple EXACT distincts in one aggregate compile to an
+    Expand (input multiplied once per distinct column) — fine here and
+    the only oracle-hashable form, but at 100 TB a profile switches to
+    ``approx_count_distinct`` (HLL++, constant memory, no Expand); the
+    rest of the report is a plain single-pass aggregate either way."""
     o = load_table(spark, sf_dir, "orders")
     aggs = []
     for name, typ in _PROFILE_COLS:
