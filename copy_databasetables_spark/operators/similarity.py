@@ -468,3 +468,82 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
+
+
+@register(
+    "q_sim_quantized",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale,
+             e
+      FROM v),
+    dq AS (
+      SELECT vec_id,
+             list_transform(e, x -> floor(x / scale + 0.5) * scale) AS d
+      FROM q),
+    n AS (
+      SELECT vec_id, d,
+             sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum')) AS nrm
+      FROM dq),
+    p AS (SELECT vec_id AS probe_id, d AS pd, nrm AS pn FROM n
+          WHERE {_PROBE_FILTER.replace('vec_id', 'vec_id')}),
+    scored AS (
+      SELECT p.probe_id, n.vec_id AS neighbor_id,
+             list_dot_product(p.pd, n.d) / (p.pn * n.nrm) AS cos_raw,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_dot_product(p.pd, n.d)
+                                         / (p.pn * n.nrm) DESC,
+                                         n.vec_id ASC) AS rank_pos
+      FROM p JOIN n ON n.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_K}
+    """,
+)
+def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized vectors — the memory-bound path for
+    10B+ vectors (SCALE.md): each vector stores as 64 bytes (one signed
+    byte per dim, per-vector scale = max|x|/127) instead of 256, a 4×
+    cut that decides whether the index fits executor memory. Scoring
+    here dequantizes (q·scale) and ranks like the exact operator, so
+    the result is a deterministic function of the quantized
+    representation — the oracle replicates the same FLOOR(x/scale+0.5)
+    quantizer (round-half-up in both engines, no ROUND portability
+    trap) and must agree exactly. Quantization error vs the exact top-k
+    is a recall question (measured in tests), not a correctness one."""
+    v = _vecs(spark, sf_dir)
+    scale = (
+        F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+        / 127.0
+    )
+    dq = v.withColumn("scale", scale).select(
+        "vec_id",
+        F.expr("transform(e, x -> floor(x / scale + 0.5) * scale)").alias("d"),
+    )
+    n = dq.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("d"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    p = n.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("d").alias("pd"),
+        F.col("nrm").alias("pn"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(p)
+        .join(n, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_pre("pd", "d", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _K)
+        .select(
+            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+        )
+    )

@@ -260,3 +260,22 @@ def test_capped_minhash_is_subset_of_uncapped(spark):
         for r in all_queries()["q_dedup_minhash"](spark, sf).collect()
     }
     assert capped <= full
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must preserve neighborhood structure: the
+    quantized top-5 should overlap the exact top-5 heavily (64-dim
+    vectors, ~0.8% max per-component error)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    exact = {}
+    for r in all_queries()["q_sim_topk"](spark, sf).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    quant = {}
+    for r in all_queries()["q_sim_quantized"](spark, sf).collect():
+        quant.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    assert set(quant) == set(exact)
+    hits = sum(len(quant[p] & exact[p]) for p in exact)
+    total = sum(len(exact[p]) for p in exact)
+    assert hits / total >= 0.8, f"recall {hits}/{total} too low"
