@@ -238,3 +238,69 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return d.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Resize / resample (the image-resize & audio-resample shape).
+# --------------------------------------------------------------------------
+
+_RESIZE_STRIDE = 4  # keep every 4th byte ("downscale" factor)
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, orig_len int, resized_len int, resized_digest string"
+)
+
+
+def _resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize/resample: payload in → smaller payload out
+    (1 row → 1 row, payload-transforming — the third mapInPandas shape
+    after per-row features and frame explosion). A real image resize or
+    audio resample only changes the downsample body; the deterministic
+    stride keeps the oracle able to recompute the result."""
+    import hashlib
+
+    for pdf in batches:
+        resized = [bytes(p[::_RESIZE_STRIDE]) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_len": [len(p) for p in pdf["payload"]],
+                "resized_len": [len(r) for r in resized],
+                "resized_digest": [hashlib.md5(r).hexdigest() for r in resized],
+            }
+        )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS orig_len,
+             array_to_string(
+               list_transform(
+                 range(0, CAST(ceil(octet_length(CAST(text AS BLOB))
+                               / {_RESIZE_STRIDE}.0) AS INT)),
+                 i -> substring(text, CAST(1 + i * {_RESIZE_STRIDE} AS INT), 1)),
+               '') AS resized
+      FROM documents)
+    SELECT doc_id, orig_len,
+           CAST(length(resized) AS INT) AS resized_len,
+           md5(resized) AS resized_digest
+    FROM r
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample plumbing for image- and audio-like payloads: each
+    binary payload is downsampled (every {4}th byte) inside an
+    Arrow-batched ``mapInPandas`` and per-payload facts (lengths,
+    digest of the resized bytes) come back for verification. With a
+    real decoder the stride-slice becomes PIL resize / torchaudio
+    resample — the Spark plumbing (binary in, binary-derived out, 1:1
+    rows, columnar batches) is exactly this. Payloads are all-ASCII
+    text so the oracle rebuilds the identical downsample with substring
+    arithmetic."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.mapInPandas(_resize_payloads, schema=_RESIZE_SCHEMA)
