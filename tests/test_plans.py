@@ -232,3 +232,58 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_reaches_scan(spark):
+    """DPP is the partition-layout payoff at 100 TB: joining a
+    partitioned fact on its partition column against a FILTERED dim must
+    inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters — only matching partition directories are read."""
+    import os
+
+    path = "/tmp/spark_graft_dpp/lineitem"
+    if not os.path.exists(path):
+        load_table(spark, SF_SMOKE, "lineitem").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("R", 1), ("A", 0), ("N", 0)], "flag string, w int"
+    ).where(F.col("w") > 0)
+    j = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").count()
+    assert "dynamicpruning" in plan(j).lower()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning (Spark 3.3+): with broadcast
+    off, a selective build side injects a bloom filter into the probe
+    scan so non-matching fact rows drop BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~matching slice."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_totalprice") > 500000.0
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        assert "bloom" in plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
