@@ -384,3 +384,35 @@ def q_text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= _FUZZY_D)
         .select("custkey_a", "custkey_b", "edit_dist")
     )
+
+
+@register(
+    "q_text_anonymize",
+    oracle="""
+    SELECT c_custkey,
+           substring(sha256(c_name), 1, 16) AS name_token,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_band,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def q_text_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic anonymization for training-data export: direct
+    identifiers are replaced by a keyed-hash token (same input → same
+    token, so joins across anonymized tables still work — sha256
+    truncated to 64 bits here; production adds a secret salt), and the
+    quasi-identifying numeric column is generalized to coarse bands
+    (k-anonymity-style generalization). Pure JVM expressions — the
+    masking pass adds no shuffle and pipelines into any export scan."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring(F.sha2(F.col("c_name"), 256), 1, 16).alias("name_token"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+        "c_mktsegment",
+    )
