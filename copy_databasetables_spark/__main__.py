@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
         if not args.tables:
             print("FAILED: --tables is required in JDBC mode", file=sys.stderr)
             return 2
+        # refuse rather than silently ignore flags this mode can't honor
+        if args.checksum or args.partitions or args.incremental:
+            print(
+                "FAILED: --checksum/--partitions/--incremental are not "
+                "supported in JDBC mode",
+                file=sys.stderr,
+            )
+            return 2
         try:
             from copy_databasetables_spark.sources.introspect import (
                 copy_tables_jdbc_with_schema,
@@ -110,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
             if not args.tables or len(args.tables) != 1:
                 print(
                     "FAILED: --incremental KEY requires exactly one --tables entry",
+                    file=sys.stderr,
+                )
+                return 2
+            # incremental verifies by count only; refuse flags it can't honor
+            if args.checksum or args.partitions:
+                print(
+                    "FAILED: --checksum/--partitions are not supported with "
+                    "--incremental",
                     file=sys.stderr,
                 )
                 return 2

@@ -24,6 +24,7 @@ overwrite-by-partition (spark.sql.sources.partitionOverwriteMode=dynamic).
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,6 +158,19 @@ def copy_tables(
     ]
 
 
+def _read_target_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """None ONLY when the target path genuinely does not exist.
+
+    Any other read failure (permissions, corrupt footer, transient FS
+    error) re-raises: treating it as 'first run' would make the caller
+    OVERWRITE the target with source-only data — for merge that silently
+    deletes every target-only row; for incremental it turns a blip into
+    a full rewrite."""
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def copy_table_incremental(
     spark: SparkSession,
     sf_dir: str,
@@ -176,11 +190,12 @@ def copy_table_incremental(
     monotonically increasing key (the same contract every watermark-based
     CDC job has); updates-in-place need a real CDC source instead."""
     src = load_table(spark, sf_dir, table)
-    try:
-        existing = spark.read.parquet(target_path)
-        hwm = existing.agg(F.max(key).alias("m")).collect()[0]["m"]
-    except Exception:  # no target yet → full copy
-        existing, hwm = None, None
+    existing = _read_target_if_exists(spark, target_path)
+    hwm = (
+        existing.agg(F.max(key).alias("m")).collect()[0]["m"]
+        if existing is not None
+        else None
+    )
     if hwm is None:
         src.write.mode("overwrite").parquet(target_path)
     else:
@@ -216,14 +231,12 @@ def merge_table(
     in the update batch (partition pruning on the anti-join makes that
     automatic when the key prefixes the partition scheme)."""
     src = load_table(spark, sf_dir, table)
-    try:
-        existing = spark.read.parquet(target_path)
-    except Exception:
-        existing = None
+    existing = _read_target_if_exists(spark, target_path)
     if existing is None:
-        out = src
+        out, n_keep = src, 0
     else:
         keep = existing.join(src.select(key), on=key, how="left_anti")
+        n_keep = keep.count()
         out = keep.unionByName(src)
     # two-phase write: the plan reads target_path, so overwriting it
     # in place would clobber inputs mid-job
@@ -231,7 +244,15 @@ def merge_table(
     out.write.mode("overwrite").parquet(tmp)
     merged = spark.read.parquet(tmp)
     merged.write.mode("overwrite").parquet(target_path)
-    n = spark.read.parquet(target_path).count()
+    # verify: merged = survivors + the full source, exactly
+    n, n_src = spark.read.parquet(target_path).count(), src.count()
+    if n != n_keep + n_src:
+        raise CopyVerificationError(
+            f"{table}: merge expected {n_keep} surviving + {n_src} source "
+            f"rows but target has {n}"
+        )
+    shutil.rmtree(tmp, ignore_errors=True)  # local staging; at scale use
+    # the FS API of the target store (the tmp dir is a full table copy)
     return CopyResult(table, target_path, n, True)
 
 
@@ -248,19 +269,26 @@ def compact_table(
 
     File count = ceil(total_bytes / target_file_bytes), realized with a
     round-robin ``repartition`` (an exchange — unavoidable when merging
-    files; run it per partition directory in production). Returns the
-    output file count."""
-    import os
+    files; run it per partition directory in production — which is also
+    why sizing walks the tree recursively: a partitionBy layout keeps
+    its data files in key=value/ subdirectories, and a top-level listing
+    would size it at 0 bytes and funnel the whole table into ONE file).
+    Returns the output file count."""
+
+    def _parquet_bytes_and_count(root: str) -> tuple[int, int]:
+        total = count = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                    count += 1
+        return total, count
 
     df = spark.read.parquet(source_path)
-    total = sum(
-        os.path.getsize(os.path.join(source_path, f))
-        for f in os.listdir(source_path)
-        if f.endswith(".parquet")
-    )
+    total, _ = _parquet_bytes_and_count(source_path)
     n_files = max(1, -(-total // target_file_bytes))
     df.repartition(n_files).write.mode("overwrite").parquet(target_path)
-    return sum(1 for f in os.listdir(target_path) if f.endswith(".parquet"))
+    return _parquet_bytes_and_count(target_path)[1]
 
 
 def recreate_from_ddl(

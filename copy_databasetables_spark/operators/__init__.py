@@ -144,8 +144,15 @@ _PRIOR_DRIVER_GREEN: set[str] = {
 
 def _window_order(keys: list[str]) -> list[str]:
     """Order keys for the driver: DRIVER_WINDOW first (listed order),
-    then never-checked keys (registration order), then prior-green keys."""
-    front = [k for k in DRIVER_WINDOW if k in set(keys)]
+    then never-checked keys (registration order), then prior-green keys.
+
+    A DRIVER_WINDOW name that doesn't exist in the registry is a hard
+    error: silently skipping it would shrink the checked window and let
+    an unintended key slide into the driver's 50 rows."""
+    unknown = [k for k in DRIVER_WINDOW if k not in set(keys)]
+    if unknown:
+        raise KeyError(f"DRIVER_WINDOW names unknown queries: {unknown}")
+    front = list(DRIVER_WINDOW)
     in_front = set(front)
     middle = [
         k for k in keys if k not in in_front and k not in _PRIOR_DRIVER_GREEN

@@ -346,7 +346,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SALT = 8
+#: 7, not 8: the salt source l_linenumber takes values 1..7, so mod 7
+#: yields the COMPLETE residue set {0..6} — mod 8 would never produce 0,
+#: leaving one reducer slot unused and 1/8 of the exploded build side
+#: joining nothing.
+_SALT = 7
 
 
 @register(
@@ -364,13 +368,14 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manually salted join — the skew mitigation for when AQE can't
     help (e.g. the downstream aggregation wants the join's partitioning,
     or the engine predates runtime re-planning): the probe side gets a
-    deterministic salt (l_linenumber mod 8 — NO rand(): results must be
-    reproducible under retries and re-partitioning), the build side is
-    exploded ×8 with every salt value, and the join key becomes
-    (orderkey, salt) — a hot orderkey's rows now land on 8 reducers
-    instead of 1. Salting is result-invariant: each probe row still
-    matches exactly its orderkey's build rows (once, at its own salt),
-    proven by the hash against the UNSALTED oracle join."""
+    deterministic salt (l_linenumber mod 7 — NO rand(): results must be
+    reproducible under retries and re-partitioning; 7 because the salt
+    source covers exactly the residues 0..6), the build side is exploded
+    ×7 with every salt value, and the join key becomes (orderkey, salt)
+    — a hot orderkey's rows now land on 7 reducers instead of 1. Salting
+    is result-invariant: each probe row still matches exactly its
+    orderkey's build rows (once, at its own salt), proven by the hash
+    against the UNSALTED oracle join."""
     l = load_table(spark, sf_dir, "lineitem").withColumn(  # noqa: E741
         "salt", F.col("l_linenumber") % _SALT
     )

@@ -104,8 +104,9 @@ def main() -> int:
         type=int,
         default=None,
         metavar="N",
-        help="run only the first N queries() entries IN DECLARATION ORDER — "
-        "mirrors the external driver's capped window (N=50)",
+        help="run only the first N queries() entries in the dict's "
+        "DRIVER-WINDOW order (operators.DRIVER_WINDOW first) — mirrors "
+        "the external driver's capped window (N=50)",
     )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/{args.sf}"
@@ -113,6 +114,10 @@ def main() -> int:
     queries = operators.all_queries()
     oracles = operators.all_oracles()
     if args.first is not None:
+        if args.names:
+            print("--first and explicit query names are mutually exclusive",
+                  file=sys.stderr)
+            return 2
         names = list(queries)[: args.first]
     else:
         names = args.names or sorted(queries)
