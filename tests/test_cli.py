@@ -80,3 +80,14 @@ def test_cli_incremental_requires_single_table(spark, capsys):
     rc = main(["--source", SF_SMOKE, "--target", "/tmp/x",
                "--tables", "orders", "region", "--incremental", "o_orderkey"])
     assert rc == 2
+
+
+def test_cli_rejects_unsupported_flags_per_mode(spark, capsys):
+    """Modes that cannot honor a flag must refuse it, never silently
+    drop it and print '(verified)'."""
+    rc = main(["--source", SF_SMOKE, "--target", "/tmp/x", "--tables", "orders",
+               "--incremental", "o_orderkey", "--checksum"])
+    assert rc == 2
+    rc = main(["--source", "jdbc:derby:memory:a", "--target", "jdbc:derby:memory:b",
+               "--tables", "t", "--checksum"])
+    assert rc == 2
