@@ -588,3 +588,83 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in parts[1:]:
         out = out.unionByName(d)
     return out
+
+
+@register(
+    "q_copy_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 3
+    ),
+    v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v2.o_orderkey IS NULL THEN 'delete'
+                WHEN v1.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type
+    FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v2.o_orderkey IS NULL
+       OR v1.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+       OR v1.o_orderstatus <> v2.o_orderstatus
+    """,
+)
+def q_copy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC computation a recurring copy job runs to
+    find what changed since the last copy: FULL OUTER join of the two
+    versions on the key, classify each row insert/update/delete by
+    null-side and value comparison. Here version 2 is derived
+    deterministically from version 1 (every 100th key's price bumped =
+    updates; every 97th-residue-3 key dropped = deletes) so the oracle
+    reproduces the same diff.
+
+    Scale notes: ONE shuffle of each snapshot on the key; the value
+    comparison uses a per-row hash in production (compare 8 bytes, not
+    every column — ``content_checksum``'s row hash works) so the diff
+    of a 100 TB table moves keys + hashes, not payloads. Emitted deltas
+    feed merge_table (update/insert legs) and an anti-join delete."""
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 != 3)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    a = v1.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("p1"),
+        F.col("o_orderstatus").alias("s1"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("p2"),
+        F.col("o_orderstatus").alias("s2"),
+    )
+    return (
+        a.join(b, a.k1 == b.k2, "full")
+        .where(
+            F.col("k2").isNull()
+            | F.col("k1").isNull()
+            | (F.col("p1") != F.col("p2"))
+            | (F.col("s1") != F.col("s2"))
+        )
+        .select(
+            F.coalesce("k1", "k2").alias("o_orderkey"),
+            F.when(F.col("k2").isNull(), "delete")
+            .when(F.col("k1").isNull(), "insert")
+            .otherwise("update")
+            .alias("change_type"),
+        )
+    )
