@@ -45,8 +45,29 @@ _PROBE_FILTER = "vec_id % 50 = 0"
 #: bare probe filter selects 2% of the corpus, which would grow without
 #: bound). Deterministic: smallest vec_ids win.
 _BLAS_MAX_PROBES = 32
-#: coarse centroids for IVF: a disjoint deterministic sample.
+#: coarse centroids for IVF: a disjoint deterministic sample, hard-capped
+#: at a FIXED count. Without the cap the filter alone selects 2% *of the
+#: corpus*, so the centroid broadcast (and the O(n·K) assignment work)
+#: would grow linearly with data — at 100 TB that broadcast OOMs every
+#: executor. With the cap, the broadcast is O(K·dim) bytes regardless of
+#: corpus size; production K scales like ~sqrt(n) but is always an
+#: explicit constant chosen per index build, never a fraction of the data.
 _CENTROID_FILTER = "vec_id % 50 = 7"
+_IVF_MAX_CENTROIDS = 32
+
+#: the (filtered, zero-norm-free) vector CTE shared by every similarity
+#: oracle — mirrors _vecs(), including the zero-norm guard.
+_V_SQL = (
+    "SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings "
+    "WHERE list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),"
+    " 'sum') > 0"
+)
+#: centroid CTE: deterministic filter + ORDER BY + fixed LIMIT, the same
+#: bounding pattern as _BLAS_MAX_PROBES.
+_C_SQL = (
+    f"SELECT vec_id AS cid, e AS ce FROM v WHERE {_CENTROID_FILTER} "
+    f"ORDER BY vec_id LIMIT {_IVF_MAX_CENTROIDS}"
+)
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +91,28 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
             F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)),
         )
+        # zero-norm vectors have no defined cosine: dividing by nrm=0
+        # would turn every score they touch into NaN and silently corrupt
+        # rankings. Excluding them is the principled semantics and is
+        # mirrored in every oracle's v CTE (_V_SQL).
+        .where(F.col("nrm") > 0.0)
+    )
+
+
+def _centroids(v: DataFrame) -> DataFrame:
+    """The IVF coarse-centroid set: filter → deterministic order → hard
+    LIMIT (TakeOrdered), so the broadcast side is a FIXED K rows no
+    matter how large the corpus grows — the same bounding pattern as
+    ``_bounded_probes``. Plan-pinned in tests/test_plans.py."""
+    return (
+        v.where(_CENTROID_FILTER)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+        .orderBy("cid")
+        .limit(_IVF_MAX_CENTROIDS)
     )
 
 
@@ -111,7 +154,7 @@ def _cosine_pre(a: str, b: str, na: str, nb: str) -> Column:
 @register(
     "q_sim_topk",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS ({_V_SQL}),
     p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
     scored AS (
       SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
@@ -156,7 +199,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_threshold",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    WITH v AS ({_V_SQL})
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            round(list_cosine_similarity(a.e, b.e), 4) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -188,8 +231,8 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_threshold_blocked",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE {_CENTROID_FILTER}),
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
@@ -219,11 +262,7 @@ def q_sim_threshold_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     same deterministic pipeline, so the result is hash-checked, and
     q_sim_threshold remains the exact all-pairs reference."""
     v = _vecs(spark, sf_dir)
-    c = v.where(_CENTROID_FILTER).select(
-        F.col("vec_id").alias("cid"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
+    c = _centroids(v)
     aw = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     assign = (
         v.crossJoin(F.broadcast(c))
@@ -257,7 +296,7 @@ def q_sim_threshold_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_knn_label",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS ({_V_SQL}),
     p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
     knn AS (
       SELECT probe_id, label FROM (
@@ -315,7 +354,7 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_topk_blas",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS ({_V_SQL}),
     p AS (SELECT * FROM v WHERE {_PROBE_FILTER}
           ORDER BY vec_id LIMIT {_BLAS_MAX_PROBES}),
     scored AS (
@@ -388,8 +427,8 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_ivf",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE {_CENTROID_FILTER}),
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
@@ -415,17 +454,15 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN, nprobe=1: coarse-quantize every vector to its
-    nearest of ~n/50 deterministic centroids (broadcast join), then each
-    probe searches only its own cell. Same recall/latency trade as a
-    FAISS IVF index, expressed as two broadcast joins + one window — at
-    100 TB, repartition the corpus by cell id once and reuse it for every
-    query batch."""
+    nearest of a FIXED ``_IVF_MAX_CENTROIDS`` deterministic centroids
+    (bounded broadcast join), then each probe searches only its own
+    cell. Same recall/latency trade as a FAISS IVF index, expressed as
+    two broadcast joins + one window — at 100 TB, repartition the corpus
+    by cell id once and reuse it for every query batch; raise K with
+    corpus size (~sqrt(n)) as an explicit index-build constant, never a
+    fraction of the data."""
     v = _vecs(spark, sf_dir)
-    c = v.where(_CENTROID_FILTER).select(
-        F.col("vec_id").alias("cid"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
+    c = _centroids(v)
     aw = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("cid").asc()
     )
@@ -473,10 +510,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_quantized",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS ({_V_SQL}),
     q AS (
       SELECT vec_id,
-             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale,
+             greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max')
+                      / 127.0, 1e-30) AS scale,
              e
       FROM v),
     dq AS (
@@ -513,9 +551,13 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap) and must agree exactly. Quantization error vs the exact top-k
     is a recall question (measured in tests), not a correctness one."""
     v = _vecs(spark, sf_dir)
-    scale = (
+    # greatest(·, ε) guards a hypothetical all-zero vector (scale=0 would
+    # make x/scale NaN); ε is far below any real float32 magnitude so the
+    # guard is an identity on actual data. Mirrored in the oracle.
+    scale = F.greatest(
         F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
-        / 127.0
+        / 127.0,
+        F.lit(1e-30),
     )
     dq = v.withColumn("scale", scale).select(
         "vec_id",

@@ -213,6 +213,36 @@ def test_blas_probe_pull_is_bounded(spark):
     assert ids == sorted(ids)
 
 
+def test_ivf_centroid_set_is_bounded(spark):
+    """The IVF coarse-centroid set must be a FIXED K rows, not a fraction
+    of the corpus: its broadcast (and the O(n·K) assignment work) must
+    stay constant as data grows. At sf0.01 (500 vectors) only 10 qualify;
+    at sf0.1 (2000 vectors, 4x the corpus) the cap must hold the set at
+    exactly _IVF_MAX_CENTROIDS — proving centroid count is constant
+    w.r.t. corpus rows once the cap engages."""
+    from copy_databasetables_spark.operators.similarity import (
+        _IVF_MAX_CENTROIDS,
+        _centroids,
+        _vecs,
+    )
+
+    small = _centroids(_vecs(spark, "/root/testdata/sf0.01")).collect()
+    large = _centroids(_vecs(spark, "/root/testdata/sf0.1")).collect()
+    assert 0 < len(small) <= _IVF_MAX_CENTROIDS
+    assert len(large) == _IVF_MAX_CENTROIDS  # 40 qualify, cap holds at 32
+    # deterministic: the smallest qualifying vec_ids, in order
+    ids = [r["cid"] for r in large]
+    assert ids == sorted(ids)
+    # the limit compiles to TakeOrdered — no global sort, no full pull
+    plan = (
+        _centroids(_vecs(spark, "/root/testdata/sf0.1"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_content_checksum_catches_compensating_corruption(spark):
     """The copy-verification checksum must not be fooled by two row
     edits whose hash deltas cancel additively: count+sum+bit_xor of the
