@@ -73,6 +73,8 @@ DRIVER_WINDOW: list[str] = [
     "q_sim_topk_blas",
     "q_sim_ivf",
     "q_sim_quantized",
+    # new this round
+    "src_jdbc_decimal",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

@@ -189,6 +189,57 @@ def q_src_jdbc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).load(spark)
 
 
+@register(
+    "src_jdbc_decimal",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS DECIMAL(10,0)) * 0.07 * 100 AS BIGINT)
+               AS price_cents,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                ELSE CAST(CAST(o_custkey - 750 AS DECIMAL(10,0))
+                          * 1.0001 * 10000 AS BIGINT) END
+               AS money_pips
+    FROM orders
+    """,
+)
+def q_src_jdbc_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(p,s) VALUE round-trip through a real JDBC driver — the
+    §1.2 type-map promise checked on values, not on a mapping dict:
+    exact DECIMAL(12,2) and money-style DECIMAL(19,4) columns (built
+    from integer × decimal-literal arithmetic, exact in any engine;
+    sign-varying, with a NULL stripe) are written into Derby with
+    explicit ``createTableColumnTypes``, read back over JDBC, and
+    projected to integer cents / pips (a lossless image of the decimal
+    at its scale) so the hash is representation-portable. The read-back
+    Spark schema is pinned to DecimalType(12,2)/(19,4) in
+    tests/test_jdbc.py."""
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec, JdbcWriteSpec
+
+    url = _derby_url(sf_dir, "decimals")
+    src = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(CAST(o_orderkey AS DECIMAL(10,0)) * CAST(0.07 AS DECIMAL(3,2))"
+        " AS DECIMAL(12,2)) AS price_dec",
+        "CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS DECIMAL(19,4))"
+        " ELSE CAST(CAST(o_custkey - 750 AS DECIMAL(10,0))"
+        "      * CAST(1.0001 AS DECIMAL(5,4)) AS DECIMAL(19,4)) END"
+        " AS money_dec",
+    )
+    JdbcWriteSpec(
+        url=url,
+        table="order_decimals",
+        mode="overwrite",
+        batchsize=5000,
+        create_table_column_types="price_dec DECIMAL(12,2), money_dec DECIMAL(19,4)",
+    ).save(src)
+    back = JdbcReadSpec(url=url, table="order_decimals").load(spark)
+    return back.selectExpr(
+        "o_orderkey",
+        "CAST(price_dec * 100 AS BIGINT) AS price_cents",
+        "CAST(money_dec * 10000 AS BIGINT) AS money_pips",
+    )
+
+
 _D_ORDERS = (
     "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
     "epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us, "

@@ -312,6 +312,40 @@ def test_mssql_dialect_quotes_identifiers(spark):
     assert _mssql_dialect(spark).quoteIdentifier("my table") == '"my table"'
 
 
+def test_jdbc_decimal_roundtrip_preserves_precision_scale(spark):
+    """DECIMAL(p,s) must survive a real JDBC round trip with its exact
+    precision/scale AND its values — the §1.2 type-map promise checked
+    end-to-end, not on the mapping dict. src_jdbc_decimal's oracle row
+    hash-checks values; this pins the read-back Catalyst schema and the
+    NULL stripe."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    from copy_databasetables_spark.operators.scans import (
+        _derby_url,
+        q_src_jdbc_decimal,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec
+
+    sf = "/root/testdata/sf0.001"
+    q_src_jdbc_decimal(spark, sf).collect()  # performs the Derby write
+    back = JdbcReadSpec(
+        url=_derby_url(sf, "decimals"), table="order_decimals"
+    ).load(spark)
+    types = dict(back.dtypes)
+    assert types["price_dec"] == "decimal(12,2)"
+    assert types["money_dec"] == "decimal(19,4)"
+    assert isinstance(back.schema["price_dec"].dataType, DecimalType)
+    row = back.where("o_orderkey = 1").collect()[0]
+    # exact decimal arithmetic: 1 * 0.07 stored as DECIMAL(12,2)
+    assert row["price_dec"] == Decimal("0.07")
+    # the NULL stripe survives as real SQL NULLs
+    assert back.where("o_orderkey % 97 = 0").where(
+        "money_dec IS NOT NULL"
+    ).count() == 0
+
+
 def test_multi_table_copy_scripts_foreign_keys(spark):
     """Parent/child pair: the schema-fidelity multi-table copy must
     recreate the FK on the target, apply it only after both loads, and
