@@ -44,11 +44,11 @@ HEADLINE = [
     "copy_table_partitioned",
 ]
 
-_RUNS = 3  # best-of; 2 under-warms the JIT on sub-second queries
-#: the flagship is the judged headline metric — give it extra samples:
-#: per-invocation JVM/JIT state varies its cold-plan time by ±0.1 s,
-#: which is 30% of the number; best-of-6 tightens the estimate.
-_FLAGSHIP_RUNS = 6
+#: best-of count, THE SAME for every benched query (flagship included):
+#: asymmetric sampling would bias whichever query gets more draws of the
+#: min-statistic downward relative to the rest. The count is reported in
+#: the JSON so numbers are comparable across rounds.
+_RUNS = 4
 
 
 def execute(df) -> None:
@@ -101,10 +101,112 @@ def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
     plain.collect()  # warm
     exact = queries["q_agg_group"](spark, sf_dir)
     exact.collect()  # warm
-    return {
+    out = {
+        "runs": _RUNS,
         "flagship_collect_exact_sec": best(lambda: exact.collect()),
+        # the baseline row re-MEASURED under this exact best-of protocol
+        # (same semantics as BASELINE.md's PySpark Q1 row: plain-double
+        # aggregates, warm collect) — the apples-to-apples comparator.
         "flagship_collect_plain_double_sec": best(lambda: plain.collect()),
-        "baseline_row_sec": 0.14,  # BASELINE.md: warm collect, local[4]
+        # the number BASELINE.md published for that row (warm collect,
+        # local[4]) — kept for traceability, clearly labeled as published
+        # rather than measured by this run.
+        "baseline_row_published_sec": 0.14,
+    }
+    # Warm-PLAN numbers for the top-3 most expensive headline queries:
+    # the DataFrame is built once (planning paid once) and only execution
+    # is timed, separating per-query regressions from the ~0.25 s
+    # Catalyst/AQE plan-compile floor and the machine-noise band that
+    # dominate the cold-plan headline numbers.
+    for name in ("q_dedup_minhash", "q_join_multi_star", "q_sim_topk"):
+        df = queries[name](spark, sf_dir)
+        execute(df)  # warm the plan + exchanges
+        out[f"warm_plan_{name}_sec"] = best(lambda: execute(df))
+    return out
+
+
+def _skew_ab(spark, sf_dir: str) -> dict:
+    """Measured skew story (SCALE.md): the same deliberately hot-keyed
+    join (90% of lineitem rows remapped onto ONE orderkey) executed
+    three ways — no mitigation, AQE skew-join split, manual salting —
+    so the mitigation advice is a number, not only a plan test.
+
+    Broadcast is disabled for all three (at bench scale orders would
+    broadcast and there'd be no shuffle to skew); the AQE variant lowers
+    the skew thresholds to bench-data sizes (at 100 TB the defaults —
+    256 MB / factor 5 — trigger on their own, the hot partition there is
+    ~90% of the table)."""
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.io import load_table
+
+    conf = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {k: conf.get(k, None) for k in keys}
+
+    def build(salted: bool):
+        l = load_table(spark, sf_dir, "lineitem").withColumn(  # noqa: E741
+            "k",
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_orderstatus"
+        )
+        if salted:
+            l = l.withColumn("salt", F.col("l_linenumber") % 7)  # noqa: E741
+            o = o.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(6))))
+            joined = l.join(o, ["k", "salt"])
+        else:
+            joined = l.join(o, "k")
+        return joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("s"),
+        )
+
+    def best(salted: bool) -> float:
+        df = build(salted)
+        execute(df)  # warm plan + exchanges under the current confs
+        b = float("inf")
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            execute(df)
+            b = min(b, time.perf_counter() - t0)
+        return round(b, 4)
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        no_mitigation = best(salted=False)
+        salted = best(salted=True)
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        aqe_skew = best(salted=False)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return {
+        "runs": _RUNS,
+        "hot_key_fraction": 0.9,
+        "no_mitigation_sec": no_mitigation,
+        "aqe_skew_split_sec": aqe_skew,
+        "salted_sec": salted,
     }
 
 
@@ -137,7 +239,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(_FLAGSHIP_RUNS if name == "q_agg_group" else _RUNS):
+        for _ in range(_RUNS):
             t0 = time.perf_counter()
             execute(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -150,8 +252,10 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "runs": _RUNS,
                 "sf": sf,
                 "protocol": _flagship_protocol(spark, queries, sf_dir),
+                "skew_ab": _skew_ab(spark, sf_dir),
             }
         )
     )
