@@ -239,20 +239,37 @@ def merge_table(
         n_keep = keep.count()
         out = keep.unionByName(src)
     # two-phase write: the plan reads target_path, so overwriting it
-    # in place would clobber inputs mid-job
+    # in place would clobber inputs mid-job. Verification runs on the
+    # staging dir BEFORE publish (a bad merge never touches the target),
+    # and publish is a directory RENAME, not a second table write — a
+    # crash can leave a stale target or a staging dir, never a truncated
+    # target. The staging dir (a full table copy) is removed on every
+    # exit path. At scale, use the target store's atomic-commit API.
     tmp = target_path.rstrip("/") + "._merge_tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    merged = spark.read.parquet(tmp)
-    merged.write.mode("overwrite").parquet(target_path)
-    # verify: merged = survivors + the full source, exactly
-    n, n_src = spark.read.parquet(target_path).count(), src.count()
-    if n != n_keep + n_src:
-        raise CopyVerificationError(
-            f"{table}: merge expected {n_keep} surviving + {n_src} source "
-            f"rows but target has {n}"
-        )
-    shutil.rmtree(tmp, ignore_errors=True)  # local staging; at scale use
-    # the FS API of the target store (the tmp dir is a full table copy)
+    old = target_path.rstrip("/") + "._merge_old"
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+        # verify staging: merged = survivors + the full source, exactly
+        n, n_src = spark.read.parquet(tmp).count(), src.count()
+        if n != n_keep + n_src:
+            raise CopyVerificationError(
+                f"{table}: merge expected {n_keep} surviving + {n_src} source "
+                f"rows but staged merge has {n}"
+            )
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
+        try:
+            os.rename(tmp, target_path)
+        except BaseException:
+            # roll the previous target back so a failed publish degrades
+            # to "merge didn't happen", never "target is gone"
+            if os.path.exists(old) and not os.path.exists(target_path):
+                os.rename(old, target_path)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return CopyResult(table, target_path, n, True)
 
 

@@ -227,3 +227,45 @@ def foreach_batch_jdbc_sink(write_spec):
         write_spec.save(batch_df.withColumn("_batch_id", F.lit(batch_id)))
 
     return _sink
+
+
+def foreach_batch_jdbc_sink_idempotent(write_spec):
+    """Exactly-once foreachBatch JDBC sink: delete-then-insert keyed on
+    batch_id. Structured Streaming re-delivers a failed/restarted
+    micro-batch with the SAME deterministic batch_id, so deleting that
+    batch's rows before appending makes any replay CONVERGE to a single
+    copy instead of duplicating — the standard exactly-once recipe for
+    a sink that only offers appends + deletes (no transactions spanning
+    the stream). First delivery pays one no-op DELETE; the table's
+    ``_batch_id`` column is the replay key. ``write_spec.mode`` must be
+    'append' (overwrite would drop OTHER batches' rows).
+
+    Replay-tested in tests/test_streaming.py::
+    test_foreach_batch_replay_is_idempotent."""
+    if write_spec.mode != "append":
+        raise ValueError("idempotent sink requires mode='append'")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from copy_databasetables_spark.sources.introspect import execute_ddl
+
+        try:
+            execute_ddl(
+                batch_df.sparkSession,
+                write_spec.url,
+                [
+                    # Spark's JDBC writer creates columns QUOTED (exact
+                    # case); quoting here also keeps Derby happy with the
+                    # leading underscore.
+                    f'DELETE FROM {write_spec.table} '
+                    f'WHERE "_batch_id" = {int(batch_id)}'
+                ],
+            )
+        except Exception as e:  # py4j-wrapped SQLException
+            # first-ever batch: the table doesn't exist yet (the append
+            # below creates it) — nothing to delete. Derby SQLState
+            # 42X05 = table not found in a DML statement.
+            if "42X05" not in str(e) and "does not exist" not in str(e):
+                raise
+        write_spec.save(batch_df.withColumn("_batch_id", F.lit(batch_id)))
+
+    return _sink

@@ -151,3 +151,37 @@ def test_merge_keeps_unmatched_target_rows(spark, tmp_path):
     assert back[-7] == "survivor"          # unmatched target row kept
     assert back[1] != "stale"              # source version replaced it
     assert len(back) == 6                  # 5 source regions + survivor
+
+
+def test_merge_failed_publish_rolls_back_and_cleans_staging(spark, tmp_path, monkeypatch):
+    """A merge whose publish rename fails must leave the PREVIOUS target
+    intact (rolled back, not truncated) and must not leak the ._merge_tmp
+    staging dir — the staging copy is a full table, so a leak on every
+    failed sync would eat the volume."""
+    import os
+
+    import pytest as _pytest
+
+    from copy_databasetables_spark.copy import engine
+
+    sf = "/root/testdata/sf0.001"
+    target = str(tmp_path / "merge_target")
+    engine.merge_table(spark, sf, "region", target, key="r_regionkey")
+    n0 = spark.read.parquet(target).count()
+    assert n0 > 0
+
+    real_rename = os.rename
+
+    def failing_rename(a, b):
+        if str(a).endswith("._merge_tmp"):  # the publish step only
+            raise OSError("simulated filesystem failure at publish")
+        real_rename(a, b)
+
+    monkeypatch.setattr(engine.os, "rename", failing_rename)
+    with _pytest.raises(OSError, match="simulated"):
+        engine.merge_table(spark, sf, "region", target, key="r_regionkey")
+    monkeypatch.undo()
+
+    assert spark.read.parquet(target).count() == n0  # rolled back, intact
+    assert not os.path.exists(target + "._merge_tmp")  # staging cleaned
+    assert not os.path.exists(target + "._merge_old")  # rollback consumed it

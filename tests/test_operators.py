@@ -309,3 +309,45 @@ def test_quantized_topk_recall_vs_exact(spark):
     hits = sum(len(quant[p] & exact[p]) for p in exact)
     total = sum(len(exact[p]) for p in exact)
     assert hits / total >= 0.8, f"recall {hits}/{total} too low"
+
+
+def test_decode_guard_error_path_is_pinned(spark):
+    """Golden error-path contract for the media-decode stub: non-text
+    modalities must raise NotImplementedError with the documented
+    message BOTH called directly and through the Spark mapInPandas
+    plumbing (the error must surface, not be swallowed into nulls), and
+    the text path must stay real."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.operators.multimodal import decode_media
+
+    # direct: the contract message names the missing capability
+    with _pytest.raises(NotImplementedError, match="kind='image'.*media libraries"):
+        decode_media(b"\x89PNG", "image")
+    with _pytest.raises(NotImplementedError, match="kind='audio'"):
+        decode_media(b"RIFF", "audio")
+    # text path is real, not a stub
+    feats = decode_media(b"hello world", "text")
+    assert feats["byte_len"] == 11 and feats["first_byte"] == ord("h")
+
+    # through Spark: an image payload in a mapInPandas batch must fail
+    # the job with the same error, not produce a null/empty row
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            rows = [decode_media(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG"), "image")], "doc_id long, payload binary, kind string"
+    ).mapInPandas(
+        extract,
+        schema="doc_id long, byte_len int, first_byte int, head_digest string, kind string",
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|media libraries"):
+        df.collect()
