@@ -41,6 +41,7 @@ _MODULES = [
     "setops",
     "scalar_funcs",
     "subqueries",
+    "analytics",
     "streaming_sem",
     "dedup",
     "similarity",
@@ -75,6 +76,11 @@ DRIVER_WINDOW: list[str] = [
     "q_sim_quantized",
     # new this round
     "src_jdbc_decimal",
+    "q_dedup_cluster",
+    "q_funnel",
+    "q_agg_histogram",
+    "q_emb_centroid",
+    "q_text_boilerplate",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

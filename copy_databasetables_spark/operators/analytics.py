@@ -1,0 +1,151 @@
+"""Event/spend analytics operators (beyond-survey coverage).
+
+Two shapes a production warehouse runs daily that the §2 inventory only
+implies:
+
+- ``q_funnel`` — ordered event-sequence (funnel) analysis: for each
+  user, the first ``view``, the first ``click`` strictly after it, and
+  the first ``purchase`` strictly after that. Strict ordering is the
+  point — a click before any view must not count.
+- ``q_agg_histogram`` — fixed-bin histogram of a numeric column, with
+  bin arithmetic portable across engines (plain FLOOR division, no
+  engine-specific width_bucket semantics).
+
+Scale notes (100 TB): the funnel's three conditional aggregations and
+two joins are ALL keyed on user_id, so the plan shuffles the events
+table once and reuses that partitioning for every later stage (AQE
+keeps co-partitioned joins exchange-free); state per user is three
+timestamps. The histogram is a two-phase hash aggregate on a derived
+int key — partial maps have at most n_bins entries, so the shuffle
+carries bins, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import dsum, us
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      GROUP BY e.user_id)
+    SELECT s1.user_id,
+           epoch_us(s1.t1) AS view_us,
+           epoch_us(s2.t2) AS click_us,
+           epoch_us(s3.t3) AS purchase_us,
+           1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s2.user_id = s3.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel per user.
+
+    Stage k's timestamp is the MIN event of that type strictly after
+    stage k-1's timestamp — a click that precedes every view does not
+    advance the funnel. Three conditional aggregations chained by
+    equi-joins, every one keyed on user_id (one shuffle, reused)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # rename the join keys: s2/s3 carry s1 in their lineage, so joining
+    # on same-named user_id columns would be ambiguous self-join territory
+    s2r = s2.select(F.col("user_id").alias("u2"), "t2")
+    s3r = s3.select(F.col("user_id").alias("u3"), "t3")
+    stage = (
+        F.lit(1)
+        + F.when(F.col("u2").isNull(), 0).otherwise(1)
+        + F.when(F.col("u3").isNull(), 0).otherwise(1)
+    )
+    return (
+        s1.join(s2r, F.col("user_id") == F.col("u2"), "left")
+        .join(s3r, F.col("u2") == F.col("u3"), "left")
+        .select(
+            "user_id",
+            us("t1", "view_us"),
+            us("t2", "click_us"),
+            us("t3", "purchase_us"),
+            stage.alias("stage"),
+        )
+    )
+
+
+_HIST_LO = 0.0
+_HIST_STEP = 5_000.0
+_HIST_BINS = 22
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_HIST_LO})
+                                     / {_HIST_STEP}) AS INT), 0),
+                 {_HIST_BINS - 1}) AS bin,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin price histogram: bin = clamp(floor((x-lo)/step)).
+
+    Plain FLOOR arithmetic instead of width_bucket so the bin function
+    is bit-identical in any engine; the clamp folds under/overflow into
+    the edge bins (standard histogram tails)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - _HIST_LO) / _HIST_STEP).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        li.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )

@@ -688,3 +688,99 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {_D_TOKS} AS toks,
+                 len({_D_TOKS}) AS sz
+          FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+            >= {_JACCARD_TAU}),
+    edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM comp
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the
+    step that turns PAIRS into dedup DECISIONS: transitively-linked
+    docs form one cluster (A≈B, B≈C ⇒ {A,B,C} even if A,C aren't a
+    pair), the canonical survivor is the cluster's minimum doc_id, and
+    everything else is droppable. Output: every doc that appears in at
+    least one pair, its cluster id, and the cluster size.
+
+    Spark shape: iterative min-label propagation to a fixpoint — each
+    round, every vertex takes the min of its own label and its
+    neighbors' labels (one shuffle join + one groupBy per round);
+    rounds ≤ graph diameter, and near-dup clusters are shallow (dozens
+    of hops at worst, vs the path-doubling / large-star-small-star
+    variants that cut rounds to O(log n) for pathological chains —
+    the documented upgrade if diameters grow). The oracle computes the
+    same fixpoint declaratively (recursive transitive closure — fine
+    at oracle scale, quadratic in cluster size at corpus scale, which
+    is exactly why the Spark side iterates instead).
+
+    ``localCheckpoint`` truncates the growing lineage each round (at
+    cluster scale: ``checkpoint`` to durable storage, so a lost
+    executor doesn't recompute every prior round)."""
+    from pyspark.sql.window import Window
+
+    pairs = q_dedup_near(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .localCheckpoint()  # pair generation runs ONCE, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    # Convergence check is join-free: labels only ever DECREASE under
+    # min-propagation, so the label sum strictly decreases every round
+    # that changed anything and is constant exactly at the fixpoint —
+    # one cheap aggregate instead of a labels⋈labels diff per round.
+    prev_sum = None
+    for _ in range(50):  # diameter guard; testdata converges in ~3
+        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("label propagation did not converge in 50 rounds")
+    w = Window.partitionBy("cluster_id")
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).withColumn(
+        "n_members", F.count(F.lit(1)).over(w)
+    )

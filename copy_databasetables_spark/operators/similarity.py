@@ -589,3 +589,38 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
+
+
+@register(
+    "q_emb_centroid",
+    oracle=f"""
+    WITH v AS ({{_V_SQL}}),
+    ex AS (SELECT label, unnest(range(0, len(e))) AS pos, unnest(e) AS x
+           FROM v)
+    SELECT label, CAST(pos AS INT) AS pos,
+           round(CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (1e6 * COUNT(*)), 6) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM ex GROUP BY label, pos
+    """.format(_V_SQL=_V_SQL),
+)
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the building block
+    for centroid classifiers, IVF index builds, and drift monitoring).
+
+    Shape: posexplode → two-phase hash aggregate keyed (label, pos) —
+    the shuffle carries |labels|·dim partial sums, not vectors, so the
+    reduce side is constant in corpus size. The component sum uses the
+    engine's scaled-int64 convention (FLOOR(x·10⁶+0.5) is a lossy but
+    bit-identical quantization applied in BOTH engines, making the
+    mean exact and portable; raw double summation would be partition-
+    order dependent)."""
+    v = _vecs(spark, sf_dir)
+    ex = v.select("label", F.posexplode("e").alias("pos", "x"))
+    raw = F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint")).cast(
+        "double"
+    ) / (F.lit(1e6) * F.count(F.lit(1)))
+    return ex.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        F.round(raw, 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

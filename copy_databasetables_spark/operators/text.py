@@ -416,3 +416,35 @@ def q_text_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("balance_band"),
         "c_mktsegment",
     )
+
+
+@register(
+    "q_text_boilerplate",
+    oracle="""
+    SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+               AS prefix_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: documents sharing an identical
+    8-token prefix form a template group (headers, licence banners,
+    scraped navigation chrome — the stuff near-dedup misses because the
+    BODIES differ). Groups by the md5 of the prefix so the shuffle key
+    is 16 bytes regardless of document size — the same hash-first-
+    group-second discipline as q_dedup_exact; only groups with >1 doc
+    survive (the group-by itself is the detector)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    return (
+        d.groupBy(F.md5(prefix).alias("prefix_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
