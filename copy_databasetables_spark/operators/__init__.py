@@ -81,6 +81,12 @@ DRIVER_WINDOW: list[str] = [
     "q_agg_histogram",
     "q_emb_centroid",
     "q_text_boilerplate",
+    "q_sessionize",
+    "q_retention",
+    "q_text_chunk",
+    "q_text_repetition",
+    "q_dedup_incremental",
+    "q_emb_outlier",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

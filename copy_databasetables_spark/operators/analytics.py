@@ -149,3 +149,125 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_price"),
         )
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o)
+    SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+           epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: events of one user separated by ≤30 min of
+    idle time form a session (the batch twin of the streaming
+    session-window operator, q_stream_session — same gap semantics,
+    here as plain window functions over history).
+
+    Shape: lag + running-sum over (user_id ORDER BY ts), then a groupBy
+    on (user_id, session_idx) — every stage keys on user_id, so the
+    events table shuffles ONCE and the window sort, the session
+    aggregation, and any later per-user join all reuse that exchange.
+    Session state per user is one timestamp (the lag), not the event
+    history. Ties: ts is unique per user in this dataset; event_id is
+    the total-order tie-break so the fixpoint is deterministic anyway."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = us("ts") - us(F.lag("ts").over(w))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_idx", F.sum("new_sess").over(run).cast("int")
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        us(F.min("ts"), "start_us"),
+        us(F.max("ts"), "end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id),
+    sz AS (SELECT cohort_day, COUNT(*) AS cohort_size
+           FROM c GROUP BY cohort_day),
+    a AS (SELECT DISTINCT e.user_id, c.cohort_day,
+                 datediff('day', c.cohort_day, CAST(e.ts AS DATE))
+                     AS day_offset
+          FROM events e JOIN c ON e.user_id = c.user_id)
+    SELECT CAST(a.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS INT) AS day_offset,
+           COUNT(*) AS n_active,
+           round(COUNT(*) / CAST(sz.cohort_size AS DOUBLE), 6)
+               AS retention
+    FROM a JOIN sz ON a.cohort_day = sz.cohort_day
+    GROUP BY a.cohort_day, day_offset, sz.cohort_size
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted distinct on every later active day as an offset from the
+    cohort day, with the retained fraction of the cohort.
+
+    Shape: the cohort assignment and the activity scan both key on
+    user_id (one shuffle, reused by the join); the final matrix keys on
+    (cohort_day, day_offset) whose cardinality is days² — tiny, so the
+    cohort-size side of the last join is broadcast by size. No
+    collect, no per-day driver loop: the whole matrix is one plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    size = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(size, "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

@@ -784,3 +784,153 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id")).withColumn(
         "n_members", F.count(F.lit(1)).over(w)
     )
+
+
+#: the deterministic "incoming batch" split: ~10% of the corpus plays
+#: the role of a freshly-crawled shard, the rest is the existing index.
+_BATCH_PRED = "doc_id % 10 = 7"
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id, lang, toks, {_D_TOKH} AS tokh FROM t),
+    sigs AS (SELECT doc_id, lang, len(toks) AS sz, tokh,
+                    {_D_MINHASH_SIG} AS sig FROM th),
+    keyed AS (
+      SELECT doc_id, lang, sz, tokh, band,
+             array_to_string(sig[band * {_ROWS_PER_BAND} + 1 :
+                                 band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+                             '_') AS bucket
+      FROM (SELECT *, CAST(UNNEST(range({_N_BANDS})) AS INT) AS band
+            FROM sigs)),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, i.doc_id AS index_id
+      FROM keyed b JOIN keyed i
+        ON b.lang = i.lang AND b.band = i.band AND b.bucket = i.bucket
+      WHERE b.doc_id % 10 = 7 AND NOT (i.doc_id % 10 = 7)
+        AND b.sz * 100 >= i.sz * 95 AND i.sz * 100 >= b.sz * 95),
+    ver AS (
+      SELECT batch_id, index_id,
+             len(list_intersect(tb.tokh, ti.tokh))::DOUBLE
+               / (len(tb.tokh) + len(ti.tokh)
+                  - len(list_intersect(tb.tokh, ti.tokh))) AS jaccard
+      FROM cand
+      JOIN th tb ON tb.doc_id = cand.batch_id
+      JOIN th ti ON ti.doc_id = cand.index_id),
+    hit AS (
+      SELECT batch_id, MIN(index_id) AS match_doc_id
+      FROM ver WHERE jaccard >= {_JACCARD_TAU} GROUP BY batch_id)
+    SELECT t.doc_id,
+           CASE WHEN hit.match_doc_id IS NULL
+                THEN 'new' ELSE 'dup' END AS status,
+           hit.match_doc_id,
+           round(v2.jaccard, 6) AS jaccard
+    FROM t
+    LEFT JOIN hit ON hit.batch_id = t.doc_id
+    LEFT JOIN ver v2 ON v2.batch_id = hit.batch_id
+                    AND v2.index_id = hit.match_doc_id
+    WHERE {_BATCH_PRED}
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production crawl shape: dedup an
+    INCOMING BATCH against an EXISTING INDEX instead of the corpus
+    against itself. Every new document either survives ('new') or is
+    attributed to its existing duplicate ('dup' + the matched index
+    doc, deterministically the smallest matching doc_id, with the
+    verified Jaccard).
+
+    Why this is its own operator and not q_dedup_minhash with a filter:
+    the candidate join is batch-bands ⋈ index-bands — at 100 TB the
+    index side's band table is PRECOMPUTED ONCE and stored partitioned
+    by (lang, band, bucket) (here it is derived inline because the
+    testdata has no persisted index), so a daily batch shuffles only
+    its OWN bands (|batch| ≪ |index|) and probes the index in place;
+    nothing ever re-signatures the historical corpus. Batch-internal
+    duplicates are deliberately out of scope (run q_dedup_minhash
+    within the batch first) — the two-phase split is what keeps the
+    incremental cost proportional to the batch.
+
+    The verify step re-joins token sets by doc_id (shuffle on doc_id,
+    no broadcast — same discipline as q_dedup_near), and the final
+    attribution is a left join so 'new' documents are present in the
+    output with NULL match columns."""
+    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    sigs = toks.select(
+        "doc_id", "lang", "sz", "tokh", F.expr(_MINHASH_SIG).alias("sig")
+    )
+    keyed = sigs.select(
+        "doc_id",
+        "lang",
+        "sz",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "lang",
+        "sz",
+        "band",
+        F.array_join(
+            F.slice(F.col("sig"), F.col("band") * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+            "_",
+        ).alias("bucket"),
+    )
+    is_batch = F.expr(_BATCH_PRED)
+    kb = keyed.where(is_batch).select(
+        F.col("doc_id").alias("batch_id"), "lang", "band", "bucket",
+        F.col("sz").alias("sz_b"),
+    )
+    ki = keyed.where(~is_batch).select(
+        F.col("doc_id").alias("index_id"), "lang", "band", "bucket",
+        F.col("sz").alias("sz_i"),
+    )
+    cand = (
+        kb.join(ki, ["lang", "band", "bucket"])
+        .where(
+            (F.col("sz_b") * 100 >= F.col("sz_i") * 95)
+            & (F.col("sz_i") * 100 >= F.col("sz_b") * 95)
+        )
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    tb = toks.select(F.col("doc_id").alias("batch_id"), F.col("tokh").alias("th_b"))
+    ti = toks.select(F.col("doc_id").alias("index_id"), F.col("tokh").alias("th_i"))
+    inter = F.size(F.array_intersect("th_b", "th_i"))
+    ver = (
+        cand.join(tb, "batch_id")
+        .join(ti, "index_id")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.size("th_b") + F.size("th_i") - inter),
+        )
+        .select("batch_id", "index_id", "jaccard")
+    )
+    hit = (
+        ver.where(F.col("jaccard") >= _JACCARD_TAU)
+        .groupBy("batch_id")
+        .agg(F.min("index_id").alias("match_doc_id"))
+    )
+    # re-join ver on BOTH keys (renamed to avoid self-join ambiguity) to
+    # recover the Jaccard of the chosen match.
+    best = hit.join(
+        ver.withColumnRenamed("batch_id", "b2").withColumnRenamed(
+            "index_id", "m2"
+        ),
+        (F.col("batch_id") == F.col("b2"))
+        & (F.col("match_doc_id") == F.col("m2")),
+    ).select("batch_id", "match_doc_id", "jaccard")
+    batch_docs = toks.where(is_batch).select("doc_id")
+    return (
+        batch_docs.join(best, batch_docs.doc_id == best.batch_id, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("match_doc_id").isNull(), "new")
+            .otherwise("dup")
+            .alias("status"),
+            "match_doc_id",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

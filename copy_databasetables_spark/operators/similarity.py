@@ -624,3 +624,80 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(raw, 6).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+_OUTLIER_K = 3
+
+
+@register(
+    "q_emb_outlier",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    ex AS (SELECT vec_id, label,
+                  CAST(UNNEST(range(0, len(e))) AS INT) AS pos,
+                  UNNEST(e) AS x
+           FROM v),
+    cg AS (SELECT label, pos,
+                  CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / (1e6 * COUNT(*)) AS cval
+           FROM ex GROUP BY label, pos),
+    d AS (SELECT ex.vec_id, ex.label,
+                 sqrt(SUM((ex.x - cg.cval) * (ex.x - cg.cval))) AS dist
+          FROM ex JOIN cg ON ex.label = cg.label AND ex.pos = cg.pos
+          GROUP BY ex.vec_id, ex.label),
+    r AS (SELECT vec_id, label, dist,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY dist DESC, vec_id) AS rk
+          FROM d)
+    SELECT vec_id, label, round(dist, 4) AS dist,
+           CAST(rk AS INT) AS rank_pos
+    FROM r WHERE rk <= {_OUTLIER_K}
+    """,
+)
+def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the K vectors farthest (L2) from
+    their label's mean embedding — mislabeled / drifted / junk sample
+    detection, the quality-control twin of q_emb_centroid.
+
+    Shape: centroids come from the posexplode two-phase aggregate
+    (shuffle carries |labels|·dim partial sums), are re-assembled into
+    one array per label (|labels| rows — broadcast by size into the
+    distance join), and the distance is a zip_with fold in whole-stage
+    codegen. Ranking partitions by label. At 100 TB every stage's
+    reduce side is O(|labels|·dim) or O(|labels|·K) — constant in
+    corpus rows — except the embarrassingly-parallel distance map.
+
+    Determinism: the centroid uses the scaled-int convention (exact,
+    order-independent); distances differ between engines only by float
+    summation order (≪1e-10), nine orders below both the 4dp rounding
+    and the ~1e-3 ranking gaps; vec_id breaks rank ties totally."""
+    v = _vecs(spark, sf_dir)
+    ex = v.select("vec_id", "label", F.posexplode("e").alias("pos", "x"))
+    cg = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint")).cast(
+                "double"
+            )
+            / (F.lit(1e6) * F.count(F.lit(1)))
+        ).alias("cval")
+    )
+    cent = cg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("ce")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    d = v.join(cent, "label").select("vec_id", "label", dist.alias("dist"))
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        d.withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _OUTLIER_K)
+        .select("vec_id", "label", F.round("dist", 4).alias("dist"), "rank_pos")
+    )

@@ -448,3 +448,133 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n
+               FROM documents),
+    nc AS (SELECT doc_id, toks, n,
+                  1 + CAST(CEIL(GREATEST(n - {_CHUNK}, 0) / {_STRIDE}.0)
+                           AS INT) AS n_chunks
+           FROM t),
+    ex AS (SELECT doc_id, toks, n,
+                  CAST(UNNEST(range(n_chunks)) AS INT) AS chunk_idx
+           FROM nc)
+    SELECT doc_id, chunk_idx,
+           md5(array_to_string(
+               toks[chunk_idx * {_STRIDE} + 1 :
+                    chunk_idx * {_STRIDE} + {_CHUNK}], ' ')) AS chunk_hash,
+           len(toks[chunk_idx * {_STRIDE} + 1 :
+                    chunk_idx * {_STRIDE} + {_CHUNK}]) AS n_tokens
+    FROM ex
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — split each document into 32-token
+    chunks with a 24-token stride (8-token overlap), the standard
+    pre-tokenization step that turns raw
+    documents into fixed-budget training samples. Every token lands in
+    at least one chunk; the final chunk may be short (no padding here —
+    padding is the tokenizer's job).
+
+    Shape: chunk offsets come from ``sequence``+``explode`` computed
+    per row — embarrassingly parallel, zero shuffle, and the 1→N
+    expansion happens AFTER the scan so Parquet still prunes to the two
+    needed columns. Output carries the md5 of the chunk (16 bytes) so
+    downstream exact-dedup of chunks shuffles hashes, not text; n_tokens
+    exposes the ragged tail."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - _CHUNK, F.lit(0)) / F.lit(float(_STRIDE))).cast(
+            "int"
+        )
+    )
+    ex = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n
+               FROM documents),
+    g AS (SELECT doc_id, n, toks,
+                 list_transform(range(1, n), i -> toks[i] || ' ' || toks[i + 1])
+                     AS grams
+          FROM t)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(len(list_distinct(toks)) / CAST(n AS DOUBLE), 6)
+               AS distinct_ratio,
+           round(list_max(list_transform(list_distinct(toks),
+                     u -> len(list_filter(toks, x -> x = u))))
+                 / CAST(n AS DOUBLE), 6) AS top_token_frac,
+           CASE WHEN n < 2 THEN 0.0
+                ELSE round((len(grams) - len(list_distinct(grams)))
+                           / CAST(len(grams) AS DOUBLE), 6) END
+               AS dup_bigram_frac
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition scoring (the Gopher-rule family): token
+    diversity, the most-frequent-token share, and the fraction of
+    duplicated bigrams. High-repetition documents are the boilerplate /
+    keyword-stuffing / degenerate-generation bucket that quality
+    filtering drops before training.
+
+    Shape: every measure is a higher-order-function expression over the
+    per-row token array — array_distinct, filter-count, bigram
+    construction all run inside whole-stage codegen with ZERO shuffles
+    (contrast q_text_wordcount, which explodes then aggregates
+    corpus-wide). The top-token count is O(distinct·n) per row — bounded
+    by document length, independent of corpus size, and embarrassingly
+    parallel. Ratios are rounded to 6dp on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    grams = F.expr(
+        "transform(sequence(1, n - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(toks), "
+        "u -> size(filter(toks, x -> x = u))))"
+    )
+    g = t.withColumn("grams", grams)
+    nd = F.col("n").cast("double")
+    return g.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("toks")) / nd, 6).alias("distinct_ratio"),
+        F.round(top_cnt / nd, 6).alias("top_token_frac"),
+        F.when(F.col("n") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.size("grams") - F.size(F.array_distinct("grams")))
+                / F.size("grams").cast("double"),
+                6,
+            )
+        )
+        .alias("dup_bigram_frac"),
+    )
