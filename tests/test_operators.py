@@ -351,3 +351,156 @@ def test_decode_guard_error_path_is_pinned(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|media libraries"):
         df.collect()
+
+
+def test_sessionize_gap_invariants(spark):
+    """Within a session every consecutive gap is <= 30 min; the first
+    event of session k+1 is > 30 min after the last event of session k
+    — checked per user against the raw event stream."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["q_sessionize"](spark, sf).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gap = 1_800_000_000
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r["session_idx"])
+        for a, b in zip(sessions, sessions[1:]):
+            assert b["session_idx"] == a["session_idx"] + 1
+            assert b["start_us"] - a["end_us"] > gap
+        for s in sessions:
+            assert s["start_us"] <= s["end_us"]
+            # a session of n events spans at most (n-1) max-gaps
+            assert s["end_us"] - s["start_us"] <= (s["n_events"] - 1) * gap
+
+
+def test_retention_day_zero_is_total(spark):
+    """Every user is active on their own cohort day, so day_offset=0
+    retention is exactly 1.0 for every cohort; offsets are >= 0 and
+    retained fractions never exceed 1."""
+    from copy_databasetables_spark.operators import all_queries
+
+    rows = all_queries()["q_retention"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0.0 < r["retention"] <= 1.0
+        if r["day_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_funnel_is_strictly_ordered(spark):
+    """Funnel timestamps are strictly increasing where present, and the
+    stage count equals 1 + the number of completed later stages."""
+    from copy_databasetables_spark.operators import all_queries
+
+    rows = all_queries()["q_funnel"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        stage = 1
+        if r["click_us"] is not None:
+            assert r["click_us"] > r["view_us"]
+            stage += 1
+        if r["purchase_us"] is not None:
+            assert r["click_us"] is not None
+            assert r["purchase_us"] > r["click_us"]
+            stage += 1
+        assert r["stage"] == stage
+
+
+def test_chunking_covers_every_token(spark):
+    """(n_chunks-1)*stride + len(last chunk) == n_tokens — i.e. the
+    last chunk ends exactly at the document's end, so the sliding
+    window covers every token; all non-final chunks are full-width."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    chunks = all_queries()["q_text_chunk"](spark, sf).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in cs] == list(range(len(cs)))
+        for c in cs[:-1]:
+            assert c["n_tokens"] == 32
+        assert (len(cs) - 1) * 24 + cs[-1]["n_tokens"] == n_tokens[doc_id]
+
+
+def test_cluster_ids_are_min_member_and_cover_pairs(spark):
+    """q_dedup_cluster: cluster_id is the minimum member doc_id, sizes
+    match membership, and both endpoints of every near-dup pair land in
+    the same cluster (transitive closure actually closed)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_dedup_cluster"](spark, sf).collect()
+    by_cluster: dict[int, set] = {}
+    label = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        label[r["doc_id"]] = r["cluster_id"]
+        assert r["cluster_id"] <= r["doc_id"]
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    sizes = {r["cluster_id"]: r["n_members"] for r in rows}
+    for cid, members in by_cluster.items():
+        assert sizes[cid] == len(members)
+    pairs = all_queries()["q_dedup_near"](spark, sf).collect()
+    for p in pairs:
+        assert label[p["doc_id_a"]] == label[p["doc_id_b"]]
+
+
+def test_incremental_dedup_attribution(spark):
+    """Every batch doc appears exactly once; duplicates point at an
+    INDEX doc with verified jaccard >= tau, survivors carry nulls."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_dedup_incremental"](spark, sf).collect()
+    batch = {
+        r["doc_id"]
+        for r in load_table(spark, sf, "documents")
+        .where("doc_id % 10 = 7")
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows} == batch and len(rows) == len(batch)
+    assert any(r["status"] == "dup" for r in rows)
+    for r in rows:
+        if r["status"] == "dup":
+            assert r["match_doc_id"] % 10 != 7
+            assert r["jaccard"] >= 0.95
+        else:
+            assert r["match_doc_id"] is None and r["jaccard"] is None
+
+
+def test_emb_outlier_output_is_label_bounded(spark):
+    """Output is exactly top-3 rows per label — constant in corpus
+    size — with non-negative distances and dense ranks 1..3."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_emb_outlier"](spark, sf).collect()
+    n_labels = load_table(spark, sf, "embeddings").select("label").distinct().count()
+    assert len(rows) == 3 * n_labels
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r["dist"] >= 0.0
+        by_label.setdefault(r["label"], []).append(r)
+    for rs in by_label.values():
+        rs.sort(key=lambda r: r["rank_pos"])
+        assert [r["rank_pos"] for r in rs] == [1, 2, 3]
+        assert rs[0]["dist"] >= rs[1]["dist"] >= rs[2]["dist"]
