@@ -230,6 +230,15 @@ def merge_table(
     partition the target and rewrite only partitions whose keys appear
     in the update batch (partition pruning on the anti-join makes that
     automatic when the key prefixes the partition scheme)."""
+    old = target_path.rstrip("/") + "._merge_old"
+    # crash recovery: a previous publish killed between its two renames
+    # (target moved aside, new target never landed) leaves the ONLY good
+    # copy in ._merge_old with no target. Restore it before reading —
+    # otherwise this run would treat the target as absent (silently
+    # dropping survivor rows) and the cleanup below would delete that
+    # sole remaining copy.
+    if os.path.exists(old) and not os.path.exists(target_path):
+        os.rename(old, target_path)
     src = load_table(spark, sf_dir, table)
     existing = _read_target_if_exists(spark, target_path)
     if existing is None:
@@ -242,11 +251,12 @@ def merge_table(
     # in place would clobber inputs mid-job. Verification runs on the
     # staging dir BEFORE publish (a bad merge never touches the target),
     # and publish is a directory RENAME, not a second table write — a
-    # crash can leave a stale target or a staging dir, never a truncated
-    # target. The staging dir (a full table copy) is removed on every
-    # exit path. At scale, use the target store's atomic-commit API.
+    # crash can leave a stale target, a staging dir, or (killed between
+    # the two renames) a missing target whose data survives in
+    # ._merge_old, which the recovery block above restores on the next
+    # run. The staging dir (a full table copy) is removed on every exit
+    # path. At scale, use the target store's atomic-commit API.
     tmp = target_path.rstrip("/") + "._merge_tmp"
-    old = target_path.rstrip("/") + "._merge_old"
     try:
         out.write.mode("overwrite").parquet(tmp)
         # verify staging: merged = survivors + the full source, exactly

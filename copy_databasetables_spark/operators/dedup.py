@@ -372,6 +372,100 @@ _D_MINHASH_SIG = (
 )
 
 
+def _band_keyed(sigs: DataFrame) -> DataFrame:
+    """Explode a minhash signature into its LSH band buckets: one row per
+    (doc, band), with that band's signature slice joined into a string
+    bucket key — the equi-join key that replaces the all-pairs compare.
+    Shared by q_dedup_minhash / _capped / _incremental (one definition,
+    one place to change the banding scheme)."""
+    return sigs.select(
+        "doc_id",
+        "lang",
+        "sz",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "lang",
+        "sz",
+        "band",
+        F.array_join(
+            F.slice(
+                F.col("sig"), F.col("band") * _ROWS_PER_BAND + 1, _ROWS_PER_BAND
+            ),
+            "_",
+        ).alias("bucket"),
+    )
+
+
+def _band_candidates(spark: SparkSession, keyed: DataFrame) -> DataFrame:
+    """Self-join banded rows on (lang, band, bucket) → distinct candidate
+    id pairs, carrying the τ=0.95 size-ratio band (sound: J ≥ τ ⇒
+    τ ≤ |A|/|B| ≤ 1/τ) so bucket collisions are pruned BEFORE they cost
+    an exact-Jaccard intersect. Candidate ids only — token arrays join
+    back once per side in _verify_jaccard, so the dedup-DISTINCT
+    shuffles 2 longs per row, not 2 arrays."""
+    a = keyed.select(
+        F.col("doc_id").alias("doc_id_a"), "lang", "band", "bucket", "sz"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.band == b.band_b)
+            & (a.bucket == b.bucket_b)
+            & (a.doc_id_a < b.doc_id_b)
+            & (a.sz * 100 >= b.sz_b * 95)
+            & (b.sz_b * 100 >= a.sz * 95),
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+        # AQE coalesces the distinct's shuffle to ~1 partition (candidate
+        # ids are only a few MB) but each row still owes an array-Jaccard
+        # — rebalance so verification keeps full parallelism.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _verify_jaccard(cand: DataFrame, toks: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs over the int hash
+    arrays (distinct tokens ↔ distinct hashes — int equality beats
+    string equality across millions of pairs). NO broadcast hint on
+    either side: the token table IS the corpus (O(100 TB) — it can
+    never be broadcast), so both verify joins shuffle on doc_id and AQE
+    picks the strategy from actual sizes. |A∪B| = |A|+|B|−|A∩B| for
+    distinct sets: one intersect per pair, no materialized union."""
+    ta = toks.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("tokh").alias("tokh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("tokh").alias("tokh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("tokh_a", "tokh_b"))
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+
 @register(
     "q_dedup_minhash",
     oracle=f"""
@@ -426,84 +520,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical band."""
     toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
     sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
-    keyed = sigs.select(
-        "doc_id",
-        "lang",
-        "sz",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        "doc_id",
-        "lang",
-        "sz",
-        "band",
-        F.array_join(
-            F.slice(
-                F.col("sig"), F.col("band") * _ROWS_PER_BAND + 1, _ROWS_PER_BAND
-            ),
-            "_",
-        ).alias("bucket"),
-    )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_id_a"), "lang", "band", "bucket", "sz"
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("sz").alias("sz_b"),
-    )
-    # candidate ids only — token arrays join back once per side, so the
-    # expensive dedup-DISTINCT shuffles 2 longs per row, not 2 arrays
-    cand = (
-        a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.band == b.band_b)
-            & (a.bucket == b.bucket_b)
-            & (a.doc_id_a < b.doc_id_b)
-            & (a.sz * 100 >= b.sz_b * 95)
-            & (b.sz_b * 100 >= a.sz * 95),
-        )
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
-        # AQE coalesces the distinct's shuffle to ~1 partition (candidate
-        # ids are only a few MB) but each row still owes an array-Jaccard
-        # — rebalance so verification keeps full parallelism.
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    # Verification: Jaccard over the int hash arrays (distinct tokens ↔
-    # distinct hashes), not the string arrays — int equality beats string
-    # equality across millions of candidate pairs. NO broadcast hint on
-    # either side: the token table IS the corpus (O(100 TB) — it can
-    # never be broadcast), so both verify joins shuffle on doc_id and AQE
-    # picks the strategy from actual sizes (locally it may still choose
-    # broadcast because the doc side is tiny; at scale it cannot).
-    ta = toks.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("tokh").alias("tokh_a"),
-        F.col("sz").alias("sz_a"),
-    )
-    tb = toks.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("tokh").alias("tokh_b"),
-        F.col("sz").alias("sz_b"),
-    )
-    # |A∪B| = |A|+|B|−|A∩B| for distinct sets: one hash-set probe per
-    # pair instead of intersect + a materialized union array (the verify
-    # loop is the dominant cost — candidates ≈ all pairs on this corpus).
-    inter = F.size(F.array_intersect("tokh_a", "tokh_b"))
-    return (
-        cand.join(ta, "doc_id_a")
-        .join(tb, "doc_id_b")
-        .withColumn("inter", inter)
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        )
-        .where(F.col("jaccard") >= _JACCARD_TAU)
-        .select("doc_id_a", "doc_id_b", "jaccard")
-    )
+    cand = _band_candidates(spark, _band_keyed(sigs))
+    return _verify_jaccard(cand, toks)
 
 
 _EMBED_TAU = 0.40  # demonstration threshold: testdata vectors are random
@@ -617,77 +635,19 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is hash-checked. At 100 TB the cap is what keeps the worst
     bucket from holding a million docs and the job from dying on one
     task."""
-    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
-    sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
-    keyed = sigs.select(
-        "doc_id",
-        "lang",
-        "sz",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        "doc_id",
-        "lang",
-        "sz",
-        "band",
-        F.array_join(
-            F.slice(
-                F.col("sig"), F.col("band") * _ROWS_PER_BAND + 1, _ROWS_PER_BAND
-            ),
-            "_",
-        ).alias("bucket"),
-    )
     from pyspark.sql.window import Window
 
+    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
     bw = Window.partitionBy("lang", "band", "bucket")
-    kept = keyed.withColumn("bucket_n", F.count(F.lit(1)).over(bw)).where(
-        F.col("bucket_n") <= _BUCKET_CAP
+    kept = (
+        _band_keyed(sigs)
+        .withColumn("bucket_n", F.count(F.lit(1)).over(bw))
+        .where(F.col("bucket_n") <= _BUCKET_CAP)
+        .drop("bucket_n")
     )
-    a = kept.select(
-        F.col("doc_id").alias("doc_id_a"), "lang", "band", "bucket", "sz"
-    )
-    b = kept.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("sz").alias("sz_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.band == b.band_b)
-            & (a.bucket == b.bucket_b)
-            & (a.doc_id_a < b.doc_id_b)
-            & (a.sz * 100 >= b.sz_b * 95)
-            & (b.sz_b * 100 >= a.sz * 95),
-        )
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    ta = toks.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("tokh").alias("tokh_a"),
-        F.col("sz").alias("sz_a"),
-    )
-    tb = toks.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("tokh").alias("tokh_b"),
-        F.col("sz").alias("sz_b"),
-    )
-    inter = F.size(F.array_intersect("tokh_a", "tokh_b"))
-    return (
-        cand.join(ta, "doc_id_a")
-        .join(tb, "doc_id_b")
-        .withColumn("inter", inter)
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        )
-        .where(F.col("jaccard") >= _JACCARD_TAU)
-        .select("doc_id_a", "doc_id_b", "jaccard")
-    )
+    cand = _band_candidates(spark, kept)
+    return _verify_jaccard(cand, toks)
 
 
 @register(
@@ -858,25 +818,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution is a left join so 'new' documents are present in the
     output with NULL match columns."""
     toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
-    sigs = toks.select(
-        "doc_id", "lang", "sz", "tokh", F.expr(_MINHASH_SIG).alias("sig")
-    )
-    keyed = sigs.select(
-        "doc_id",
-        "lang",
-        "sz",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "lang",
-        "sz",
-        "band",
-        F.array_join(
-            F.slice(F.col("sig"), F.col("band") * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
-            "_",
-        ).alias("bucket"),
-    )
+    sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
+    keyed = _band_keyed(sigs)
     is_batch = F.expr(_BATCH_PRED)
     kb = keyed.where(is_batch).select(
         F.col("doc_id").alias("batch_id"), "lang", "band", "bucket",

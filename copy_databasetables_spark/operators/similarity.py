@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import _SCALE, _scaled
 
 _K = 5
 _IVF_K = 3
@@ -594,7 +595,7 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_emb_centroid",
     oracle=f"""
-    WITH v AS ({{_V_SQL}}),
+    WITH v AS ({_V_SQL}),
     ex AS (SELECT label, unnest(range(0, len(e))) AS pos, unnest(e) AS x
            FROM v)
     SELECT label, CAST(pos AS INT) AS pos,
@@ -602,7 +603,7 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (1e6 * COUNT(*)), 6) AS centroid_val,
            COUNT(*) AS n_vectors
     FROM ex GROUP BY label, pos
-    """.format(_V_SQL=_V_SQL),
+    """,
 )
 def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class prototypes — the building block
@@ -617,9 +618,9 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     order dependent)."""
     v = _vecs(spark, sf_dir)
     ex = v.select("label", F.posexplode("e").alias("pos", "x"))
-    raw = F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint")).cast(
-        "double"
-    ) / (F.lit(1e6) * F.count(F.lit(1)))
+    raw = F.sum(_scaled(F.col("x"))).cast("double") / (
+        F.lit(float(_SCALE)) * F.count(F.lit(1))
+    )
     return ex.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
         F.round(raw, 6).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
@@ -675,10 +676,8 @@ def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = v.select("vec_id", "label", F.posexplode("e").alias("pos", "x"))
     cg = ex.groupBy("label", "pos").agg(
         (
-            F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint")).cast(
-                "double"
-            )
-            / (F.lit(1e6) * F.count(F.lit(1)))
+            F.sum(_scaled(F.col("x"))).cast("double")
+            / (F.lit(float(_SCALE)) * F.count(F.lit(1)))
         ).alias("cval")
     )
     cent = cg.groupBy("label").agg(

@@ -553,9 +553,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    # n=1 must give an EMPTY gram array: sequence(1, 0) in Spark steps
+    # DOWNWARD to [1, 0] (not []), and element_at(toks, 0) is an error —
+    # guard with an explicit empty array like DuckDB's range(1, 1).
     grams = F.expr(
-        "transform(sequence(1, n - 1), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        "CASE WHEN n < 2 THEN array() "
+        "ELSE transform(sequence(1, n - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
     )
     top_cnt = F.expr(
         "array_max(transform(array_distinct(toks), "

@@ -262,9 +262,14 @@ def foreach_batch_jdbc_sink_idempotent(write_spec):
             )
         except Exception as e:  # py4j-wrapped SQLException
             # first-ever batch: the table doesn't exist yet (the append
-            # below creates it) — nothing to delete. Derby SQLState
-            # 42X05 = table not found in a DML statement.
-            if "42X05" not in str(e) and "does not exist" not in str(e):
+            # below creates it) — nothing to delete. Swallow ONLY
+            # table-not-found SQLStates (Derby 42X05, Postgres 42P01,
+            # MySQL/SQL Server 42S02). A generic "does not exist"
+            # substring would also swallow a missing _batch_id COLUMN
+            # on a pre-existing table, and appending past that failed
+            # DELETE silently breaks the exactly-once contract.
+            msg = str(e)
+            if not any(s in msg for s in ("42X05", "42P01", "42S02")):
                 raise
         write_spec.save(batch_df.withColumn("_batch_id", F.lit(batch_id)))
 
