@@ -67,13 +67,21 @@ DRIVER_WINDOW: list[str] = [
     # changed this round (similarity helpers: _vecs zero-norm guard,
     # fixed-K centroid cap) — fresh driver rows required even though
     # these were green in r02
+    # (q_knn_label also changed via the shared _vecs/_cosine_pre helpers
+    # but is squeezed out by the 50-cap: it composes q_sim_topk, which
+    # stays, so a helper regression still surfaces — local check.py is
+    # the secondary net per ADVICE r02.)
     "q_sim_topk",
     "q_sim_threshold",
     "q_sim_threshold_blocked",
-    "q_knn_label",
     "q_sim_topk_blas",
     "q_sim_ivf",
     "q_sim_quantized",
+    # changed this round (dedup LSH banding extracted into shared
+    # _band_keyed/_band_candidates/_verify_jaccard helpers) — the other
+    # two users, q_dedup_minhash_capped and q_dedup_incremental, are
+    # already below
+    "q_dedup_minhash",
     # new this round
     "src_jdbc_decimal",
     "q_dedup_cluster",
@@ -87,6 +95,9 @@ DRIVER_WINDOW: list[str] = [
     "q_text_repetition",
     "q_dedup_incremental",
     "q_emb_outlier",
+    "q_decontaminate",
+    "q_domain_quota",
+    "q_pii_redact",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

@@ -247,3 +247,195 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- decontamination / quotas / PII ----------------------------------------
+
+#: fixed benchmark size for q_decontaminate — like the IVF centroid cap
+#: (similarity._IVF_MAX_CENTROIDS), a CONSTANT, not a corpus fraction, so
+#: the broadcast side of the anti-join stays bounded at any data scale.
+_BENCH_DOCS = 20
+#: n-gram width for contamination overlap (13 in the GPT-3/Pile protocol;
+#: 5 here so the tiny synthetic docs actually produce grams).
+_GRAM_N = 5
+
+#: portable 60-bit hash (same construction as dedup.py's _H/_D_H).
+_GH = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+_D_GH = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+#: Spark: token n-gram hash array of a `toks` column (empty when the doc
+#: is shorter than the gram width — sequence(1, 0) steps DOWNWARD, so an
+#: explicit guard is required, same trap as text.q_text_repetition).
+_GRAMS = (
+    f"CASE WHEN size(toks) < {_GRAM_N} THEN array() "
+    f"ELSE transform(sequence(1, size(toks) - {_GRAM_N - 1}), "
+    f"i -> {_GH.format(x=f'''array_join(slice(toks, i, {_GRAM_N}), ' ')''')}) END"
+)
+#: DuckDB: the same gram hash array (list slicing is 1-based inclusive).
+_D_GRAMS = (
+    f"CASE WHEN len(toks) < {_GRAM_N} THEN [] "
+    f"ELSE list_transform(range(1, len(toks) - {_GRAM_N - 2}), "
+    f"i -> {_D_GH.format(x=f'''array_to_string(toks[i:i + {_GRAM_N - 1}], ' ')''')}) END"
+)
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, {_D_GRAMS} AS grams FROM t),
+    bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_BENCH_DOCS}),
+    bg AS (SELECT DISTINCT unnest(g.grams) AS gh
+           FROM g JOIN bench USING (doc_id)),
+    corpus_g AS (SELECT doc_id, unnest(grams) AS gh FROM g),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hit_grams
+             FROM (SELECT DISTINCT doc_id, gh FROM corpus_g) c
+             JOIN bg USING (gh) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+           COALESCE(h.n_hit_grams, 0) > 0 AS contaminated,
+           d.doc_id IN (SELECT doc_id FROM bench) AS is_benchmark
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3/Pile protocol re-expressed
+    as a broadcast overlap join: flag every corpus document sharing any
+    token n-gram with a FIXED benchmark set (here the first
+    ``_BENCH_DOCS`` doc_ids, standing in for an external eval suite).
+
+    The 100 TB shape: the benchmark gram set is constant-sized (external
+    benchmarks don't grow with the corpus), so it broadcasts to every
+    executor and the corpus side is scanned ONCE with no shuffle — the
+    per-doc hit count groups on doc_id over only the matching gram rows
+    (a tiny fraction of the corpus), and the final flag join is a left
+    join whose right side is just the contaminated ids. In production
+    the broadcast becomes a bloom filter at ~1e8 benchmark grams; the
+    plan shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    g = toks.select("doc_id", F.expr(_GRAMS).alias("grams"))
+    bench_ids = d.select("doc_id").orderBy("doc_id").limit(_BENCH_DOCS)
+    bg = (
+        g.join(bench_ids, "doc_id", "left_semi")
+        .select(F.explode("grams").alias("gh"))
+        .distinct()
+    )
+    corpus_g = g.select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("gh")
+    )
+    hits = (
+        corpus_g.join(F.broadcast(bg), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(
+            F.broadcast(bench_ids.withColumn("is_benchmark", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+            F.coalesce("is_benchmark", F.lit(False)).alias("is_benchmark"),
+        )
+    )
+
+
+_QUOTA = 10
+
+
+@register(
+    "q_domain_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT doc_id, source, n_chars, rk
+    FROM ranked WHERE rk <= {_QUOTA}
+    """,
+)
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — cap every source (domain, in a crawl)
+    at ``_QUOTA`` documents, keeping the longest (a quality proxy) with
+    a doc_id tiebreak so the selection is total-order deterministic.
+
+    Scale: one hash-shuffle on source, then a per-partition streaming
+    row_number — no global sort. A skewed mega-domain concentrates its
+    rows in one task; the AQE skew-split handles moderate skew, and the
+    two-phase refinement (per-partition top-Q, then top-Q of the
+    union — valid because row_number ≤ Q survivors are a superset
+    under any partition split of the same ordering) is the documented
+    escape hatch for pathological domains."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _QUOTA)
+    )
+
+
+#: Synthetic-PII construction: the corpus is clean by construction, so
+#: the op appends a deterministic email + phone derived from doc_id,
+#: then proves the redaction machinery removes them. Patterns are RE2-
+#: and-Java-regex compatible (no lookarounds, no \d shorthand quirks —
+#: [0-9] spelled out for byte-identical semantics across engines).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: regex-scrub emails and phone
+    numbers, reporting per-doc match counts plus the redacted text.
+    Pure JVM string expressions — zero shuffle, zero Python; at 100 TB
+    this runs entirely inside whole-stage codegen on the scan.
+
+    Phones are counted AFTER email redaction (an email's digit runs
+    can't double-count), exactly mirrored in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", raw.alias("raw"))
+    no_email = F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>")
+    return t.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(no_email, _PHONE_RE, "<PHONE>").alias("redacted"),
+    )

@@ -504,3 +504,60 @@ def test_emb_outlier_output_is_label_bounded(spark):
         rs.sort(key=lambda r: r["rank_pos"])
         assert [r["rank_pos"] for r in rs] == [1, 2, 3]
         assert rs[0]["dist"] >= rs[1]["dist"] >= rs[2]["dist"]
+
+
+def test_decontaminate_benchmark_self_hit_and_bounded_bench(spark):
+    """Every benchmark doc shares its own grams, so it must be flagged
+    contaminated; the benchmark set itself is a FIXED size (a constant
+    broadcast at any corpus scale), and clean docs report zero hits."""
+    from copy_databasetables_spark.operators.pipeline import (
+        _BENCH_DOCS,
+        q_decontaminate,
+    )
+
+    rows = q_decontaminate(spark, "/root/testdata/sf0.01").collect()
+    bench = [r for r in rows if r["is_benchmark"]]
+    assert len(bench) == _BENCH_DOCS
+    assert all(r["contaminated"] and r["n_hit_grams"] > 0 for r in bench)
+    clean = [r for r in rows if not r["contaminated"]]
+    assert all(r["n_hit_grams"] == 0 for r in clean)
+
+
+def test_domain_quota_cap_holds(spark):
+    """No source exceeds the quota, and within a source the kept docs are
+    the longest ones ranked deterministically (n_chars DESC, doc_id ASC)."""
+    from collections import Counter
+
+    from copy_databasetables_spark.operators.pipeline import (
+        _QUOTA,
+        q_domain_quota,
+    )
+
+    rows = q_domain_quota(spark, "/root/testdata/sf0.01").collect()
+    per_src = Counter(r["source"] for r in rows)
+    assert all(n <= _QUOTA for n in per_src.values())
+    for src in per_src:
+        ranked = sorted(
+            (r for r in rows if r["source"] == src), key=lambda r: r["rk"]
+        )
+        keys = [(-r["n_chars"], r["doc_id"]) for r in ranked]
+        assert keys == sorted(keys)
+
+
+def test_pii_redact_scrubs_everything(spark):
+    """After redaction no email or phone pattern survives, and every doc
+    counted at least the one synthetic email + phone that was injected."""
+    import re
+
+    from copy_databasetables_spark.operators.pipeline import (
+        _EMAIL_RE,
+        _PHONE_RE,
+        q_pii_redact,
+    )
+
+    rows = q_pii_redact(spark, "/root/testdata/sf0.001").collect()
+    email, phone = re.compile(_EMAIL_RE), re.compile(_PHONE_RE)
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1
+        assert not email.search(r["redacted"])
+        assert not phone.search(r["redacted"])
