@@ -61,6 +61,9 @@ SCALE_REPS = [
     "q_emb_outlier",
     "q_sessionize",
     "q_funnel",
+    "q_decontaminate",
+    "q_domain_quota",
+    "q_pii_redact",
 ]
 
 NOTES.update(
@@ -99,6 +102,30 @@ NOTES.update(
             "joins key on user_id — the events table shuffles once and "
             "AQE keeps the rest co-partitioned; per-user state is three "
             "timestamps."
+        ),
+        "q_decontaminate": (
+            "The benchmark-gram broadcast is CONSTANT-sized (the bench "
+            "set is a fixed _BENCH_DOCS ids, like an external eval "
+            "suite — it does not grow with the corpus), so the hinted "
+            "broadcast is size-correct at any scale: the corpus gram "
+            "stream is filtered map-side with no shuffle; only the "
+            "(small) hit rows group on doc_id. At ~1e8 bench grams the "
+            "broadcast becomes a bloom filter — same plan shape."
+        ),
+        "q_domain_quota": (
+            "Catalyst inserts WindowGroupLimit PARTIAL below the "
+            "exchange: each input partition keeps only its own top-Q "
+            "per source BEFORE shuffling, so at most Q·(input "
+            "partitions) rows per domain ever cross the wire — the "
+            "two-phase top-Q refinement is automatic, and a mega-domain "
+            "costs the reduce task only Q·P rows, not its full row "
+            "count."
+        ),
+        "q_pii_redact": (
+            "Zero exchanges, zero Python: the whole op is regexp "
+            "expressions inside a single whole-stage-codegen span over "
+            "the scan — the per-row cost IS the regex engine, which is "
+            "why patterns avoid catastrophic-backtracking shapes."
         ),
     }
 )
