@@ -67,14 +67,13 @@ DRIVER_WINDOW: list[str] = [
     # changed this round (similarity helpers: _vecs zero-norm guard,
     # fixed-K centroid cap) — fresh driver rows required even though
     # these were green in r02
-    # (q_knn_label also changed via the shared _vecs/_cosine_pre helpers
-    # but is squeezed out by the 50-cap: it composes q_sim_topk, which
-    # stays, so a helper regression still surfaces — local check.py is
-    # the secondary net per ADVICE r02.)
+    # (q_knn_label / q_sim_threshold / q_sim_topk_blas also changed via
+    # the shared _vecs/_cosine_pre zero-norm guard but are squeezed out
+    # by the 50-cap: q_sim_topk attests the shared helpers and
+    # q_sim_ivf the centroid cap — local check.py is the secondary net
+    # per ADVICE r02.)
     "q_sim_topk",
-    "q_sim_threshold",
     "q_sim_threshold_blocked",
-    "q_sim_topk_blas",
     "q_sim_ivf",
     "q_sim_quantized",
     # changed this round (dedup LSH banding extracted into shared
@@ -98,6 +97,8 @@ DRIVER_WINDOW: list[str] = [
     "q_decontaminate",
     "q_domain_quota",
     "q_pii_redact",
+    "q_agg_heavy_hitters",
+    "q_agg_incremental",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

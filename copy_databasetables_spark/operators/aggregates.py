@@ -415,3 +415,116 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, subset=_EVENT_TYPES)
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters + incremental aggregate maintenance (r3 additions).
+# --------------------------------------------------------------------------
+
+#: heavy-hitter threshold: keys holding more than this fraction of all
+#: rows. 1/64 ≈ 1.5% — the magnitude where one key starts dominating a
+#: 200-partition shuffle and the salted-join path becomes worth its cost.
+_HH_DENOM = 64
+
+
+@register(
+    "q_agg_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT key, n,
+           CAST(FLOOR(10000.0 * n / total) AS BIGINT) AS frac_bp
+    FROM counts, tot
+    WHERE n * {_HH_DENOM} > total
+    """,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: join keys holding > 1/``_HH_DENOM`` of all
+    rows — the diagnostic that DECIDES whether a join needs the salted
+    path (q_join_salted) or AQE skew-split can cope.
+
+    Scale: one two-phase count per key (map-side combine means each
+    mapper emits |distinct keys| rows, not |rows|), one scalar total
+    broadcast back over the counts. The count table is |distinct keys|
+    rows — if even THAT is too big, the production variant swaps the
+    exact count for count-min sketch; the threshold filter is the same.
+    Fraction reported in basis points (FLOOR) to stay engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * _HH_DENOM > F.col("total"))
+        .select(
+            "key",
+            "n",
+            F.floor(10000.0 * F.col("n") / F.col("total")).alias("frac_bp"),
+        )
+    )
+
+
+#: the "yesterday" snapshot cut for incremental maintenance: orders
+#: strictly before this date are the materialized base; the rest is the
+#: incoming delta batch.
+_INC_CUT = "1997-01-01"
+
+
+@register(
+    "q_agg_incremental",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < DATE '{_INC_CUT}' GROUP BY o_custkey),
+    delta AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate >= DATE '{_INC_CUT}' GROUP BY o_custkey),
+    merged AS (
+      SELECT o_custkey, n_orders, cents FROM base
+      UNION ALL
+      SELECT o_custkey, n_orders, cents FROM delta)
+    SELECT o_custkey,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS total_spent
+    FROM merged GROUP BY o_custkey
+    """,
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    merge a pre-aggregated BASE snapshot with the partial aggregate of
+    an incoming DELTA batch instead of re-aggregating the full history —
+    sum/count are mergeable, so base ⊎ delta re-aggregated per key is
+    EXACTLY the full recompute (which is what the oracle runs on the
+    union, proving the equivalence the pattern rests on).
+
+    Scale: the daily refresh touches |delta| rows + |affected keys| of
+    base state, not 100 TB of history. Money accumulates in exact cents
+    (bigint) so base/delta merge order can never change a digit; the
+    same mergeability argument powers the partial-agg shuffle inside
+    every two-phase hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    ).alias("cents")
+    n = F.count(F.lit(1)).alias("n_orders")
+    cut = F.lit(_INC_CUT).cast("date")
+    base = (
+        o.where(F.col("o_orderdate") < cut).groupBy("o_custkey").agg(n, cents)
+    )
+    delta = (
+        o.where(F.col("o_orderdate") >= cut).groupBy("o_custkey").agg(n, cents)
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("cents").alias("c"))
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.col("c").cast("double") / 100, 2).alias("total_spent"),
+        )
+    )

@@ -561,3 +561,60 @@ def test_pii_redact_scrubs_everything(spark):
         assert r["n_emails"] >= 1 and r["n_phones"] >= 1
         assert not email.search(r["redacted"])
         assert not phone.search(r["redacted"])
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    """The mergeability claim itself: base-snapshot ⊎ delta-batch
+    re-aggregation must equal aggregating the full history in one pass —
+    bit-for-bit, because money accumulates in exact cents."""
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.aggregates import (
+        q_agg_incremental,
+    )
+
+    inc = {
+        (r["o_custkey"], r["n_orders"], r["total_spent"])
+        for r in q_agg_incremental(spark, "/root/testdata/sf0.001").collect()
+    }
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    full = {
+        (r["o_custkey"], r["n_orders"], r["total_spent"])
+        for r in o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / 100,
+                2,
+            ).alias("total_spent"),
+        )
+        .collect()
+    }
+    assert inc == full
+
+
+def test_heavy_hitters_threshold_is_exact(spark):
+    """Every reported key exceeds 1/_HH_DENOM of total rows, and no
+    qualifying key is missed (cross-checked against a driver-side count
+    on the small fixture)."""
+    from collections import Counter
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.aggregates import (
+        _HH_DENOM,
+        q_agg_heavy_hitters,
+    )
+
+    rows = q_agg_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    got = {r["key"]: r["n"] for r in rows}
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").collect()
+    counts = Counter(r["o_custkey"] for r in o)
+    total = sum(counts.values())
+    expect = {k: n for k, n in counts.items() if n * _HH_DENOM > total}
+    assert got == expect
