@@ -67,12 +67,11 @@ DRIVER_WINDOW: list[str] = [
     # changed this round (similarity helpers: _vecs zero-norm guard,
     # fixed-K centroid cap) — fresh driver rows required even though
     # these were green in r02
-    # (q_knn_label / q_sim_threshold / q_sim_topk_blas also changed via
-    # the shared _vecs/_cosine_pre zero-norm guard but are squeezed out
-    # by the 50-cap: q_sim_topk attests the shared helpers and
-    # q_sim_ivf the centroid cap — local check.py is the secondary net
-    # per ADVICE r02.)
-    "q_sim_topk",
+    # (q_sim_topk / q_knn_label / q_sim_threshold / q_sim_topk_blas also
+    # changed via the shared _vecs/_cosine_pre zero-norm guard but are
+    # squeezed out by the 50-cap: q_sim_ivf attests those helpers PLUS
+    # the centroid cap and the r3 _ivf_search refactor — local check.py
+    # is the secondary net per ADVICE r02.)
     "q_sim_threshold_blocked",
     "q_sim_ivf",
     "q_sim_quantized",
@@ -99,6 +98,7 @@ DRIVER_WINDOW: list[str] = [
     "q_pii_redact",
     "q_agg_heavy_hitters",
     "q_agg_incremental",
+    "q_sim_ivf_multiprobe",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

@@ -425,6 +425,61 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF-Flat search core: corpus vectors coarse-quantize to
+    their single nearest centroid (an inverted list is disjoint by
+    construction); each PROBE fans out to its ``nprobe`` nearest cells.
+    Because corpus assignment is unique, the probe-cells ⋈ members join
+    can never emit a (probe, neighbor) pair twice — no dedup needed at
+    any nprobe."""
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v)
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    ranked = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
+        .withColumn("rn", F.row_number().over(aw))
+    )
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    # probe → its nprobe nearest cells (nprobe · |probes| rows, still a
+    # broadcast-sized table: probes are the query batch, not the corpus)
+    probe_cells = ranked.where(F.col("rn") <= nprobe).select("vec_id", "cid")
+    probe_cell = p.join(probe_cells, p.probe_id == probe_cells.vec_id).select(
+        "probe_id", "pe", "pn", "cid"
+    )
+    cell_members = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ncid")
+    ).join(v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm"), "neighbor_id")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(probe_cell)
+        .join(
+            cell_members,
+            (F.col("ncid") == F.col("cid"))
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _IVF_K)
+        .select(
+            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+        )
+    )
+
+
 @register(
     "q_sim_ivf",
     oracle=f"""
@@ -462,50 +517,51 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cell id once and reuse it for every query batch; raise K with
     corpus size (~sqrt(n)) as an explicit index-build constant, never a
     fraction of the data."""
-    v = _vecs(spark, sf_dir)
-    c = _centroids(v)
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
-    )
-    assign = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    p = v.where(_PROBE_FILTER).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("e").alias("pe"),
-        F.col("nrm").alias("pn"),
-    )
-    probe_cell = p.join(assign, p.probe_id == assign.vec_id).select(
-        "probe_id", "pe", "pn", "cid"
-    )
-    cell_members = assign.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ncid")
-    ).join(v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm"), "neighbor_id")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        F.broadcast(probe_cell)
-        .join(
-            cell_members,
-            (F.col("ncid") == F.col("cid"))
-            & (F.col("neighbor_id") != F.col("probe_id")),
-        )
-        .select(
-            "probe_id",
-            "neighbor_id",
-            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
-        )
-        .withColumn("rank_pos", F.row_number().over(w))
-        .where(F.col("rank_pos") <= _IVF_K)
-        .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
-        )
-    )
+    return _ivf_search(spark, sf_dir, nprobe=1)
+
+
+_NPROBE = 2
+
+
+@register(
+    "q_sim_ivf_multiprobe",
+    oracle=f"""
+    WITH v AS ({{_V_SQL}}),
+    c AS ({{_C_SQL}}),
+    ranked AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                         c.cid ASC) AS rn
+      FROM v CROSS JOIN c),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {{_PROBE_FILTER}}),
+    pcells AS (SELECT vec_id, cid FROM ranked WHERE rn <= {{_NPROBE}}),
+    scored AS (
+      SELECT p.probe_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, nv.e) AS cos_raw,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_cosine_similarity(p.pe, nv.e) DESC,
+                                         n.vec_id ASC) AS rank_pos
+      FROM p
+      JOIN pcells pa ON pa.vec_id = p.probe_id
+      JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
+      JOIN v nv      ON nv.vec_id = n.vec_id)
+    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {{_IVF_K}}
+    """.format(_V_SQL=_V_SQL, _C_SQL=_C_SQL, _PROBE_FILTER=_PROBE_FILTER,
+               _NPROBE=_NPROBE, _IVF_K=_IVF_K),
+)
+def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with multi-probe (nprobe=``_NPROBE``): each query probes
+    its N nearest cells instead of one — the standard recall lever for
+    an inverted-file index (FAISS ``nprobe``). Work scales linearly in
+    nprobe (N cells of ~|corpus|/K each), recall monotonically improves
+    (the candidate set is a strict superset of nprobe=1's, which the
+    unit suite pins against the exact top-k), and the plan shape is
+    UNCHANGED: the corpus is still partitioned by its single home cell;
+    only the tiny probe→cell fan-out table grows N×."""
+    return _ivf_search(spark, sf_dir, nprobe=_NPROBE)
 
 
 @register(

@@ -618,3 +618,32 @@ def test_heavy_hitters_threshold_is_exact(spark):
     total = sum(counts.values())
     expect = {k: n for k, n in counts.items() if n * _HH_DENOM > total}
     assert got == expect
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 candidates are a strict superset of nprobe=1's, so
+    recall against the EXACT top-k (q_sim_topk's brute force) must be
+    monotonically ≥ — the property that makes nprobe the recall lever."""
+    from copy_databasetables_spark.operators.similarity import (
+        q_sim_ivf,
+        q_sim_ivf_multiprobe,
+        q_sim_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in q_sim_topk(spark, sf).collect()
+    }
+    one = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in q_sim_ivf(spark, sf).collect()
+    }
+    multi = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in q_sim_ivf_multiprobe(spark, sf).collect()
+    }
+    # q_sim_topk returns _K=5 per probe, IVF _IVF_K=3 — compare on hits
+    r1 = len(one & exact)
+    r2 = len(multi & exact)
+    assert r2 >= r1
