@@ -70,16 +70,14 @@ DRIVER_WINDOW: list[str] = [
     # (q_sim_topk / q_knn_label / q_sim_threshold / q_sim_topk_blas also
     # changed via the shared _vecs/_cosine_pre zero-norm guard but are
     # squeezed out by the 50-cap: q_sim_ivf attests those helpers PLUS
-    # the centroid cap and the r3 _ivf_search refactor — local check.py
-    # is the secondary net per ADVICE r02.)
+    # the centroid cap and the r3 _ivf_search refactor. q_dedup_minhash
+    # (r3 banding refactor) is likewise squeezed out: its three shared
+    # helpers are fully exercised by q_dedup_minhash_capped and
+    # q_dedup_incremental below. Local check.py is the secondary net per
+    # ADVICE r02.)
     "q_sim_threshold_blocked",
     "q_sim_ivf",
     "q_sim_quantized",
-    # changed this round (dedup LSH banding extracted into shared
-    # _band_keyed/_band_candidates/_verify_jaccard helpers) — the other
-    # two users, q_dedup_minhash_capped and q_dedup_incremental, are
-    # already below
-    "q_dedup_minhash",
     # new this round
     "src_jdbc_decimal",
     "q_dedup_cluster",
@@ -99,6 +97,7 @@ DRIVER_WINDOW: list[str] = [
     "q_agg_heavy_hitters",
     "q_agg_incremental",
     "q_sim_ivf_multiprobe",
+    "q_mixture_weights",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

@@ -439,3 +439,53 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(no_email, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.regexp_replace(no_email, _PHONE_RE, "<PHONE>").alias("redacted"),
     )
+
+
+#: mixture-weight temperature: weight ∝ tokens^alpha. α<1 upsamples
+#: small domains (the multilingual-sampling convention); α=1 is
+#: proportional, α=0 uniform.
+_MIX_ALPHA = 0.5
+
+
+@register(
+    "q_mixture_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    p AS (SELECT source, tokens, pow(tokens, {_MIX_ALPHA}) AS raw FROM t)
+    SELECT source, tokens,
+           ROUND(raw / SUM(raw) OVER (), 4) AS weight,
+           ROUND((raw / SUM(raw) OVER ())
+                 / (tokens / SUM(tokens) OVER ()), 4) AS upsample_factor
+    FROM p
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture weights for training-data sampling: per-source
+    token counts → sampling weight ∝ tokens^α (α=0.5 upsamples small
+    domains, the standard temperature-sampling rule), plus the implied
+    upsample factor vs proportional sampling.
+
+    Scale: ONE two-phase aggregate over the corpus (token counting is
+    map-side; the shuffle carries |sources| rows), then window math over
+    the tiny per-source table. The output table IS the sampler config —
+    feed it to q_sample_hash-style per-source thresholds. pow is IEEE
+    double on both engines; 4dp rounding sits far above the ulp noise
+    of pow on these magnitudes."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
+    )
+    w = Window.partitionBy()
+    raw = F.pow(F.col("tokens").cast("double"), F.lit(_MIX_ALPHA))
+    return t.select(
+        "source",
+        "tokens",
+        F.round(raw / F.sum(raw).over(w), 4).alias("weight"),
+        F.round(
+            (raw / F.sum(raw).over(w))
+            / (F.col("tokens").cast("double") / F.sum("tokens").over(w)),
+            4,
+        ).alias("upsample_factor"),
+    )

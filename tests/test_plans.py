@@ -287,3 +287,18 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_gram_join_is_broadcast_even_without_aqe_help(spark):
+    """The bench-gram join is HINTED broadcast — correct at any scale
+    because the benchmark set is a fixed _BENCH_DOCS docs (an external
+    eval suite, constant in corpus size). Pin that the hint holds even
+    when size-based broadcasting is disabled: the corpus gram stream
+    must be filtered map-side, never shuffled for this join."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(all_queries()["q_decontaminate"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastHashJoin" in p
