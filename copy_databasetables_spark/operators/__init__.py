@@ -67,16 +67,18 @@ DRIVER_WINDOW: list[str] = [
     # changed this round (similarity helpers: _vecs zero-norm guard,
     # fixed-K centroid cap) — fresh driver rows required even though
     # these were green in r02
-    # (q_sim_topk / q_knn_label / q_sim_threshold / q_sim_topk_blas also
-    # changed via the shared _vecs/_cosine_pre zero-norm guard but are
-    # squeezed out by the 50-cap: q_sim_ivf attests those helpers PLUS
-    # the centroid cap and the r3 _ivf_search refactor. q_dedup_minhash
-    # (r3 banding refactor) is likewise squeezed out: its three shared
-    # helpers are fully exercised by q_dedup_minhash_capped and
-    # q_dedup_incremental below. Local check.py is the secondary net per
-    # ADVICE r02.)
+    # The 50-cap squeezes every CHANGED-but-prior-green key out this
+    # round (q_sim_topk/q_knn_label/q_sim_threshold/q_sim_topk_blas/
+    # q_sim_ivf via the _vecs zero-norm guard + fixed-K centroid cap +
+    # _ivf_search refactor; q_dedup_minhash via the banding-helper
+    # refactor): the window is exactly the 50 keys with NO driver row in
+    # r01∪r02, so after r03 every registered key has a driver-green row.
+    # The changed keys' regressions still surface through window keys
+    # sharing the same helpers (q_sim_threshold_blocked/q_sim_ivf_
+    # multiprobe attest _vecs+_centroids+_ivf_search; q_dedup_minhash_
+    # capped/q_dedup_incremental attest all three banding helpers), plus
+    # local check.py as the secondary net per ADVICE r02.
     "q_sim_threshold_blocked",
-    "q_sim_ivf",
     "q_sim_quantized",
     # new this round
     "src_jdbc_decimal",
@@ -98,6 +100,7 @@ DRIVER_WINDOW: list[str] = [
     "q_agg_incremental",
     "q_sim_ivf_multiprobe",
     "q_mixture_weights",
+    "q_text_lm_score",
     # never driver-checked: copy modes + introspection + sources
     "schema_introspect_constraints",
     "src_orc_roundtrip",

@@ -582,3 +582,51 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dup_bigram_frac"),
     )
+
+
+@register(
+    "q_text_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, ln(f.cnt / tot.n) AS lp
+      FROM tok t JOIN freq f USING (tok), tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-AVG(lp), 4) AS surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style LM-filter
+    proxy): train the unigram LM on the corpus itself (token → relative
+    frequency), then score every document by its mean surprisal
+    −avg(ln p(tok)). Low surprisal = templated/common text, high =
+    rare-token noise; quality gates keep the middle band.
+
+    Scale: the "LM" is ONE two-phase token count (mappers emit
+    |vocab|-bounded partials); scoring is token-stream ⋈ freq on the
+    token key — at 100 TB both sides hash-partition on token, then the
+    per-doc mean groups on doc_id. Vocab grows ~log(corpus), so the
+    freq table is shuffle-joinable at any scale (no broadcast hint; AQE
+    may still pick one while it fits). Rounding at 4dp sits far above
+    double-summation noise (~1e-12 over ≤10³ tokens/doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    lp = F.log(F.col("cnt") / F.col("n"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(-F.avg(lp), 4).alias("surprisal"),
+        )
+    )

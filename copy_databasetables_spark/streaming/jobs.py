@@ -110,6 +110,41 @@ def session_counts_stream(
     )
 
 
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static dimension for the stream-static join: per-user activity
+    tier derived from the batch events table (stand-in for any
+    slowly-changing dim — a user profile table, a model registry)."""
+    from copy_databasetables_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("dim_user_id"))
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .select(
+            "dim_user_id",
+            F.when(F.col("n_total") >= 20, "heavy")
+            .when(F.col("n_total") >= 10, "mid")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+
+
+def tier_counts_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """STREAM-STATIC join + aggregation: every micro-batch joins against
+    the static dimension (Spark re-resolves the static side per batch,
+    so a dim refreshed in place is picked up batch-by-batch; a
+    broadcast-sized dim stays a broadcast join inside each batch — no
+    stream state is kept for the join itself, only for the downstream
+    aggregate). The canonical enrichment topology: 100 TB/day of events
+    joined to an N-GB profile table."""
+    return (
+        events.join(dim, events.user_id == dim.dim_user_id)
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup by event_id within the watermark —
     ``dropDuplicatesWithinWatermark`` keeps first-arrival per key and

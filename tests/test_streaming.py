@@ -220,3 +220,29 @@ def test_foreach_batch_replay_is_idempotent(spark):
         .count()
         == n_batch
     )
+
+
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static enrichment: per-batch join against a static dim +
+    complete-mode aggregate must equal the same join/agg run in batch."""
+    from copy_databasetables_spark.streaming.jobs import (
+        read_events_stream,
+        tier_counts_stream_static,
+        user_tier_dim,
+    )
+
+    dim = user_tier_dim(spark, SF_SMOKE)
+    stream_out = run_to_memory(
+        tier_counts_stream_static(read_events_stream(spark, SF_SMOKE), dim),
+        "t_tier",
+        mode="complete",
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .join(dim, F.col("user_id") == dim.dim_user_id)
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert stream_out.count() == batch.count()
+    assert stream_out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_out).count() == 0
