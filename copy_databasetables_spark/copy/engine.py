@@ -210,6 +210,54 @@ def copy_table_incremental(
     return CopyResult(table, target_path, n_dst, True)
 
 
+def _recover_interrupted_publish(target_path: str) -> None:
+    """Crash recovery for the two-rename publish: a run killed between
+    the renames (target moved aside, new target never landed) leaves the
+    ONLY good copy in ._merge_old with no target. Restore it before any
+    read — otherwise the caller would treat the target as absent and the
+    publish cleanup would delete that sole remaining copy."""
+    old = target_path.rstrip("/") + "._merge_old"
+    if os.path.exists(old) and not os.path.exists(target_path):
+        os.rename(old, target_path)
+
+
+def _staged_publish(
+    spark: SparkSession, out, target_path: str, expect: int, label: str
+) -> int:
+    """Two-phase write shared by merge/delete: stage to a tmp dir (the
+    plan reads target_path — overwriting in place would clobber inputs
+    mid-job), verify the staged row count BEFORE publish, then publish
+    by directory rename. A crash can leave a stale target, a staging
+    dir, or (killed between the two renames) a missing target whose
+    data survives in ._merge_old — which _recover_interrupted_publish
+    restores on the next run. The staging dir is removed on every exit
+    path. At scale, use the target store's atomic-commit API."""
+    tmp = target_path.rstrip("/") + "._merge_tmp"
+    old = target_path.rstrip("/") + "._merge_old"
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        if n != expect:
+            raise CopyVerificationError(
+                f"{label}: expected {expect} rows in staged output but found {n}"
+            )
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
+        try:
+            os.rename(tmp, target_path)
+        except BaseException:
+            # roll the previous target back so a failed publish degrades
+            # to "nothing happened", never "target is gone"
+            if os.path.exists(old) and not os.path.exists(target_path):
+                os.rename(old, target_path)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
 def merge_table(
     spark: SparkSession,
     sf_dir: str,
@@ -230,15 +278,7 @@ def merge_table(
     partition the target and rewrite only partitions whose keys appear
     in the update batch (partition pruning on the anti-join makes that
     automatic when the key prefixes the partition scheme)."""
-    old = target_path.rstrip("/") + "._merge_old"
-    # crash recovery: a previous publish killed between its two renames
-    # (target moved aside, new target never landed) leaves the ONLY good
-    # copy in ._merge_old with no target. Restore it before reading —
-    # otherwise this run would treat the target as absent (silently
-    # dropping survivor rows) and the cleanup below would delete that
-    # sole remaining copy.
-    if os.path.exists(old) and not os.path.exists(target_path):
-        os.rename(old, target_path)
+    _recover_interrupted_publish(target_path)
     src = load_table(spark, sf_dir, table)
     existing = _read_target_if_exists(spark, target_path)
     if existing is None:
@@ -247,39 +287,10 @@ def merge_table(
         keep = existing.join(src.select(key), on=key, how="left_anti")
         n_keep = keep.count()
         out = keep.unionByName(src)
-    # two-phase write: the plan reads target_path, so overwriting it
-    # in place would clobber inputs mid-job. Verification runs on the
-    # staging dir BEFORE publish (a bad merge never touches the target),
-    # and publish is a directory RENAME, not a second table write — a
-    # crash can leave a stale target, a staging dir, or (killed between
-    # the two renames) a missing target whose data survives in
-    # ._merge_old, which the recovery block above restores on the next
-    # run. The staging dir (a full table copy) is removed on every exit
-    # path. At scale, use the target store's atomic-commit API.
-    tmp = target_path.rstrip("/") + "._merge_tmp"
-    try:
-        out.write.mode("overwrite").parquet(tmp)
-        # verify staging: merged = survivors + the full source, exactly
-        n, n_src = spark.read.parquet(tmp).count(), src.count()
-        if n != n_keep + n_src:
-            raise CopyVerificationError(
-                f"{table}: merge expected {n_keep} surviving + {n_src} source "
-                f"rows but staged merge has {n}"
-            )
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(target_path):
-            os.rename(target_path, old)
-        try:
-            os.rename(tmp, target_path)
-        except BaseException:
-            # roll the previous target back so a failed publish degrades
-            # to "merge didn't happen", never "target is gone"
-            if os.path.exists(old) and not os.path.exists(target_path):
-                os.rename(old, target_path)
-            raise
-        shutil.rmtree(old, ignore_errors=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # staged output must be survivors + the full source, exactly
+    n = _staged_publish(
+        spark, out, target_path, n_keep + src.count(), f"{table}: merge"
+    )
     return CopyResult(table, target_path, n, True)
 
 
@@ -343,3 +354,36 @@ def all_table_counts(spark: SparkSession, root: str, tables: list[str]) -> DataF
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def delete_rows(
+    spark: SparkSession,
+    target_path: str,
+    key: str,
+    values: list,
+) -> CopyResult:
+    """Targeted erasure (GDPR/right-to-be-forgotten): remove every row
+    whose ``key`` is in ``values`` from a copied parquet table, through
+    the same staged two-phase publish as merge — the deletion either
+    fully lands or the target is untouched, and the staged row count is
+    verified (before − matched = after, exactly) BEFORE publish.
+
+    The deletion key set is a request batch (thousands of subjects, not
+    a corpus) — broadcast by construction. At 100 TB the anti-join
+    prunes to only the partitions containing matched keys when ``key``
+    prefixes the partition scheme; a transactional table format turns
+    the rewrite into DELETE WHERE with file-level pruning."""
+    _recover_interrupted_publish(target_path)
+    existing = _read_target_if_exists(spark, target_path)
+    if existing is None:
+        raise CopyVerificationError(
+            f"delete_rows: no table at {target_path}"
+        )
+    keys_df = spark.createDataFrame([(v,) for v in values], [key])
+    n_before = existing.count()
+    n_match = existing.join(F.broadcast(keys_df), key, "left_semi").count()
+    out = existing.join(F.broadcast(keys_df), key, "left_anti")
+    n = _staged_publish(
+        spark, out, target_path, n_before - n_match, "delete_rows"
+    )
+    return CopyResult("delete", target_path, n, True)

@@ -185,3 +185,37 @@ def test_merge_failed_publish_rolls_back_and_cleans_staging(spark, tmp_path, mon
     assert spark.read.parquet(target).count() == n0  # rolled back, intact
     assert not os.path.exists(target + "._merge_tmp")  # staging cleaned
     assert not os.path.exists(target + "._merge_old")  # rollback consumed it
+
+
+def test_delete_rows_removes_exactly_the_requested_keys(spark, tmp_path):
+    """GDPR erasure: the requested keys are gone, everything else
+    survives byte-identical, and the count arithmetic is verified."""
+    from copy_databasetables_spark.copy.engine import copy_table, delete_rows
+
+    target = str(tmp_path / "d")
+    copy_table(spark, "/root/testdata/sf0.001", "customer", target)
+    before = spark.read.parquet(target)
+    n_before = before.count()
+    victims = [r["c_custkey"] for r in before.limit(3).collect()]
+    # materialize the expected survivors BEFORE the republish: `before`
+    # is lazy and its file listing dies with the old directory
+    keep_names = sorted(
+        r["c_name"]
+        for r in before.where(~F.col("c_custkey").isin(victims)).collect()
+    )
+    res = delete_rows(spark, target, "c_custkey", victims)
+    after = spark.read.parquet(target)
+    assert res.rows_copied == n_before - 3 == after.count()
+    assert after.where(F.col("c_custkey").isin(victims)).count() == 0
+    # non-victims untouched (same multiset of names)
+    assert keep_names == sorted(r["c_name"] for r in after.collect())
+
+
+def test_delete_rows_refuses_missing_target(spark, tmp_path):
+    from copy_databasetables_spark.copy.engine import (
+        CopyVerificationError,
+        delete_rows,
+    )
+
+    with pytest.raises(CopyVerificationError):
+        delete_rows(spark, str(tmp_path / "nope"), "k", [1])
