@@ -34,7 +34,11 @@ def main(argv: list[str] | None = None) -> int:
         prog="copy_databasetables_spark",
         description="Copy tables between storage locations, verified.",
     )
-    ap.add_argument("--source", required=True, help="source directory (parquet tables)")
+    ap.add_argument(
+        "--source",
+        default=None,
+        help="source directory (parquet tables); not used with --delete",
+    )
     ap.add_argument("--target", required=True, help="target root directory")
     ap.add_argument(
         "--tables",
@@ -61,7 +65,56 @@ def main(argv: list[str] | None = None) -> int:
         help="append-only copy: move only rows whose KEY exceeds the "
         "target's current maximum (full copy on first run)",
     )
+    ap.add_argument(
+        "--delete",
+        metavar="KEY",
+        default=None,
+        help="targeted erasure: delete rows whose KEY is in --keys from "
+        "the table at --target (staged, count-verified publish)",
+    )
+    ap.add_argument(
+        "--keys",
+        nargs="+",
+        default=None,
+        metavar="VALUE",
+        help="key values to delete (with --delete)",
+    )
     args = ap.parse_args(argv)
+
+    # targeted-erasure mode operates on --target alone
+    if args.delete or args.keys:
+        if not (args.delete and args.keys):
+            print("FAILED: --delete KEY and --keys go together", file=sys.stderr)
+            return 2
+        if args.source or args.tables or args.checksum or args.partitions or args.incremental:
+            print(
+                "FAILED: --delete takes only --target (the table directory) "
+                "and --keys",
+                file=sys.stderr,
+            )
+            return 2
+        from copy_databasetables_spark.copy.engine import delete_rows
+
+        spark = get_spark("copy-cli")
+        t0 = time.time()
+        try:
+            res = delete_rows(spark, args.target, args.delete, args.keys)
+        except CopyVerificationError as err:
+            print(f"FAILED: {err}", file=sys.stderr)
+            return 1
+        except Exception as err:
+            first_line = str(err).split("\n")[0]
+            print(f"FAILED: {type(err).__name__}: {first_line}", file=sys.stderr)
+            return 3
+        print(
+            f"deleted {len(args.keys)} key(s) from {args.target}: "
+            f"{res.rows_copied} rows remain ({time.time() - t0:.1f}s, verified)"
+        )
+        return 0
+
+    if not args.source:
+        print("FAILED: --source is required", file=sys.stderr)
+        return 2
 
     spark = get_spark("copy-cli")
     t0 = time.time()

@@ -379,7 +379,11 @@ def delete_rows(
         raise CopyVerificationError(
             f"delete_rows: no table at {target_path}"
         )
-    keys_df = spark.createDataFrame([(v,) for v in values], [key])
+    # keys arrive as whatever the caller had (CLI passes strings) —
+    # cast to the target column's actual type so the join matches
+    keys_df = spark.createDataFrame([(str(v),) for v in values], [key]).select(
+        F.col(key).cast(existing.schema[key].dataType)
+    )
     n_before = existing.count()
     n_match = existing.join(F.broadcast(keys_df), key, "left_semi").count()
     out = existing.join(F.broadcast(keys_df), key, "left_anti")

@@ -91,3 +91,27 @@ def test_cli_rejects_unsupported_flags_per_mode(spark, capsys):
     rc = main(["--source", "jdbc:derby:memory:a", "--target", "jdbc:derby:memory:b",
                "--tables", "t", "--checksum"])
     assert rc == 2
+
+
+def test_cli_delete_mode(spark, capsys, tmp_path):
+    """--delete KEY --keys ...: erases exactly those keys (string keys
+    cast to the column type), count-verified; bad flag combos exit 2."""
+    tgt = str(tmp_path / "nation")
+    rc = main(["--source", SF_SMOKE, "--target", str(tmp_path), "--tables", "nation"])
+    assert rc == 0
+    rc = main(["--target", tgt, "--delete", "n_nationkey", "--keys", "0", "7"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "23 rows remain" in out and "verified" in out
+    left = {r["n_nationkey"] for r in spark.read.parquet(tgt).collect()}
+    assert 0 not in left and 7 not in left and len(left) == 23
+    # --delete without --keys, and --delete combined with copy flags
+    assert main(["--target", tgt, "--delete", "n_nationkey"]) == 2
+    assert (
+        main(
+            ["--source", SF_SMOKE, "--target", tgt, "--delete", "n_nationkey",
+             "--keys", "1", "--checksum"]
+        )
+        == 2
+    )
+    # missing source in copy mode is a usage error, not a crash
+    assert main(["--target", str(tmp_path)]) == 2
