@@ -64,6 +64,7 @@ SCALE_REPS = [
     "q_decontaminate",
     "q_domain_quota",
     "q_pii_redact",
+    "q_text_lm_score",
 ]
 
 NOTES.update(
@@ -120,6 +121,13 @@ NOTES.update(
             "two-phase top-Q refinement is automatic, and a mega-domain "
             "costs the reduce task only Q·P rows, not its full row "
             "count."
+        ),
+        "q_text_lm_score": (
+            "Both LM training (token count) and scoring (token ⋈ freq) "
+            "hash-partition on the token key; the per-doc mean groups "
+            "on doc_id. No broadcast hint anywhere: vocab grows "
+            "~log(corpus), so AQE may broadcast locally but the plan "
+            "degrades to shuffle joins at scale by construction."
         ),
         "q_pii_redact": (
             "Zero exchanges, zero Python: the whole op is regexp "
