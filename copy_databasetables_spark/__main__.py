@@ -86,10 +86,23 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.delete and args.keys):
             print("FAILED: --delete KEY and --keys go together", file=sys.stderr)
             return 2
-        if args.source or args.tables or args.checksum or args.partitions or args.incremental:
+        if (
+            args.source is not None
+            or args.tables is not None
+            or args.checksum
+            or args.partitions is not None
+            or args.incremental is not None
+        ):
             print(
                 "FAILED: --delete takes only --target (the table directory) "
                 "and --keys",
+                file=sys.stderr,
+            )
+            return 2
+        if args.target.startswith("jdbc:"):
+            print(
+                "FAILED: --delete operates on a parquet table directory, "
+                "not a jdbc: URL",
                 file=sys.stderr,
             )
             return 2
@@ -107,8 +120,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"FAILED: {type(err).__name__}: {first_line}", file=sys.stderr)
             return 3
         print(
-            f"deleted {len(args.keys)} key(s) from {args.target}: "
-            f"{res.rows_copied} rows remain ({time.time() - t0:.1f}s, verified)"
+            f"deleted {res.rows_deleted} row(s) ({len(args.keys)} key(s)) "
+            f"from {args.target}: {res.rows_copied} rows remain "
+            f"({time.time() - t0:.1f}s, verified)"
         )
         return 0
 

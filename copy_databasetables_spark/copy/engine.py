@@ -100,6 +100,10 @@ class CopyResult:
     target_path: str
     rows_copied: int
     verified: bool
+    #: rows actually removed (delete_rows only) — lets callers surface
+    #: "N rows deleted" rather than inferring it from key counts, since
+    #: a key may match 0 or many rows
+    rows_deleted: int = 0
 
 
 class CopyVerificationError(RuntimeError):
@@ -380,14 +384,24 @@ def delete_rows(
             f"delete_rows: no table at {target_path}"
         )
     # keys arrive as whatever the caller had (CLI passes strings) —
-    # cast to the target column's actual type so the join matches
+    # cast to the target column's actual type so the join matches. A
+    # value that fails the cast becomes NULL, which would silently match
+    # NOTHING — for an erasure tool that is a compliance hazard (the
+    # caller is told "verified" while the subject's rows remain), so an
+    # uncastable key is a hard error, not a no-op.
     keys_df = spark.createDataFrame([(str(v),) for v in values], [key]).select(
         F.col(key).cast(existing.schema[key].dataType)
     )
+    n_bad = keys_df.where(F.col(key).isNull()).count()
+    if n_bad:
+        raise CopyVerificationError(
+            f"delete_rows: {n_bad} of {len(values)} key value(s) do not "
+            f"cast to {key}'s type ({existing.schema[key].dataType.simpleString()})"
+        )
     n_before = existing.count()
     n_match = existing.join(F.broadcast(keys_df), key, "left_semi").count()
     out = existing.join(F.broadcast(keys_df), key, "left_anti")
     n = _staged_publish(
         spark, out, target_path, n_before - n_match, "delete_rows"
     )
-    return CopyResult("delete", target_path, n, True)
+    return CopyResult("delete", target_path, n, True, rows_deleted=n_match)

@@ -437,22 +437,32 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     aw = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("cid").asc()
     )
-    ranked = (
+    assign = (
         v.crossJoin(F.broadcast(c))
         .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
         .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
     )
-    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
     p = v.where(_PROBE_FILTER).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
         F.col("nrm").alias("pn"),
     )
-    # probe → its nprobe nearest cells (nprobe · |probes| rows, still a
-    # broadcast-sized table: probes are the query batch, not the corpus)
-    probe_cells = ranked.where(F.col("rn") <= nprobe).select("vec_id", "cid")
-    probe_cell = p.join(probe_cells, p.probe_id == probe_cells.vec_id).select(
-        "probe_id", "pe", "pn", "cid"
+    # probe → its nprobe nearest cells. The probe FILTER runs before the
+    # centroid cross join and window, so this branch really is
+    # nprobe · |probes| rows (probes are the query batch, not the
+    # corpus) — ranking the full corpus a second time here would double
+    # the O(n·K) assignment work for rows the join would then discard.
+    pw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probe_cell = (
+        p.crossJoin(F.broadcast(c))
+        .withColumn("cos_c", _cosine_pre("pe", "ce", "pn", "cn"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select("probe_id", "pe", "pn", "cid")
     )
     cell_members = assign.select(
         F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ncid")
@@ -526,8 +536,8 @@ _NPROBE = 2
 @register(
     "q_sim_ivf_multiprobe",
     oracle=f"""
-    WITH v AS ({{_V_SQL}}),
-    c AS ({{_C_SQL}}),
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
     ranked AS (
       SELECT v.vec_id, c.cid,
              row_number() OVER (PARTITION BY v.vec_id
@@ -535,8 +545,8 @@ _NPROBE = 2
                                          c.cid ASC) AS rn
       FROM v CROSS JOIN c),
     assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {{_PROBE_FILTER}}),
-    pcells AS (SELECT vec_id, cid FROM ranked WHERE rn <= {{_NPROBE}}),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
+    pcells AS (SELECT vec_id, cid FROM ranked WHERE rn <= {_NPROBE}),
     scored AS (
       SELECT p.probe_id, n.vec_id AS neighbor_id,
              list_cosine_similarity(p.pe, nv.e) AS cos_raw,
@@ -548,9 +558,8 @@ _NPROBE = 2
       JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
       JOIN v nv      ON nv.vec_id = n.vec_id)
     SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
-    FROM scored WHERE rank_pos <= {{_IVF_K}}
-    """.format(_V_SQL=_V_SQL, _C_SQL=_C_SQL, _PROBE_FILTER=_PROBE_FILTER,
-               _NPROBE=_NPROBE, _IVF_K=_IVF_K),
+    FROM scored WHERE rank_pos <= {_IVF_K}
+    """,
 )
 def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with multi-probe (nprobe=``_NPROBE``): each query probes
