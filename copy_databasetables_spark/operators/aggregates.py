@@ -449,11 +449,62 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back over the counts. The count table is |distinct keys|
     rows — if even THAT is too big, the production variant swaps the
     exact count for count-min sketch; the threshold filter is the same.
-    Fraction reported in basis points (FLOOR) to stay engine-portable."""
+    Fraction reported in basis points (FLOOR) to stay engine-portable.
+
+    Over raw TPC-H orders this is correctly EMPTY (custkeys near-uniform,
+    max share ≪ 1/64); ``q_agg_heavy_hitters_skewed`` proves the
+    positive path on a synthesized hot key."""
     o = load_table(spark, sf_dir, "orders")
     counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * _HH_DENOM > F.col("total"))
+        .select(
+            "key",
+            "n",
+            F.floor(10000.0 * F.col("n") / F.col("total")).alias("frac_bp"),
+        )
+    )
+
+
+@register(
+    "q_agg_heavy_hitters_skewed",
+    oracle=f"""
+    WITH skewed AS (
+      SELECT CAST(CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE o_custkey END
+                  AS BIGINT) AS key
+      FROM orders),
+    counts AS (SELECT key, COUNT(*) AS n FROM skewed GROUP BY key),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT key, n,
+           CAST(FLOOR(10000.0 * n / total) AS BIGINT) AS frac_bp
+    FROM counts, tot
+    WHERE n * {_HH_DENOM} > total
+    """,
+)
+def q_agg_heavy_hitters_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection over a DELIBERATELY skewed key — the
+    positive-path evidence that the 1/``_HH_DENOM`` detector actually
+    fires. ``q_agg_heavy_hitters`` over raw orders is correctly empty
+    (TPC-H custkeys are near-uniform); this variant remaps ~90% of rows
+    onto one hot key (the same ``% 10 < 9`` synthesis the measured skew
+    A/B in bench.py uses), so the detector MUST report exactly that key
+    at ~9000 basis points. Same threshold, same plan shape: two-phase
+    count per key, scalar total broadcast back over the counts.
+
+    At 100 TB this is the diagnostic run BEFORE a big join: a non-empty
+    result routes the hot keys to q_join_salted / AQE skew-split."""
+    o = load_table(spark, sf_dir, "orders")
+    skewed = o.select(
+        F.when(F.col("o_orderkey") % 10 < 9, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("bigint")
+        .alias("key")
+    )
+    counts = skewed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     tot = counts.agg(F.sum("n").alias("total"))
     return (
         counts.crossJoin(F.broadcast(tot))

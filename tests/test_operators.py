@@ -620,6 +620,37 @@ def test_heavy_hitters_threshold_is_exact(spark):
     assert got == expect
 
 
+def test_heavy_hitters_skewed_fires(spark):
+    """Positive-path evidence for the detector: on the deliberately
+    skewed key (~90% of rows remapped onto key 1) the detector MUST
+    report a non-empty set containing the hot key, cross-checked
+    against a driver-side count whose expected set is non-empty."""
+    from collections import Counter
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.aggregates import (
+        _HH_DENOM,
+        q_agg_heavy_hitters_skewed,
+    )
+
+    rows = q_agg_heavy_hitters_skewed(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {r["key"]: r["n"] for r in rows}
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").collect()
+    counts = Counter(
+        1 if r["o_orderkey"] % 10 < 9 else r["o_custkey"] for r in o
+    )
+    total = sum(counts.values())
+    expect = {k: n for k, n in counts.items() if n * _HH_DENOM > total}
+    assert expect, "skew synthesis must produce a qualifying key"
+    assert got == expect
+    assert 1 in got  # the hot key itself is detected
+    # and its reported share is ~90% (9000 basis points, FLOOR'd)
+    frac = {r["key"]: r["frac_bp"] for r in rows}[1]
+    assert 8500 <= frac <= 9500
+
+
 def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     """nprobe=2 candidates are a strict superset of nprobe=1's, so
     recall against the EXACT top-k (q_sim_topk's brute force) must be
