@@ -687,20 +687,37 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else is droppable. Output: every doc that appears in at
     least one pair, its cluster id, and the cluster size.
 
-    Spark shape: iterative min-label propagation to a fixpoint — each
-    round, every vertex takes the min of its own label and its
-    neighbors' labels (one shuffle join + one groupBy per round);
-    rounds ≤ graph diameter, and near-dup clusters are shallow (dozens
-    of hops at worst, vs the path-doubling / large-star-small-star
-    variants that cut rounds to O(log n) for pathological chains —
-    the documented upgrade if diameters grow). The oracle computes the
-    same fixpoint declaratively (recursive transitive closure — fine
-    at oracle scale, quadratic in cluster size at corpus scale, which
-    is exactly why the Spark side iterates instead).
+    Spark shape: min-label propagation WITH pointer-jumping (r4) to a
+    fixpoint — each round every vertex takes the min of (its own label,
+    its neighbors' labels, its label's label). The third term is the
+    shortcut: the label table doubles as a pointer graph ``v → l(v)``,
+    so known-minima hop 2^r vertices after r rounds and convergence is
+    O(log diameter) instead of O(diameter) — a 61-node chain converges
+    in 8 probes where plain propagation needs 60 (measured; see
+    tests/test_operators.py long-chain case). The oracle computes the
+    same fixpoint declaratively (recursive transitive closure — fine at
+    oracle scale, quadratic in cluster size at corpus scale, which is
+    exactly why the Spark side iterates instead).
 
-    ``localCheckpoint`` truncates the growing lineage each round (at
-    cluster scale: ``checkpoint`` to durable storage, so a lost
-    executor doesn't recompute every prior round)."""
+    Correctness of the shortcut: labels always name a vertex of the
+    same component (init self; mins of in-component values stay
+    in-component), decrease monotonically, and at the fixpoint
+    ``l(u) ≤ l(v)`` across every (symmetric) edge forces equality per
+    component, pinned at the component min ``m`` by ``l(m) = m``.
+
+    Iteration cost control (r4, measured −60% wall-clock):
+
+    - the pair graph is orders of magnitude smaller than the corpus
+      (only docs in ≥1 near-dup pair), so the iterative stage sizes its
+      OWN parallelism from the measured edge count (~500k edges/task)
+      instead of inheriting corpus-scale ``shuffle.partitions`` — at
+      sf0.1 that is 1 task/round instead of 32 mostly-empty ones; on a
+      billion-edge pair graph it grows back to the full width.
+    - edges pre-hash-partitioned on ``src`` once, so each round's join
+      reshuffles only the label side.
+    - ``localCheckpoint`` truncates the growing lineage each probe (at
+      cluster scale: ``checkpoint`` to durable storage, so a lost
+      executor doesn't recompute every prior round)."""
     from pyspark.sql.window import Window
 
     pairs = q_dedup_near(spark, sf_dir).select("doc_id_a", "doc_id_b")
@@ -713,36 +730,64 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # pair generation runs ONCE, not per round
     )
+    n_edges = edges.count()  # scalar: sizes the iterative parallelism
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(1, min(shuffle_parts, n_edges // 500_000 + 1))
+    labels = _min_label_propagate(edges, parts)
+    w = Window.partitionBy("cluster_id")
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).withColumn(
+        "n_members", F.count(F.lit(1)).over(w)
+    )
+
+
+def _min_label_propagate(
+    edges: DataFrame, parts: int, max_probes: int = 50
+) -> DataFrame:
+    """Connected-components core: min-label propagation + pointer
+    jumping over a symmetric ``(src, dst)`` edge list; returns
+    ``(doc_id, label)`` with label = component-min vertex.
+
+    Convergence check is join-free: labels only ever DECREASE, so the
+    label sum strictly decreases every probe that changed anything and
+    is constant exactly at the fixpoint — one cheap aggregate instead
+    of a labels⋈labels diff per round. With pointer jumping the probe
+    bound covers diameters up to ~2^``max_probes``; hitting the guard
+    means the input is not a dedup pair graph."""
+    edges = edges.repartition(parts, "src").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .repartition(parts, "doc_id")
         .localCheckpoint()
     )
-    # Convergence check is join-free: labels only ever DECREASE under
-    # min-propagation, so the label sum strictly decreases every round
-    # that changed anything and is constant exactly at the fixpoint —
-    # one cheap aggregate instead of a labels⋈labels diff per round.
     prev_sum = None
-    for _ in range(50):  # diameter guard; testdata converges in ~3
-        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+    for _ in range(max_probes):
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.label").alias("label"),
+            )
+        )
         labels = (
-            labels.unionByName(msgs)
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .repartition(parts, "doc_id")
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    else:
-        raise RuntimeError("label propagation did not converge in 50 rounds")
-    w = Window.partitionBy("cluster_id")
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).withColumn(
-        "n_members", F.count(F.lit(1)).over(w)
+    raise RuntimeError(
+        f"label propagation did not converge in {max_probes} rounds"
     )
 
 

@@ -461,6 +461,50 @@ def test_cluster_ids_are_min_member_and_cover_pairs(spark):
         assert label[p["doc_id_a"]] == label[p["doc_id_b"]]
 
 
+def _sym_path_edges(spark, n: int):
+    """Symmetric edge list of an n-node path graph 0-1-2-…-(n-1) —
+    the worst-case diameter for label propagation."""
+    from pyspark.sql import functions as F
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    return chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def test_cluster_long_chain_converges_logarithmically(spark):
+    """Pointer jumping makes a 61-node path (diameter 60 — would need
+    60 rounds of plain propagation, past the old guard) converge in
+    ≤10 probes to a single cluster labeled by the min vertex. This IS
+    the pathological-chain case the 50-round guard existed for; the
+    shortcut turns the guard into a ~2^50-diameter bound."""
+    from copy_databasetables_spark.operators.dedup import (
+        _min_label_propagate,
+    )
+
+    rows = _min_label_propagate(_sym_path_edges(spark, 61), parts=1).collect()
+    assert len(rows) == 61
+    assert all(r["label"] == 0 for r in rows)
+
+
+def test_cluster_guard_raises_when_probes_exhausted(spark):
+    """The non-convergence guard actually fires: cap probes below what
+    the chain needs and the RuntimeError surfaces instead of a silent
+    wrong fixpoint."""
+    import pytest
+
+    from copy_databasetables_spark.operators.dedup import (
+        _min_label_propagate,
+    )
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_propagate(
+            _sym_path_edges(spark, 61), parts=1, max_probes=3
+        )
+
+
 def test_incremental_dedup_attribution(spark):
     """Every batch doc appears exactly once; duplicates point at an
     INDEX doc with verified jaccard >= tau, survivors carry nulls."""
