@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from copy_databasetables_spark import get_spark, operators  # noqa: E402
 
 #: Headline queries: the flagship + one representative per operator
-#: family (scan, copy, join, window, streaming, dedup, LSH, ANN, text).
+#: family (scan, copy, join, window, streaming, dedup, LSH, ANN, text),
+#: plus the round-3 additions the verdict flagged as a bench blind spot
+#: (dedup_cluster — the gate's most expensive query, iterative;
+#: decontaminate / lm_score / sessionize — the heaviest new pipeline ops).
 HEADLINE = [
     "q_agg_group",
     "q_agg_global",
@@ -38,8 +41,12 @@ HEADLINE = [
     "q_stream_session",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_cluster",
     "q_sim_topk",
     "q_text_tfidf",
+    "q_text_lm_score",
+    "q_sessionize",
+    "q_decontaminate",
     "q_pipeline_e2e",
     "copy_table_partitioned",
 ]
@@ -122,6 +129,66 @@ def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
         df = queries[name](spark, sf_dir)
         execute(df)  # warm the plan + exchanges
         out[f"warm_plan_{name}_sec"] = best(lambda: execute(df))
+    # q_dedup_cluster iterates driver-side (the returned DataFrame is
+    # only the final window over checkpointed labels), so a cached-plan
+    # replay would measure almost nothing. Its protocol number is the
+    # warm END-TO-END call: pair generation + all propagation rounds,
+    # inputs and JVM warm. Labeled distinctly so it's never read as a
+    # warm-plan figure.
+    out["warm_end_to_end_q_dedup_cluster_sec"] = best(
+        lambda: execute(queries["q_dedup_cluster"](spark, sf_dir)), runs=2
+    )
+    out["warm_end_to_end_q_dedup_cluster_runs"] = 2
+    return out
+
+
+def _jdbc_copy(spark, sf_dir: str) -> dict:
+    """The reference's whole identity is bulk table copy; this is its
+    measured analog: parquet → embedded Derby (batched INSERTs over a
+    real JDBC driver) → partitioned JDBC read → parquet, timed per
+    INSERT batch size. One timed pass per batch size (a JDBC write is
+    too expensive to best-of-N, and unlike the query numbers it has no
+    plan/codegen warmup to amortize — noted in BASELINE.md)."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.scans import _derby_url
+    from copy_databasetables_spark.sources.jdbc import (
+        JdbcReadSpec,
+        JdbcWriteSpec,
+    )
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    n = src.count()
+    out: dict = {"rows": n}
+    for bs in (100, 1000):
+        url = _derby_url(sf_dir, f"benchcopy{bs}")
+        t0 = time.perf_counter()
+        JdbcWriteSpec(
+            url=url,
+            table="orders_copy",
+            mode="overwrite",
+            batchsize=bs,
+            num_partitions=4,
+        ).save(src)
+        back = JdbcReadSpec(
+            url=url,
+            table="orders_copy",
+            partition_column="o_orderkey",
+            lower_bound=0,
+            upper_bound=int(n * 10),
+            num_partitions=8,
+        ).load(spark)
+        back.write.mode("overwrite").parquet(
+            f"/tmp/spark_graft_bench/jdbc_copy_{bs}"
+        )
+        sec = round(time.perf_counter() - t0, 4)
+        out[f"batchsize_{bs}_sec"] = sec
+        out[f"batchsize_{bs}_rows_per_sec"] = round(n / sec)
     return out
 
 
@@ -256,6 +323,7 @@ def main() -> None:
                 "sf": sf,
                 "protocol": _flagship_protocol(spark, queries, sf_dir),
                 "skew_ab": _skew_ab(spark, sf_dir),
+                "jdbc_copy": _jdbc_copy(spark, sf_dir),
             }
         )
     )
