@@ -158,7 +158,7 @@ _SESSION_GAP_US = 1_800_000_000  # 30 min
     "q_sessionize",
     oracle=f"""
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                        > {_SESSION_GAP_US}
@@ -167,7 +167,7 @@ _SESSION_GAP_US = 1_800_000_000  # 30 min
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM o)
     SELECT user_id, CAST(session_idx AS INT) AS session_idx,
@@ -188,8 +188,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table shuffles ONCE and the window sort, the session
     aggregation, and any later per-user join all reuse that exchange.
     Session state per user is one timestamp (the lag), not the event
-    history. Ties: ts is unique per user in this dataset; event_id is
-    the total-order tie-break so the fixpoint is deterministic anyway."""
+    history. Ties: both windows (the lag and the ROWS-frame running
+    sum) order by (ts, event_id) so tied timestamps cannot make the
+    session index order-nondeterministic; the oracle's `s` CTE uses the
+    identical tiebreak."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -200,7 +202,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sess = F.when(
         F.lag("ts").over(w).isNull() | (gap_us > _SESSION_GAP_US), 1
     ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     s = ev.withColumn("new_sess", new_sess).withColumn(
