@@ -11,13 +11,20 @@ Two deliberate design points:
    (SURVEY.md §1.1) — we match that discipline. Passing an explicit schema
    to ``spark.read`` also skips the footer-sampling schema-inference job.
 
-2. **The events NANOS workaround** (SURVEY.md §1.2): ``events.ts`` is
-   parquet TIMESTAMP(NANOS); with ``nanosAsLong=true`` it reads as int64
-   nanoseconds. We rebuild a microsecond timestamp with integer division
-   (``ts div 1000`` — exact floor, no double rounding), matching DuckDB
-   1.0's own floor-truncating ns→µs read of the same file (verified:
-   raw ...275999 ns → ...275 µs on both sides). Cast to timestamp_ntz so
-   every timestamp in the engine has uniform NTZ semantics.
+2. **The events ts type branch** (SURVEY.md §1.2, TESTDATA.md): the
+   generator has shipped ``events.ts`` under two physical encodings
+   across rounds — parquet TIMESTAMP(NANOS) (reads as int64 under
+   ``nanosAsLong=true``) and plain ``timestamp[us]``. The loader reads
+   the parquet footer (pyarrow, cached per path) and branches:
+
+   - int64 → rebuild a microsecond timestamp with integer division
+     (``ts div 1000`` — exact floor, no double rounding), matching
+     DuckDB 1.0's own floor-truncating ns→µs read of the same file
+     (verified: raw ...275999 ns → ...275 µs on both sides).
+   - timestamp → read natively as ``timestamp_ntz``; no conversion.
+
+   Either way every timestamp in the engine has uniform NTZ semantics
+   and agrees with DuckDB reading the same file.
 
 Scale note (100 TB): loaders return plain lazy DataFrames — no caching,
 no collect. Partitioning of a scan is governed by
@@ -56,8 +63,10 @@ TABLES = [
 _NTZ = T.TimestampNTZType()
 
 #: Declared schemas, as Spark 4.1.2 loads the parquet files (FIXTURES.md).
-#: events.ts is declared long here (raw nanos under nanosAsLong=true);
-#: load_table converts it to timestamp_ntz before anyone sees it.
+#: events.ts is declared long here (the NANOS-generation encoding);
+#: events_read_schema() swaps it for timestamp_ntz when the file footer
+#: says the column is physically a parquet TIMESTAMP. Either way
+#: load_table yields ts: timestamp_ntz before anyone sees it.
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [
@@ -157,21 +166,57 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_TS_KIND_CACHE: dict[str, str] = {}
+
+
+def events_ts_kind(path: str) -> str:
+    """Physical encoding of ``events.ts`` in the parquet footer:
+    ``"long"`` (int64 raw nanos, the TIMESTAMP(NANOS)/nanosAsLong
+    generation) or ``"timestamp"`` (a real parquet TIMESTAMP, read
+    natively). Footer-only read, cached per (path, mtime)."""
+    key = f"{path}:{os.path.getmtime(path)}"
+    kind = _TS_KIND_CACHE.get(key)
+    if kind is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        kind = "long" if pa.types.is_integer(t) else "timestamp"
+        _TS_KIND_CACHE[key] = kind
+    return kind
+
+
+def events_read_schema(path: str) -> T.StructType:
+    """The explicit read schema matching the file's actual ts encoding."""
+    if events_ts_kind(path) == "long":
+        return SCHEMAS["events"]
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", _NTZ)
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its declared schema.
 
-    For ``events``, converts the raw-nanos ``ts`` long into a
-    microsecond-precision ``timestamp_ntz`` (floor division — see module
-    docstring). No operator in the engine ever sees the raw long.
+    For ``events``, yields ``ts`` as microsecond ``timestamp_ntz``
+    regardless of the file's physical encoding (type branch — see module
+    docstring). No operator in the engine ever sees a raw long.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure_session(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
     if name == "events":
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        path = table_path(sf_dir, name)
+        df = spark.read.schema(events_read_schema(path)).parquet(path)
+        if events_ts_kind(path) == "long":
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
     # Local-bench parallelism knob: the testdata files are single-row-group
     # parquet, so a scan is ONE task no matter how many cores exist (a row
     # group is the parquet split atom). When the bench protocol sets

@@ -158,21 +158,43 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q_agg_approx_distinct — HyperLogLog++ cardinality (rows-only check: HLL
-# estimates are engine-specific, so no value oracle exists by design).
-# At 100 TB this is THE cardinality tool: constant memory per group vs an
-# exact-distinct shuffle of every key.
+# q_agg_approx_distinct — HyperLogLog++ cardinality. At 100 TB this is THE
+# cardinality tool: constant memory per group vs an exact-distinct shuffle
+# of every key. The raw estimate is engine-specific (DuckDB's approx HLL
+# differs), so the hash-checkable output is the exact cardinality PLUS an
+# in-query verdict that the sketch landed within tolerance of it: Spark
+# computes both aggregates in one groupBy and emits the boolean; the
+# oracle emits TRUE from the exact side. Hashes match iff the sketch
+# really is within tolerance — a value check the driver can grade.
+# rsd=0.02 → ±5% is a 2.5σ bound, and at these per-group cardinalities
+# HLL++ sits in its (near-exact) sparse regime. The exact column exists
+# for the gate; production use is the sketch alone.
 # --------------------------------------------------------------------------
 
 
-@register("q_agg_approx_distinct")
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            exact.alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                <= F.greatest(F.lit(1.0), 0.05 * exact.cast("double"))
+            ).alias("within_tol"),
         )
         .orderBy("event_type")
     )

@@ -79,10 +79,11 @@ def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def src_parquet_scan_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the TIMESTAMP(NANOS) events table — the io.py workaround
-    (nanosAsLong + integer-division reconstruction, SURVEY.md §1.2).
-    DuckDB floor-truncates the same nanos on read, so epoch-µs values
-    agree exactly."""
+    """Read the events table through the io.py ts type branch
+    (SURVEY.md §1.2): TIMESTAMP(NANOS) files go through nanosAsLong +
+    integer-division reconstruction, timestamp[us] files read natively.
+    DuckDB reads the same file either way, so epoch-µs values agree
+    exactly."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", us("ts", "ts_us"), "user_id", "event_type", "value", "props"

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from copy_databasetables_spark.io import SCHEMAS, table_path
+from copy_databasetables_spark.io import events_read_schema, events_ts_kind, table_path
 from copy_databasetables_spark.session import configure_session
 
 
@@ -29,7 +29,8 @@ def _stream_source_dir(sf_dir: str) -> str:
     """The streaming file source requires a *directory* to watch; the
     testdata ships one parquet file per table. Stage the events file into
     a per-SF directory under /tmp as several row-sliced chunks (pyarrow,
-    type-preserving — the TIMESTAMP(NANOS) column survives) so that
+    type-preserving — the ts column keeps its physical encoding, NANOS
+    or timestamp[us] alike) so that
     ``maxFilesPerTrigger=1`` actually produces multiple micro-batches —
     one file would collapse every run into a single batch and stateful
     operators would never exercise cross-batch state."""
@@ -58,18 +59,21 @@ def _stream_source_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events parquet as a file-source stream, with the same NANOS
-    conversion the batch loader applies (io.py)."""
+    """events parquet as a file-source stream, with the same ts type
+    branch the batch loader applies (io.py)."""
     configure_session(spark)
+    src = table_path(sf_dir, "events")
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(events_read_schema(src))
         .option("maxFilesPerTrigger", 1)
         .parquet(_stream_source_dir(sf_dir))
     )
     # timestamp (LTZ), not timestamp_ntz: watermarks require TIMESTAMP
     # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); with the session pinned to
     # UTC the wall clock is identical to the batch loader's NTZ values.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if events_ts_kind(src) == "long":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

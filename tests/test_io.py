@@ -1,5 +1,8 @@
-"""IO-layer hardening: text-format escaping and the NANOS timestamp
-workaround checked against ground truth."""
+"""IO-layer hardening: text-format escaping, the events ts type branch
+checked against the parquet bytes, and loaded-data sanity guards that
+catch a testdata regeneration changing physical types (the r4 incident:
+ts flipped TIMESTAMP(NANOS) → timestamp[us], the loader silently
+produced 1970 timestamps, and no test noticed)."""
 
 from __future__ import annotations
 
@@ -7,8 +10,16 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from copy_databasetables_spark.io import load_table, table_path
+from copy_databasetables_spark.io import (
+    SCHEMAS,
+    TABLES,
+    events_read_schema,
+    events_ts_kind,
+    load_table,
+    table_path,
+)
 from tests.conftest import SF_SMOKE
 
 
@@ -64,15 +75,21 @@ def test_json_roundtrip_survives_hostile_strings(spark):
         assert got[i] == s  # JSON preserves empty strings, unlike CSV
 
 
-def test_events_ts_matches_raw_nanos_floor(spark):
-    """The loader's timestamp must equal floor(raw_ns / 1000) µs for
-    every row — checked against the parquet bytes via pyarrow, not
-    against another Spark read."""
-    raw = pq.read_table(table_path(SF_SMOKE, "events"), columns=["event_id", "ts"])
-    ns = dict(
+def test_events_ts_matches_parquet_bytes(spark):
+    """The loader's timestamp must equal the file's raw value exactly —
+    floor(raw_ns / 1000) µs for the NANOS generation, the µs value
+    as-is for the timestamp[us] generation — checked against the parquet
+    bytes via pyarrow, not against another Spark read. (The pre-r5
+    version of this test applied the same ÷1000 to both sides, so it
+    stayed green while the loader compressed time 1000×.)"""
+    path = table_path(SF_SMOKE, "events")
+    kind = events_ts_kind(path)
+    raw = pq.read_table(path, columns=["event_id", "ts"])
+    ints = raw.column("ts").cast(pa.int64()).to_pylist()  # ns or µs by kind
+    expected = dict(
         zip(
             raw.column("event_id").to_pylist(),
-            raw.column("ts").cast(pa.int64()).to_pylist(),
+            [v // 1000 for v in ints] if kind == "long" else ints,
         )
     )
     loaded = {
@@ -81,6 +98,56 @@ def test_events_ts_matches_raw_nanos_floor(spark):
         .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
         .collect()
     }
-    assert len(loaded) == len(ns) == 1000
-    for eid, n in ns.items():
-        assert loaded[eid] == n // 1000, (eid, n, loaded[eid])
+    assert len(loaded) == len(expected) == 1000
+    for eid, want in expected.items():
+        assert loaded[eid] == want, (eid, want, loaded[eid])
+
+
+def test_loaded_events_in_documented_range(spark):
+    """Loaded-data drift guard: the events table spans January 2024
+    (TESTDATA.md). If a regeneration changes the ts physical encoding
+    and the loader misreads it (the r4 bug: every ts collapsed into a
+    43-minute window in 1970), this fails loudly."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024, f"events min(ts)={lo} — loader misread the ts encoding?"
+    assert hi.year == 2024, f"events max(ts)={hi} — loader misread the ts encoding?"
+    assert ev.schema["ts"].dataType == T.TimestampNTZType()
+
+
+def test_declared_schemas_match_parquet_footers():
+    """Every declared read schema physically matches the file footer —
+    field names in order, and a type-for-type correspondence. Catches
+    the next silent testdata regeneration at the source."""
+    arrow_of = {
+        T.IntegerType(): {pa.int32()},
+        T.LongType(): {pa.int64()},
+        T.DoubleType(): {pa.float64()},
+        T.StringType(): {pa.string(), pa.large_string()},
+        T.TimestampNTZType(): {pa.timestamp("us"), pa.timestamp("ms"), pa.timestamp("ns")},
+        T.FloatType(): {pa.float32()},
+    }
+    for name in TABLES:
+        path = table_path(SF_SMOKE, name)
+        footer = pq.read_schema(path)
+        declared = events_read_schema(path) if name == "events" else SCHEMAS[name]
+        assert footer.names == [f.name for f in declared.fields], name
+        for f in declared.fields:
+            ftype = footer.field(f.name).type
+            if name == "events" and f.name == "ts":
+                # the type branch: long ⇔ int64 nanos, ntz ⇔ parquet TIMESTAMP
+                if f.dataType == T.LongType():
+                    assert pa.types.is_integer(ftype) or ftype == pa.timestamp("ns")
+                else:
+                    assert pa.types.is_timestamp(ftype), (name, f.name, ftype)
+                continue
+            if pa.types.is_list(ftype):
+                # list field names differ ("element" vs "item") — compare
+                # the value type only
+                assert isinstance(f.dataType, T.ArrayType)
+                assert ftype.value_type in arrow_of[f.dataType.elementType], (
+                    name, f.name, str(ftype), f.dataType,
+                )
+                continue
+            allowed = arrow_of[f.dataType]
+            assert ftype in allowed, (name, f.name, str(ftype), f.dataType)
