@@ -280,23 +280,27 @@ _BENCH_DOCS = 20
 #: 5 here so the tiny synthetic docs actually produce grams).
 _GRAM_N = 5
 
-#: portable 60-bit hash (same construction as dedup.py's _H/_D_H).
-_GH = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
-_D_GH = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
-
 #: Spark: token n-gram hash array of a `toks` column (empty when the doc
 #: is shorter than the gram width — sequence(1, 0) steps DOWNWARD, so an
 #: explicit guard is required, same trap as text.q_text_repetition).
+#: Gram identity is ENGINE-INTERNAL (grams never appear in the output,
+#: only membership counts do), so each side uses its cheapest form:
+#: Spark hashes the token slice directly with xxhash64 — no gram string
+#: is ever built, and no md5 (r5: this md5 was the dominant constant in
+#: the q_decontaminate bench line); DuckDB keeps the raw gram string.
+#: Results agree absent an xxhash64 collision between distinct grams of
+#: the same corpus — which the differential gate itself would catch.
 _GRAMS = (
     f"CASE WHEN size(toks) < {_GRAM_N} THEN array() "
     f"ELSE transform(sequence(1, size(toks) - {_GRAM_N - 1}), "
-    f"i -> {_GH.format(x=f'''array_join(slice(toks, i, {_GRAM_N}), ' ')''')}) END"
+    f"i -> xxhash64(slice(toks, i, {_GRAM_N}))) END"
 )
-#: DuckDB: the same gram hash array (list slicing is 1-based inclusive).
+#: DuckDB: the same grams as plain strings (list slicing is 1-based
+#: inclusive).
 _D_GRAMS = (
     f"CASE WHEN len(toks) < {_GRAM_N} THEN [] "
     f"ELSE list_transform(range(1, len(toks) - {_GRAM_N - 2}), "
-    f"i -> {_D_GH.format(x=f'''array_to_string(toks[i:i + {_GRAM_N - 1}], ' ')''')}) END"
+    f"i -> array_to_string(toks[i:i + {_GRAM_N - 1}], ' ')) END"
 )
 
 
@@ -332,15 +336,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a tiny fraction of the corpus), and the final flag join is a left
     join whose right side is just the contaminated ids. In production
     the broadcast becomes a bloom filter at ~1e8 benchmark grams; the
-    plan shape is identical."""
+    plan shape is identical. Gram identity is the xxhash64 of the raw
+    token slice (see _GRAMS) — the corpus-wide scan does zero string
+    concatenation and zero cryptographic hashing."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     g = toks.select("doc_id", F.expr(_GRAMS).alias("grams"))
     bench_ids = d.select("doc_id").orderBy("doc_id").limit(_BENCH_DOCS)
+    # bounded scalar (_BENCH_DOCS ids, a constant — same pattern as the
+    # scans.py split-point collects): inlining the ids as an isin filter
+    # pushes the benchmark-side predicate into the parquet scan, so the
+    # corpus-wide gram expression is evaluated ONCE (the corpus_g pass),
+    # not once more under a semi-join that can't prune the scan.
+    ids = [r[0] for r in bench_ids.collect()]
     bg = (
-        g.join(bench_ids, "doc_id", "left_semi")
+        g.where(F.col("doc_id").isin(ids))
         .select(F.explode("grams").alias("gh"))
         .distinct()
     )
