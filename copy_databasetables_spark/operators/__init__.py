@@ -115,7 +115,8 @@ DRIVER_WINDOW: list[str] = [
     "q_project_expr",
     "q_unpivot",
     "q_win_distinct_count",
-    "q_win_moving_avg",
+    # new in r5 (quality-aware cluster survivor selection)
+    "q_dedup_survivor",
 ]
 
 #: Keys with a green row in a prior round's CORRECTNESS file — pushed to

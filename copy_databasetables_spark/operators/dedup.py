@@ -756,6 +756,69 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_survivor",
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {_D_TOKS} AS toks,
+                 len({_D_TOKS}) AS sz
+          FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+            >= {_JACCARD_TAU}),
+    edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM comp)
+    SELECT s.doc_id, s.cluster_id, s.n_members,
+           ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                              ORDER BY d.n_chars DESC, s.doc_id ASC) = 1
+             AS keep
+    FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION a training pipeline actually ships: within
+    each near-duplicate cluster keep the highest-quality member (here
+    longest text, ``n_chars``; ties broken by min doc_id for
+    determinism) and flag the rest droppable — min-doc_id survivors
+    (q_dedup_cluster's canonical label) systematically bias toward
+    whatever crawled first, so real pipelines pick by quality instead.
+
+    Spark shape: the iterative CC labels are vertex-sized (only docs in
+    ≥1 pair), so the quality join broadcasts the CLUSTER side against
+    the corpus scan — no corpus shuffle; the survivor choice is one
+    row_number window partitioned by cluster, sized by the pair graph,
+    not the corpus."""
+    from pyspark.sql.window import Window
+
+    clusters = q_dedup_cluster(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        F.broadcast(clusters)
+        .join(d, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_members", "keep")
+    )
+
+
 def _min_label_propagate(
     edges: DataFrame, parts: int, max_probes: int = 50
 ) -> DataFrame:
