@@ -507,6 +507,30 @@ def test_cluster_guard_raises_when_probes_exhausted(spark):
         )
 
 
+def test_survivor_one_keep_per_cluster_and_is_best(spark):
+    """q_dedup_survivor: exactly ONE keep per cluster, and the kept doc
+    has the cluster's max n_chars (min doc_id on ties)."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_dedup_survivor"](spark, sf).collect()
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "n_chars").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster, "no clusters at sf0.001?"
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1, (cid, keeps)
+        best = min(members, key=lambda r: (-chars[r["doc_id"]], r["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
+        assert all(r["n_members"] == len(members) for r in members)
+
+
 def test_incremental_dedup_attribution(spark):
     """Every batch doc appears exactly once; duplicates point at an
     INDEX doc with verified jaccard >= tau, survivors carry nulls."""
