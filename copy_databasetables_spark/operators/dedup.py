@@ -592,6 +592,147 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- random-hyperplane LSH for embedding near-dup (q_dedup_embed_lsh) ----
+
+#: 32 deterministic Rademacher (±1) hyperplanes over the 64-dim
+#: embedding space, banded 4×8. Fixed seed → identical literal matrix
+#: in the Spark expression and the DuckDB oracle.
+_RHP_BANDS = 4
+_RHP_ROWS = 8
+_RHP_DIM = 64
+
+
+def _rhp_matrix() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    m = rng.integers(0, 2, size=(_RHP_BANDS * _RHP_ROWS, _RHP_DIM)) * 2 - 1
+    return [[float(x) for x in row] for row in m]
+
+
+def _rhp_sql_literal(fmt_row) -> str:
+    rows = [fmt_row([("1.0" if x > 0 else "-1.0") for x in row]) for row in _rhp_matrix()]
+    return ", ".join(rows)
+
+
+#: Spark: nested array literal of the hyperplane matrix.
+_RHP_SPARK = (
+    "array(" + _rhp_sql_literal(lambda r: "array(" + ",".join(r) + ")") + ")"
+)
+#: DuckDB: the same matrix as a list-of-lists literal.
+_RHP_DUCK = "[" + _rhp_sql_literal(lambda r: "[" + ",".join(r) + "]") + "]"
+
+#: Spark: sign bits of the 32 projections of a double-array column `e`.
+_RHP_BITS = (
+    f"transform({_RHP_SPARK}, row -> "
+    "if(aggregate(zip_with(e, row, (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0D, 1, 0))"
+)
+#: DuckDB: the same sign bits.
+_D_RHP_BITS = (
+    f"list_transform({_RHP_DUCK}, row -> "
+    "CASE WHEN list_dot_product(e, row) >= 0 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "q_dedup_embed_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bits AS (SELECT vec_id, e, {_D_RHP_BITS} AS b FROM v),
+    keyed AS (
+      SELECT vec_id, e, band,
+             array_to_string(b[band * {_RHP_ROWS} + 1 :
+                               band * {_RHP_ROWS} + {_RHP_ROWS}], '') AS bucket
+      FROM (SELECT *, CAST(UNNEST(range({_RHP_BANDS})) AS INT) AS band
+            FROM bits)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b,
+           round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+    FROM cand
+    JOIN v va ON va.vec_id = cand.vec_id_a
+    JOIN v vb ON vb.vec_id = cand.vec_id_b
+    WHERE list_cosine_similarity(va.e, vb.e) >= {_EMBED_TAU}
+    """,
+)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH — the SCALE
+    path that q_dedup_embed's docstring promises (that op is the exact
+    all-pairs reference): 32 fixed Rademacher hyperplanes give each
+    vector a 32-bit sign sketch (SimHash for cosine, Charikar 2002);
+    banding 4×8 turns candidate generation into an equi-join on
+    (band, 8-bit bucket) — no cross join anywhere, total work
+    O(n·bands) + verification of colliding pairs only.
+
+    Collision math: P(bit agree) = 1 − θ/π. At the production τ≈0.95
+    (θ≈18°) a 4×8 scheme catches ~90% of true pairs while random pairs
+    collide at ~1.6%; at this corpus's demonstration τ=0.40 the curve
+    is flatter (recall ~10%) because sign-LSH is built for the high-τ
+    regime — the oracle replicates the identical pipeline, so the
+    output is hash-checked regardless of where the S-curve sits.
+
+    The hyperplane matrix is a deterministic literal compiled into BOTH
+    engines' expressions; sign agreement across engines holds unless a
+    projection lands within float-rounding distance of exactly 0
+    (P ≈ 1e-13 per projection — and the differential gate would catch
+    it)."""
+    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        .withColumn("nrm", norm)
+        .withColumn("bits", F.expr(_RHP_BITS))
+    )
+    keyed = v.select(
+        "vec_id",
+        "e",
+        "nrm",
+        F.explode(F.sequence(F.lit(0), F.lit(_RHP_BANDS - 1))).alias("band"),
+        F.col("bits"),
+    ).select(
+        "vec_id",
+        "e",
+        "nrm",
+        "band",
+        F.expr(
+            f"array_join(slice(bits, band * {_RHP_ROWS} + 1, {_RHP_ROWS}), '')"
+        ).alias("bucket"),
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("vec_id_a"), "band", "bucket",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.bucket == b.bucket_b)
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select("vec_id_a", "vec_id_b", "ea", "eb", "na", "nb")
+        # a pair colliding in several bands verifies once; dedupe on the
+        # id pair so the shuffle key is 16 bytes, not the vectors
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_raw") >= _EMBED_TAU)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
 _BUCKET_CAP = 40  # max docs per (lang, band, bucket) before it's "boilerplate"
 
 
