@@ -531,6 +531,25 @@ def test_survivor_one_keep_per_cluster_and_is_best(spark):
         assert all(r["n_members"] == len(members) for r in members)
 
 
+def test_embed_lsh_pairs_subset_of_exact(spark):
+    """q_dedup_embed_lsh returns a SUBSET of q_dedup_embed's exact
+    all-pairs output (LSH prunes candidates, never invents pairs), with
+    identical cosine values on the shared pairs."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in all_queries()["q_dedup_embed"](spark, sf).collect()
+    }
+    lsh = all_queries()["q_dedup_embed_lsh"](spark, sf).collect()
+    assert lsh, "LSH found no pairs at sf0.001 — banding broken?"
+    for r in lsh:
+        key = (r["vec_id_a"], r["vec_id_b"])
+        assert key in exact, f"LSH invented pair {key}"
+        assert r["cosine"] == exact[key]
+
+
 def test_incremental_dedup_attribution(spark):
     """Every batch doc appears exactly once; duplicates point at an
     INDEX doc with verified jaccard >= tau, survivors carry nulls."""
