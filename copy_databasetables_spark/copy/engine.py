@@ -143,6 +143,37 @@ def copy_table(
     return CopyResult(table, target_path, n_dst, True)
 
 
+def copy_table_mapped(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    target_path: str,
+    mappings: list[tuple[str, str]],
+    *,
+    num_partitions: int | None = None,
+) -> CopyResult:
+    """Copy with per-column mappings — the SqlBulkCopy ``ColumnMappings``
+    analog (rename / cast / computed expression / constant default per
+    target column). ``mappings`` is an ordered list of
+    ``(target_column, source_sql_expr)``; the target schema IS the
+    mapping list, so columns can be renamed, retyped, derived, or
+    dropped (by omission) in one declarative pass. Row-count verified
+    like every copy mode; content verification is the caller's oracle
+    (the mapping changes the content by design)."""
+    src = load_table(spark, sf_dir, table)
+    out = src.selectExpr(*[f"{expr} AS {name}" for name, expr in mappings])
+    if num_partitions:
+        out = out.repartition(num_partitions)
+    out.write.mode("overwrite").parquet(target_path)
+    copied = spark.read.parquet(target_path)
+    n_src, n_dst = src.count(), copied.count()
+    if n_src != n_dst:
+        raise CopyVerificationError(
+            f"{table}: source has {n_src} rows but mapped target has {n_dst}"
+        )
+    return CopyResult(table, target_path, n_dst, True)
+
+
 def copy_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -279,6 +279,45 @@ def q_copy_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copy_table_mapped",
+    oracle="""
+    SELECT c_custkey AS customer_key,
+           upper(c_name) AS customer_name,
+           CAST(c_nationkey AS BIGINT) AS nation_key,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           COALESCE(c_mktsegment, 'UNKNOWN') AS segment
+    FROM customer
+    """,
+)
+def q_copy_table_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapped copy — the SqlBulkCopy ColumnMappings analog the
+    upstream tool exposes: rename (c_custkey→customer_key), transform
+    (upper), retype (int→bigint; double dollars→exact bigint cents via
+    the floor(x·100+0.5) device from the flagship), defaulting
+    (coalesce), and column drop (omission) in ONE declarative pass —
+    Catalyst fuses the whole mapping into the scan projection. The
+    oracle applies the same mapping to the source, so the hash proves
+    the mapped copy is exactly the mapped source."""
+    from copy_databasetables_spark.copy.engine import copy_table_mapped
+
+    target = _out("copy_table_mapped", sf_dir, "customer")
+    copy_table_mapped(
+        spark,
+        sf_dir,
+        "customer",
+        target,
+        [
+            ("customer_key", "c_custkey"),
+            ("customer_name", "upper(c_name)"),
+            ("nation_key", "cast(c_nationkey as bigint)"),
+            ("acctbal_cents", "cast(floor(c_acctbal * 100 + 0.5) as bigint)"),
+            ("segment", "coalesce(c_mktsegment, 'UNKNOWN')"),
+        ],
+    )
+    return spark.read.parquet(target)
+
+
+@register(
     "copy_tables_many",
     oracle="""
     SELECT 'region' AS table_name, COUNT(*) AS n_rows FROM region
