@@ -171,9 +171,12 @@ _TS_KIND_CACHE: dict[str, str] = {}
 
 def events_ts_kind(path: str) -> str:
     """Physical encoding of ``events.ts`` in the parquet footer:
-    ``"long"`` (int64 raw nanos, the TIMESTAMP(NANOS)/nanosAsLong
-    generation) or ``"timestamp"`` (a real parquet TIMESTAMP, read
-    natively). Footer-only read, cached per (path, mtime)."""
+    ``"long"`` for the TIMESTAMP(NANOS) generation — pyarrow reports
+    that footer as ``timestamp[ns]`` (NOT int64: the int64 is how SPARK
+    surfaces it under nanosAsLong, which Spark needs because it has no
+    nanosecond timestamp type) — or for a raw int64 nanos column;
+    ``"timestamp"`` for µs/ms TIMESTAMP columns Spark reads natively.
+    Footer-only read, cached per (path, mtime)."""
     key = f"{path}:{os.path.getmtime(path)}"
     kind = _TS_KIND_CACHE.get(key)
     if kind is None:
@@ -181,7 +184,8 @@ def events_ts_kind(path: str) -> str:
         import pyarrow.parquet as pq
 
         t = pq.read_schema(path).field("ts").type
-        kind = "long" if pa.types.is_integer(t) else "timestamp"
+        is_nanos = pa.types.is_timestamp(t) and t.unit == "ns"
+        kind = "long" if (pa.types.is_integer(t) or is_nanos) else "timestamp"
         _TS_KIND_CACHE[key] = kind
     return kind
 

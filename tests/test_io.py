@@ -103,6 +103,66 @@ def test_events_ts_matches_parquet_bytes(spark):
         assert loaded[eid] == want, (eid, want, loaded[eid])
 
 
+def test_loader_branch_handles_both_ts_encodings(spark):
+    """Self-contained proof of BOTH loader branches: write the same
+    logical events rows as TIMESTAMP(NANOS) and as timestamp[us], load
+    each through load_table, and require identical timestamps. Keeps
+    the branch not exercised by the CURRENT testdata generation under
+    test forever."""
+    import os
+    import shutil
+
+    base = 1704067200_000_000  # 2024-01-01T00:00:00Z in µs
+    rows_us = [base + i * 1_000_003 for i in range(7)]
+    n = len(rows_us)
+    cols = {
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array([0.5] * n, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }
+
+    def write(dirname: str, ts_arr):
+        d = f"/tmp/spark_graft_test_io/{dirname}"
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        t = pa.table(
+            {
+                "event_id": cols["event_id"],
+                "ts": ts_arr,
+                "user_id": cols["user_id"],
+                "event_type": cols["event_type"],
+                "value": cols["value"],
+                "props": cols["props"],
+            }
+        )
+        pq.write_table(t, f"{d}/events.parquet", version="2.6", coerce_timestamps=None)
+        return d
+
+    d_us = write("enc_us", pa.array(rows_us, pa.timestamp("us")))
+    d_ns = write("enc_ns", pa.array([v * 1000 + 999 for v in rows_us], pa.timestamp("ns")))
+
+    from copy_databasetables_spark.io import events_ts_kind
+
+    assert events_ts_kind(f"{d_us}/events.parquet") == "timestamp"
+    assert events_ts_kind(f"{d_ns}/events.parquet") == "long"
+
+    def loaded(d):
+        return {
+            r["event_id"]: r["us"]
+            for r in load_table(spark, d, "events")
+            .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+            .collect()
+        }
+
+    got_us, got_ns = loaded(d_us), loaded(d_ns)
+    want = dict(enumerate(rows_us))
+    # µs file: values verbatim; ns file: the +999 ns floor-truncate away
+    assert got_us == want, got_us
+    assert got_ns == want, got_ns
+
+
 def test_loaded_events_in_documented_range(spark):
     """Loaded-data drift guard: the events table spans January 2024
     (TESTDATA.md). If a regeneration changes the ts physical encoding
