@@ -52,6 +52,14 @@ def test_star_join_single_fact_shuffle(spark):
     assert "CartesianProduct" not in p
 
 
+def test_survivor_quality_join_broadcasts_cluster_side(spark):
+    """q_dedup_survivor's corpus join must broadcast the (tiny,
+    vertex-sized) cluster table — a shuffle here would re-shuffle the
+    whole corpus at scale just to look up n_chars."""
+    p = plan(all_queries()["q_dedup_survivor"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+
+
 def test_semi_join_stays_semi(spark):
     p = plan(all_queries()["q_join_semi"](spark, SF_SMOKE))
     assert "LeftSemi" in p
