@@ -70,6 +70,64 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+#: per-language sampling rates (percent kept): downsample the dominant
+#: language, keep low-resource languages whole — the standard
+#: low-resource-upsampling mixture move, expressed as deterministic
+#: per-stratum hash thresholds.
+_STRATA_RATES = {"en": 20, "de": 60, "fr": 60, "es": 60, "zh": 100}
+_STRATA_DEFAULT = 50
+
+
+def _rate_case_sql(pct_fragment: str) -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {pct_fragment} < {v}"
+        for k, v in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE {arms} ELSE {pct_fragment} < {_STRATA_DEFAULT} END"
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH kept AS (
+      SELECT * FROM documents
+      WHERE {_rate_case_sql(_D_PCT.format(x="CAST(doc_id AS VARCHAR)"))})
+    SELECT k.lang,
+           COUNT(*) AS n_kept,
+           t.n_total,
+           CAST(SUM(k.n_chars) AS BIGINT) AS kept_chars
+    FROM kept k
+    JOIN (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang) t
+      ON t.lang = k.lang
+    GROUP BY k.lang, t.n_total
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each language keeps a
+    configured fraction (dominant 'en' downsampled to 20%, low-resource
+    strata kept at 60-100%) via the same pure-hash-of-key predicate as
+    q_sample_hash — stable under re-runs, repartitioning, and corpus
+    growth, unlike RNG `df.sample`/`sampleBy`. Output is the per-stratum
+    audit (kept vs total), i.e. the realized mixture.
+
+    Scale: the keep-predicate is a scalar expression on the scan (no
+    shuffle to sample); the audit is one two-phase aggregate plus a
+    broadcast-sized per-lang totals join."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = _PCT.format(x="cast(doc_id as string)")
+    kept = d.where(F.expr(_rate_case_sql(pct)))
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .join(F.broadcast(totals), "lang")
+        .select("lang", "n_kept", "n_total", "kept_chars")
+    )
+
+
 _PACK_BUDGET = 512
 
 
