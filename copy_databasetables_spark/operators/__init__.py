@@ -56,67 +56,69 @@ _loaded = False
 #: Driver-window priority. The correctness driver records the FIRST 50
 #: ``queries()`` entries each round (observed: CORRECTNESS_r01.json stops
 #: at exactly 50, in declaration order), so the dict order below rotates
-#: which keys get a driver-green row. Round 5 window = the 13 keys red
-#: in r4 (all fixed by the io.py events-ts type branch — the driver must
-#: see them green again), the 3 never-driver-green keys (the two sketch
-#: ops that just gained within_tolerance oracles + the r4 skew variant),
-#: q_dedup_cluster (fixpoint changed this round), then the stalest
-#: prior-green keys (last attested in r1) to re-verify them under
-#: current code + regenerated testdata. Keys NOT listed keep
-#: registration order after these; keys already driver-green in a prior
-#: round sort last.
+#: which keys get a driver-green row. Round 6 window (per VERDICT.md r5
+#: "Next round" item 1): lead with the ONLY three registry keys absent
+#: from the union of r1–r5 driver windows — copy_table_mapped,
+#: q_dedup_embed_lsh, q_sample_stratified — so every one of the 154 keys
+#: finally has an official driver correctness row. Then the stalest
+#: prior-green keys: the 12 last attested in r1, then 35 of the 44 last
+#: attested in r2 (the remaining 9 r2 keys + r4's roll to round 7).
+#: Keys NOT listed keep registration order after these; keys already
+#: driver-green in a prior round sort last.
 DRIVER_WINDOW: list[str] = [
-    "src_parquet_scan_nanos",
-    "q_join_interval",
-    "q_join_asof",
-    "q_win_lead_lag",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_late_data",
-    "q_stream_rate_agg",
-    "q_funnel",
-    "q_sessionize",
-    "q_retention",
-    "q_agg_approx_distinct",
-    "q_agg_percentile_approx",
-    "q_agg_heavy_hitters_skewed",
-    "q_dedup_cluster",
-    "copy_table",
-    "copy_table_partitioned",
-    "copy_tables_many",
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_percentile",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_distinct",
-    "q_filter_compound",
-    "q_filter_like",
-    "q_filter_null",
-    "q_filter_simple",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_theta",
-    "q_pivot",
-    "q_project",
-    "q_project_expr",
-    "q_unpivot",
-    "q_win_distinct_count",
-    # new in r5 (quality-aware cluster survivor selection)
-    "q_dedup_survivor",
+    # never driver-checked (close the coverage gap first)
+    "copy_table_mapped",
+    "q_dedup_embed_lsh",
+    "q_sample_stratified",
+    # stalest: last attested in CORRECTNESS_r01.json
+    "src_parquet_scan",
+    "src_csv_json_roundtrip",
+    "snk_jdbc_write",
+    "src_jdbc_read",
+    "schema_introspect",
+    "snk_partitioned_write",
+    "q_win_rank",
+    "q_win_topk_per_group",
+    "q_win_running",
+    "q_win_moving_avg",
+    "q_win_range_frame",
+    "q_win_ntile_pct",
+    # next-stalest: last attested in CORRECTNESS_r02.json (35 of 44)
+    "q_join_multi_star",
+    "q_win_first_last",
+    "q_sort_multi",
+    "q_limit_topk",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_str_funcs",
+    "q_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_when",
+    "q_cast_null",
+    "q_array_funcs",
+    "q_explode",
+    "q_higher_order",
+    "q_json_funcs",
+    "q_map_funcs",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_minhash",
+    "q_dedup_embed",
+    "q_sim_topk",
+    "q_sim_threshold",
+    "q_knn_label",
+    "q_sim_topk_blas",
+    "q_sim_ivf",
+    "q_text_wordcount",
+    "q_text_tfidf",
+    "q_text_stats",
+    "q_text_ngrams",
+    "q_text_langid",
 ]
 
 #: Keys with a green row in a prior round's CORRECTNESS file — pushed to
