@@ -166,10 +166,17 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computes both aggregates in one groupBy and emits the boolean; the
 # oracle emits TRUE from the exact side. Hashes match iff the sketch
 # really is within tolerance — a value check the driver can grade.
-# rsd=0.02 → ±5% is a 2.5σ bound, and at these per-group cardinalities
-# HLL++ sits in its (near-exact) sparse regime. The exact column exists
-# for the gate; production use is the sketch alone.
+# The band is derived from rsd: ±4σ (= ±4·rsd relative), so a correctly
+# functioning sketch fails with probability ~6e-5 per group even after a
+# testdata regeneration pushes cardinalities out of HLL++'s sparse
+# (near-exact) regime — the prior fixed ±5% band was only 2.5σ, a ~1%
+# false-red per group in the dense regime (ADVICE.md r5). The exact
+# column exists for the gate; production use is the sketch alone.
 # --------------------------------------------------------------------------
+
+#: relative standard deviation requested from approx_count_distinct; the
+#: within_tol band is 4·_HLL_RSD so the verdict is deterministic-safe.
+_HLL_RSD = 0.02
 
 
 @register(
@@ -184,7 +191,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    approx = F.approx_count_distinct("user_id", rsd=_HLL_RSD)
     exact = F.count_distinct("user_id")
     return (
         ev.groupBy("event_type")
@@ -193,7 +200,9 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             (
                 F.abs(approx.cast("double") - exact.cast("double"))
-                <= F.greatest(F.lit(1.0), 0.05 * exact.cast("double"))
+                <= F.greatest(
+                    F.lit(1.0), (4.0 * _HLL_RSD) * exact.cast("double")
+                )
             ).alias("within_tol"),
         )
         .orderBy("event_type")

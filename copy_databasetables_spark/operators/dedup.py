@@ -101,6 +101,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_TAU = 0.95
 
+#: q_dedup_survivor broadcasts its cluster table only below this row
+#: count (~3 compact columns/row → well under Spark's 8 GB broadcast
+#: cap); above it the corpus join falls back to a shuffle join.
+_SURVIVOR_BROADCAST_MAX_ROWS = 20_000_000
+
 
 @register(
     "q_dedup_near",
@@ -944,17 +949,26 @@ def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥1 pair), so the quality join broadcasts the CLUSTER side against
     the corpus scan — no corpus shuffle; the survivor choice is one
     row_number window partitioned by cluster, sized by the pair graph,
-    not the corpus."""
+    not the corpus.
+
+    The broadcast hint is GATED on a counted cluster-table size
+    (ADVICE.md r5): in a boilerplate-heavy corpus "docs in ≥1 pair" can
+    be a large fraction of the corpus, and an unconditional hint would
+    blow through Spark's 8 GB broadcast limit / driver memory. The
+    count is one cheap job over the already-checkpointed CC labels;
+    past the threshold the plan falls back to a shuffle join, which is
+    the correct answer at that size."""
     from pyspark.sql.window import Window
 
     clusters = q_dedup_cluster(spark, sf_dir)
+    if clusters.count() <= _SURVIVOR_BROADCAST_MAX_ROWS:
+        clusters = F.broadcast(clusters)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     return (
-        F.broadcast(clusters)
-        .join(d, "doc_id")
+        clusters.join(d, "doc_id")
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "n_members", "keep")
     )

@@ -103,14 +103,18 @@ def test_events_ts_matches_parquet_bytes(spark):
         assert loaded[eid] == want, (eid, want, loaded[eid])
 
 
-def test_loader_branch_handles_both_ts_encodings(spark):
+def test_loader_branch_handles_both_ts_encodings(spark, tmp_path):
     """Self-contained proof of BOTH loader branches: write the same
     logical events rows as TIMESTAMP(NANOS) and as timestamp[us], load
     each through load_table, and require identical timestamps. Keeps
     the branch not exercised by the CURRENT testdata generation under
-    test forever."""
+    test forever.
+
+    Uses pytest's tmp_path (per-run unique dirs), NOT a fixed /tmp
+    path: the loader's _TS_KIND_CACHE keys on path+mtime, so two
+    rewrites of one fixed path within mtime granularity could serve a
+    stale cached ts-kind across runs (ADVICE.md r5)."""
     import os
-    import shutil
 
     base = 1704067200_000_000  # 2024-01-01T00:00:00Z in µs
     rows_us = [base + i * 1_000_003 for i in range(7)]
@@ -124,8 +128,7 @@ def test_loader_branch_handles_both_ts_encodings(spark):
     }
 
     def write(dirname: str, ts_arr):
-        d = f"/tmp/spark_graft_test_io/{dirname}"
-        shutil.rmtree(d, ignore_errors=True)
+        d = str(tmp_path / dirname)
         os.makedirs(d)
         t = pa.table(
             {

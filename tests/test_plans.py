@@ -55,7 +55,9 @@ def test_star_join_single_fact_shuffle(spark):
 def test_survivor_quality_join_broadcasts_cluster_side(spark):
     """q_dedup_survivor's corpus join must broadcast the (tiny,
     vertex-sized) cluster table — a shuffle here would re-shuffle the
-    whole corpus at scale just to look up n_chars."""
+    whole corpus at scale just to look up n_chars. The hint is gated on
+    a counted size (dedup._SURVIVOR_BROADCAST_MAX_ROWS); at smoke scale
+    the cluster table is far below the gate, so the hint must fire."""
     p = plan(all_queries()["q_dedup_survivor"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p
 
