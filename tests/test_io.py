@@ -214,3 +214,97 @@ def test_declared_schemas_match_parquet_footers():
                 continue
             allowed = arrow_of[f.dataType]
             assert ftype in allowed, (name, f.name, str(ftype), f.dataType)
+
+
+# --- all-tables drift guard (VERDICT r5 item 2) ----------------------------
+# The r4 incident pattern generalized: a silent testdata regeneration can
+# drift any table's row count, key ranges, or physical types — not just
+# events.ts. Pin every table's LOADED (through load_table, so loader
+# branch bugs are caught too) row count and key value ranges at sf0.001
+# against TESTDATA.md's documented generation (seed=42, deterministic).
+# Ranges are structural (dense surrogate keys, FK domains, documented
+# date windows) with loose bounds on measures, so a re-run of the SAME
+# generator passes and any real drift fails loudly.
+
+#: (table, exact row count, {col: (lo, hi) inclusive LOADED-value bounds})
+_DRIFT_EXPECT = {
+    "region": (5, {"r_regionkey": (0, 4)}),
+    "nation": (25, {"n_nationkey": (0, 24), "n_regionkey": (0, 4)}),
+    "customer": (150, {"c_custkey": (0, 149), "c_nationkey": (0, 24),
+                       "c_acctbal": (-1000.0, 10000.0)}),
+    "supplier": (10, {"s_suppkey": (0, 9), "s_nationkey": (0, 24)}),
+    "part": (200, {"p_partkey": (0, 199), "p_retailprice": (800.0, 1100.0)}),
+    "orders": (1500, {"o_orderkey": (0, 1499), "o_custkey": (0, 149),
+                      "o_totalprice": (0.0, 600000.0)}),
+    "lineitem": (6000, {"l_orderkey": (0, 1499), "l_partkey": (0, 199),
+                        "l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1),
+                        "l_extendedprice": (800.0, 110000.0)}),
+    "events": (1000, {"event_id": (0, 999), "user_id": (0, 14),
+                      "value": (0.0, 1000.0)}),
+    "documents": (500, {"doc_id": (0, 499), "n_chars": (1, 10000)}),
+    "embeddings": (500, {"vec_id": (0, 499), "label": (0, 9)}),
+}
+
+#: date/timestamp columns: (col, lo year, hi year) inclusive
+_DRIFT_TS = {
+    "orders": [("o_orderdate", 1995, 2001)],
+    "lineitem": [("l_shipdate", 1995, 2001)],
+    "events": [("ts", 2024, 2024)],
+}
+
+
+def test_all_tables_in_documented_ranges(spark):
+    """One aggregate job per table: exact sf0.001 row count plus
+    min/max of every key/measure column inside documented bounds. Fails
+    if a regeneration drifts counts, domains, or the loader misreads a
+    re-encoded column (values would leave the window, as events.ts did
+    in r4)."""
+    assert set(_DRIFT_EXPECT) == set(TABLES)
+    for name, (want_rows, bounds) in _DRIFT_EXPECT.items():
+        df = load_table(spark, SF_SMOKE, name)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in bounds:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        for c, _, _ in _DRIFT_TS.get(name, []):
+            aggs += [F.min(F.year(c)).alias(f"ylo_{c}"),
+                     F.max(F.year(c)).alias(f"yhi_{c}")]
+        row = df.agg(*aggs).first()
+        assert row["_n"] == want_rows, (name, row["_n"], want_rows)
+        for c, (lo, hi) in bounds.items():
+            assert lo <= row[f"lo_{c}"] and row[f"hi_{c}"] <= hi, (
+                name, c, row[f"lo_{c}"], row[f"hi_{c}"], (lo, hi),
+            )
+        for c, ylo, yhi in _DRIFT_TS.get(name, []):
+            assert ylo <= row[f"ylo_{c}"] and row[f"yhi_{c}"] <= yhi, (
+                name, c, row[f"ylo_{c}"], row[f"yhi_{c}"], (ylo, yhi),
+            )
+
+
+def test_all_tables_footer_types_pinned():
+    """Physical-footer pin for the columns the drift guard reads —
+    catches a re-encode (e.g. int64→int32, timestamp unit change)
+    BEFORE any Spark job runs, with the events.ts dual encoding
+    explicitly allowed."""
+    want = {
+        "region": {"r_regionkey": {pa.int32()}},
+        "nation": {"n_nationkey": {pa.int32()}, "n_regionkey": {pa.int32()}},
+        "customer": {"c_custkey": {pa.int64()}, "c_acctbal": {pa.float64()}},
+        "supplier": {"s_suppkey": {pa.int64()}},
+        "part": {"p_partkey": {pa.int64()}, "p_retailprice": {pa.float64()}},
+        "orders": {"o_orderkey": {pa.int64()},
+                   "o_orderdate": {pa.timestamp("us"), pa.timestamp("ns")}},
+        "lineitem": {"l_orderkey": {pa.int64()}, "l_quantity": {pa.float64()},
+                     "l_shipdate": {pa.timestamp("us"), pa.timestamp("ns")}},
+        "events": {"event_id": {pa.int64()},
+                   "ts": {pa.timestamp("us"), pa.timestamp("ns")}},
+        "documents": {"doc_id": {pa.int64()}, "n_chars": {pa.int64()}},
+        "embeddings": {"vec_id": {pa.int64()}, "label": {pa.int32()}},
+    }
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        for name, cols in want.items():
+            footer = pq.read_schema(table_path(sf, name))
+            for c, allowed in cols.items():
+                assert footer.field(c).type in allowed, (
+                    sf, name, c, str(footer.field(c).type),
+                )
