@@ -559,8 +559,11 @@ _EMBED_TAU = 0.40  # demonstration threshold: testdata vectors are random
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, computed with higher-order
     functions only (zip_with dot product + aggregate norms) — no UDF, no
-    Python. The all-pairs join is the *verification* shape; at 100 TB
-    candidates come from q_sim_ivf-style bucketing first."""
+    Python. EXACT REFERENCE ONLY: the all-pairs join is the
+    *verification* shape; at 100 TB use ``q_dedup_embed_lsh``
+    (random-hyperplane banding → equi-join candidates), whose
+    cartesian-free plan is machine-enforced by
+    tests/test_plans.py::test_dedup_embed_lsh_is_cartesian_free."""
     # Norms are per-vector facts: compute each of the 2 norms once per
     # vector BEFORE the pair join (per-pair recompute would cost 2M extra
     # aggregates); repartition because the single-file scan would

@@ -209,7 +209,13 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine ≥ τ (τ=0.45 sits in the upper tail of
-    this random testdata; production thresholds are data-dependent)."""
+    this random testdata; production thresholds are data-dependent).
+
+    EXACT REFERENCE ONLY — deliberately O(n²) all-pairs so the gate can
+    hash-check the bucketed twin against ground truth. At corpus scale
+    use ``q_sim_threshold_blocked`` (IVF-cell candidate blocking, same
+    τ): its cartesian-free shape is machine-enforced by
+    tests/test_plans.py::test_sim_threshold_blocked_is_cartesian_free."""
     v = _vecs(spark, sf_dir)
     a = v.select(
         F.col("vec_id").alias("vec_id_a"),

@@ -312,3 +312,30 @@ def test_decontaminate_gram_join_is_broadcast_even_without_aqe_help(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert "BroadcastHashJoin" in p
+
+
+def test_dedup_embed_lsh_is_cartesian_free(spark):
+    """The embedding-LSH scale path must generate candidates through a
+    pure (band, bucket) equi-join — NO CartesianProduct and NO
+    BroadcastNestedLoopJoin anywhere in the plan. This is the
+    machine-checked claim behind q_dedup_embed's docstring sending
+    100 TB users here (VERDICT r5 item 3)."""
+    p = plan(all_queries()["q_dedup_embed_lsh"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bucket" in p  # the band/bucket keys drive the join
+
+
+def test_sim_threshold_blocked_is_cartesian_free(spark):
+    """The IVF-cell-blocked threshold scan must pair vectors through a
+    cid equi-join, never a cartesian. The only allowed nested-loop
+    nodes are the centroid-assignment crossJoins against the broadcast
+    fixed-K centroid table (constant-size build side — bounded at any
+    data scale; the assign subtree appears once per pair-join side, so
+    ≤2); the O(n²)-shaped pair join itself must be a cid-keyed equi
+    join."""
+    p = plan(all_queries()["q_sim_threshold_blocked"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 2
+    assert "Join [cid" in final  # the cell id drives the pair join
