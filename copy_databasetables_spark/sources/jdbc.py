@@ -32,8 +32,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: SQL Server → Spark type mapping the engine owns on the JDBC path
-#: (SURVEY.md §1.1; standard Spark MSSQL dialect behavior).
+#: Quick-reference SQL Server → Spark mapping (SURVEY.md §1.1; standard
+#: Spark MSSQL dialect behavior). The FULL dialect layer — precision/
+#: scale parsing, datetimeoffset modes, read customSchema and write
+#: createTableColumnTypes assembly — lives in ``sources/mssql.py``.
 MSSQL_TO_SPARK = {
     "bit": "boolean",
     "tinyint": "int",
