@@ -43,6 +43,12 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_cluster",
     "q_sim_topk",
+    # r6: the bucketed 100 TB scale paths, benched against their exact
+    # twins (q_dedup_embed / q_sim_topk brute-force) so the scale story
+    # has wall-time rows, not just plan tests
+    "q_dedup_embed",
+    "q_dedup_embed_lsh",
+    "q_sim_ivf",
     "q_text_tfidf",
     "q_text_lm_score",
     "q_sessionize",
