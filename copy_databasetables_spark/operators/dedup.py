@@ -107,6 +107,62 @@ _JACCARD_TAU = 0.95
 _SURVIVOR_BROADCAST_MAX_ROWS = 20_000_000
 
 
+def _cc_oracle_prefix(stages: int = 16) -> str:
+    """DuckDB CTE chain computing connected-component labels over the
+    near-dup pair graph WITHOUT a recursive CTE — the r5 verdict item 8
+    fix. The old ``reach`` recursion materializes every (vertex,
+    reachable-vertex) pair, i.e. Σ|component|² rows: 589 s at sf0.1 on
+    this boilerplate-heavy corpus. This replaces it with ``stages``
+    unrolled rounds of exactly the algorithm the Spark side runs
+    (min-label propagation + pointer jumping, dedup._min_label_propagate):
+    each round keeps n rows (one label per vertex) and label(v) only
+    ever decreases, converging to the component min in O(log n) rounds —
+    16 stages cover any graph up to 2^16 vertices, 13× the sf0.1 corpus.
+    If a pathological input ever needed more rounds the labels would
+    simply differ from Spark's fixpoint and the hash gate would FAIL
+    loudly — non-convergence cannot silently pass.
+
+    Produces CTEs: t, pairs, edges, l0..l{stages}, comp(doc_id,
+    cluster_id). Callers append their own final SELECT."""
+    parts = [
+        f"""t AS MATERIALIZED (SELECT doc_id, lang, {_D_TOKS} AS toks,
+             len({_D_TOKS}) AS sz
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+            >= {_JACCARD_TAU}),
+    edges AS MATERIALIZED (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_id_b, doc_id_a FROM pairs),
+    l0 AS MATERIALIZED (SELECT d AS doc_id, LEAST(d, MIN(s)) AS label
+           FROM edges GROUP BY d)"""
+    ]
+    for k in range(stages):
+        # label' = min(own label, label-of-label [pointer jump],
+        #              min over in-neighbors' labels [propagation]);
+        # labels are always vertices, so the ptr self-join always hits.
+        parts.append(
+            f"""l{k + 1} AS MATERIALIZED (
+      SELECT cur.doc_id,
+             LEAST(cur.label, ptr.label,
+                   COALESCE(MIN(nl.label), cur.label)) AS label
+      FROM l{k} cur
+      JOIN l{k} ptr ON ptr.doc_id = cur.label
+      LEFT JOIN (SELECT e.d AS doc_id, l.label
+                 FROM edges e JOIN l{k} l ON l.doc_id = e.s) nl
+        ON nl.doc_id = cur.doc_id
+      GROUP BY cur.doc_id, cur.label, ptr.label)"""
+        )
+    parts.append(
+        f"comp AS (SELECT doc_id, label AS cluster_id FROM l{stages})"
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
 @register(
     "q_dedup_near",
     oracle=f"""
@@ -814,28 +870,8 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_cluster",
-    oracle=f"""
-    WITH RECURSIVE
-    t AS (SELECT doc_id, lang, {_D_TOKS} AS toks,
-                 len({_D_TOKS}) AS sz
-          FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM t a JOIN t b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
-            >= {_JACCARD_TAU}),
-    edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
-              UNION ALL
-              SELECT doc_id_b, doc_id_a FROM pairs),
-    reach(s, d) AS (
-      SELECT s, d FROM edges
-      UNION
-      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-    comp AS (
-      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
-      FROM reach GROUP BY s)
+    oracle=_cc_oracle_prefix()
+    + """
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
     FROM comp
@@ -907,28 +943,8 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_survivor",
-    oracle=f"""
-    WITH RECURSIVE
-    t AS (SELECT doc_id, lang, {_D_TOKS} AS toks,
-                 len({_D_TOKS}) AS sz
-          FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM t a JOIN t b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
-            >= {_JACCARD_TAU}),
-    edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
-              UNION ALL
-              SELECT doc_id_b, doc_id_a FROM pairs),
-    reach(s, d) AS (
-      SELECT s, d FROM edges
-      UNION
-      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-    comp AS (
-      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
-      FROM reach GROUP BY s),
+    oracle=_cc_oracle_prefix()
+    + """,
     sized AS (
       SELECT doc_id, cluster_id,
              COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
