@@ -48,6 +48,7 @@ HEADLINE = [
     # has wall-time rows, not just plan tests
     "q_dedup_embed",
     "q_dedup_embed_lsh",
+    "q_dedup_cluster_lsh",
     "q_sim_ivf",
     "q_text_tfidf",
     "q_text_lm_score",

@@ -107,7 +107,7 @@ _JACCARD_TAU = 0.95
 _SURVIVOR_BROADCAST_MAX_ROWS = 20_000_000
 
 
-def _cc_oracle_prefix(stages: int = 16) -> str:
+def _cc_oracle_prefix(stages: int = 16, pairs_cte: str | None = None) -> str:
     """DuckDB CTE chain computing connected-component labels over the
     near-dup pair graph WITHOUT a recursive CTE — the r5 verdict item 8
     fix. The old ``reach`` recursion materializes every (vertex,
@@ -122,10 +122,13 @@ def _cc_oracle_prefix(stages: int = 16) -> str:
     simply differ from Spark's fixpoint and the hash gate would FAIL
     loudly — non-convergence cannot silently pass.
 
-    Produces CTEs: t, pairs, edges, l0..l{stages}, comp(doc_id,
-    cluster_id). Callers append their own final SELECT."""
-    parts = [
-        f"""t AS MATERIALIZED (SELECT doc_id, lang, {_D_TOKS} AS toks,
+    Produces CTEs: …, pairs, edges, l0..l{stages}, comp(doc_id,
+    cluster_id). Callers append their own final SELECT. ``pairs_cte``
+    overrides the pair-generation chain (must end in a CTE named
+    ``pairs(doc_id_a, doc_id_b)``); the default is the exact
+    lang-blocked near-pair join (q_dedup_near's oracle shape)."""
+    if pairs_cte is None:
+        pairs_cte = f"""t AS MATERIALIZED (SELECT doc_id, lang, {_D_TOKS} AS toks,
              len({_D_TOKS}) AS sz
       FROM documents),
     pairs AS MATERIALIZED (
@@ -134,12 +137,14 @@ def _cc_oracle_prefix(stages: int = 16) -> str:
         ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
               / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
-            >= {_JACCARD_TAU}),
-    edges AS MATERIALIZED (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+            >= {_JACCARD_TAU})"""
+    parts = [
+        pairs_cte,
+        """edges AS MATERIALIZED (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
               UNION ALL
               SELECT doc_id_b, doc_id_a FROM pairs),
     l0 AS MATERIALIZED (SELECT d AS doc_id, LEAST(d, MIN(s)) AS label
-           FROM edges GROUP BY d)"""
+           FROM edges GROUP BY d)""",
     ]
     for k in range(stages):
         # label' = min(own label, label-of-label [pointer jump],
@@ -892,10 +897,17 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     so known-minima hop 2^r vertices after r rounds and convergence is
     O(log diameter) instead of O(diameter) — a 61-node chain converges
     in 8 probes where plain propagation needs 60 (measured; see
-    tests/test_operators.py long-chain case). The oracle computes the
-    same fixpoint declaratively (recursive transitive closure — fine at
-    oracle scale, quadratic in cluster size at corpus scale, which is
-    exactly why the Spark side iterates instead).
+    tests/test_operators.py long-chain case). The oracle (r6) runs the
+    SAME algorithm as 16 unrolled materialized rounds — see
+    ``_cc_oracle_prefix`` — replacing the old recursive transitive
+    closure that was quadratic in cluster size.
+
+    Pair-source note: this op rides ``q_dedup_near`` — the EXACT
+    lang-blocked O(n²) pair generator — so its wall-time scales
+    quadratically with per-language corpus size (measured alpha≈1.25 at
+    the 10× stress step, SCALE.md). That makes it the exact reference;
+    the corpus-scale variant is ``q_dedup_cluster_lsh``, identical CC
+    over the MinHash-LSH verified pairs.
 
     Correctness of the shortcut: labels always name a vertex of the
     same component (init self; mins of in-component values stay
@@ -916,16 +928,18 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``localCheckpoint`` truncates the growing lineage each probe (at
       cluster scale: ``checkpoint`` to durable storage, so a lost
       executor doesn't recompute every prior round)."""
+    return _cluster_over_pairs(spark, q_dedup_near(spark, sf_dir))
+
+
+def _cluster_over_pairs(spark: SparkSession, pair_df: DataFrame) -> DataFrame:
+    """Shared CC body: (doc_id_a, doc_id_b) pairs → (doc_id, cluster_id,
+    n_members). Checkpoints PAIRS (the smallest frame) once; the
+    symmetric edge union is a narrow transform over it, so pair
+    generation runs once and _min_label_propagate materializes edges
+    exactly once more in its partitioned form."""
     from pyspark.sql.window import Window
 
-    # checkpoint PAIRS (the smallest frame) once; the symmetric edge
-    # union is a narrow transform over it, so pair generation runs once
-    # and _min_label_propagate materializes edges exactly once more in
-    # its partitioned form (r5: previously edges were checkpointed both
-    # unpartitioned and partitioned — one wasted materialization)
-    pairs = (
-        q_dedup_near(spark, sf_dir).select("doc_id_a", "doc_id_b").localCheckpoint()
-    )
+    pairs = pair_df.select("doc_id_a", "doc_id_b").localCheckpoint()
     n_edges = 2 * pairs.count()  # scalar: sizes the iterative parallelism
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -939,6 +953,65 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id")).withColumn(
         "n_members", F.count(F.lit(1)).over(w)
     )
+
+
+#: MinHash-LSH pair chain for DuckDB, ending in pairs(doc_id_a,
+#: doc_id_b) — byte-identical semantics to q_dedup_minhash's oracle.
+_LSH_PAIRS_CTE = f"""t AS MATERIALIZED (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    th AS MATERIALIZED (SELECT doc_id, lang, toks, {_D_TOKH} AS tokh FROM t),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, lang, len(toks) AS sz, {{sig}} AS sig FROM th),
+    bands AS (
+      SELECT doc_id, lang, sz, sig,
+             CAST(UNNEST(range({{n_bands}})) AS INT) AS band
+      FROM sigs),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, lang, sz, band,
+             array_to_string(sig[band * {{rows}} + 1 :
+                                 band * {{rows}} + {{rows}}],
+                             '_') AS bucket
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM keyed a JOIN keyed b
+        ON a.lang = b.lang AND a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+       AND a.sz * 100 >= b.sz * 95 AND b.sz * 100 >= a.sz * 95),
+    pairs AS MATERIALIZED (
+      SELECT doc_id_a, doc_id_b
+      FROM cand
+      JOIN th ta ON ta.doc_id = cand.doc_id_a
+      JOIN th tb ON tb.doc_id = cand.doc_id_b
+      WHERE len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
+              / (len(ta.tokh) + len(tb.tokh)
+                 - len(list_intersect(ta.tokh, tb.tokh))) >= {_JACCARD_TAU})"""
+
+
+@register(
+    "q_dedup_cluster_lsh",
+    oracle=_cc_oracle_prefix(
+        pairs_cte=_LSH_PAIRS_CTE.format(
+            sig=_D_MINHASH_SIG, n_bands=_N_BANDS, rows=_ROWS_PER_BAND
+        )
+    )
+    + """
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM comp
+    """,
+)
+def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH verified pair graph —
+    the CORPUS-SCALE cluster shape (r6). ``q_dedup_cluster`` rides the
+    exact O(n²) q_dedup_near pair join and measured alpha≈1.25 at the
+    10× stress step; this variant swaps in q_dedup_minhash's banded
+    candidates (O(n·bands) generation, one (lang,band,bucket) shuffle)
+    with identical CC iteration on top. Both engines run the SAME
+    deterministic md5 minhash pipeline, so clusters are hash-checkable:
+    detection probability 1-(1-τ⁴)⁴ ≈ 0.999 at τ=0.95 — a missed
+    candidate pair could only split a cluster identically in both
+    engines, never diverge them."""
+    return _cluster_over_pairs(spark, q_dedup_minhash(spark, sf_dir))
 
 
 @register(
