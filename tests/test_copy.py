@@ -219,3 +219,33 @@ def test_delete_rows_refuses_missing_target(spark, tmp_path):
 
     with pytest.raises(CopyVerificationError):
         delete_rows(spark, str(tmp_path / "nope"), "k", [1])
+
+
+def test_hwm_from_footers_matches_aggregate(spark, tmp_path):
+    """The metadata-only high-water mark must equal the aggregate-scan
+    answer on stat-safe key types, and decline (None) on string keys
+    (writer stat truncation makes string max untrustworthy) so the
+    caller falls back to the real scan."""
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.copy.engine import _parquet_max_from_footers
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    target = str(tmp_path / "orders_hwm")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.repartition(4).write.parquet(target)
+
+    want_key = orders.agg(F.max("o_orderkey")).first()[0]
+    assert _parquet_max_from_footers(target, "o_orderkey") == want_key
+
+    want_ts = orders.agg(F.max("o_orderdate")).first()[0]
+    got_ts = _parquet_max_from_footers(target, "o_orderdate")
+    assert got_ts == want_ts
+
+    # string column → decline, never guess
+    assert _parquet_max_from_footers(target, "o_orderstatus") is None
+    # absent column → decline
+    assert _parquet_max_from_footers(target, "nope") is None
+    # empty dir → decline
+    assert _parquet_max_from_footers(str(tmp_path / "missing"), "k") is None
