@@ -61,19 +61,21 @@ _loaded = False
 #: from the union of r1–r5 driver windows — copy_table_mapped,
 #: q_dedup_embed_lsh, q_sample_stratified — so every one of the 154 keys
 #: finally has an official driver correctness row. Then the stalest
-#: prior-green keys: the 12 last attested in r1, then 33 of the 44 last
-#: attested in r2 (the remaining 11 r2 keys + r4's roll to round 7).
+#: prior-green keys: the 12 last attested in r1, then 31 of the 44 last
+#: attested in r2 (the remaining 13 r2 keys + r4's roll to round 7).
 #: Keys NOT listed keep registration order after these; keys already
 #: driver-green in a prior round sort last.
 DRIVER_WINDOW: list[str] = [
     # never driver-checked (close the coverage gap first): the three
-    # keys absent from the r1–r5 window union, then the two keys new
+    # keys absent from the r1–r5 window union, then the four keys new
     # in r6
     "copy_table_mapped",
     "q_dedup_embed_lsh",
     "q_sample_stratified",
     "schema_introspect_defaults",
     "q_dedup_cluster_lsh",
+    "q_dedup_substring",
+    "q_dedup_survivor_lsh",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",
@@ -119,8 +121,6 @@ DRIVER_WINDOW: list[str] = [
     "q_sim_topk_blas",
     "q_sim_ivf",
     "q_text_wordcount",
-    "q_text_tfidf",
-    "q_text_stats",
 ]
 
 #: Keys with a green row in a prior round's CORRECTNESS file — pushed to

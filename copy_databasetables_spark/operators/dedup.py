@@ -321,6 +321,102 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: duplicated-span window width (tokens). Production exact-substring
+#: dedup (Lee et al. 2022) uses ~50; 8 here so the small synthetic docs
+#: actually produce cross-doc spans.
+_SUBSTR_K = 8
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    spans AS MATERIALIZED (
+      SELECT doc_id,
+             {_D_H.format(x=f"array_to_string(list_slice(tok, i, i + {_SUBSTR_K} - 1), ' ')")} AS h
+      FROM t, UNNEST(range(1, GREATEST(n - {_SUBSTR_K} + 2, 1))) AS u(i)),
+    dup AS (SELECT h FROM spans GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 1),
+    perdoc AS (SELECT s.doc_id, COUNT(*) AS n_dup
+               FROM spans s JOIN dup USING (h) GROUP BY s.doc_id)
+    SELECT t.doc_id,
+           GREATEST(t.n - {_SUBSTR_K} + 1, 0)::BIGINT AS n_spans,
+           COALESCE(p.n_dup, 0)::BIGINT AS n_dup_spans,
+           CASE WHEN t.n >= {_SUBSTR_K}
+                THEN ROUND(COALESCE(p.n_dup, 0)::DOUBLE
+                           / (t.n - {_SUBSTR_K} + 1), 4)
+                ELSE 0.0 END AS dup_frac
+    FROM t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection — the exact-substring dedup signal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): near-dup docs share whole documents; template spam
+    and boilerplate share SPANS inside otherwise-distinct docs, which
+    doc-level Jaccard never sees. Every ``_SUBSTR_K``-token sliding
+    window is hashed (portable md5, positional — NOT the distinct-token
+    set) and a span duplicated across ≥2 distinct docs marks every
+    occurrence; per doc the engine reports span counts and the
+    duplicated fraction (the quantity pipelines threshold on to drop or
+    trim documents).
+
+    Spark shape at 100 TB: explode to one row per window (O(total
+    tokens) rows, the same order as tokenization itself), one groupBy
+    on the 60-bit span hash with a partial aggregate, one equi-join
+    back, one per-doc groupBy — no self-join, no O(n²) anywhere; the
+    dup-hash side is unbounded (corpus-dependent) so it carries NO
+    broadcast hint. The true suffix-array algorithm dedups arbitrary-
+    length substrings; this fixed-window form is its standard scalable
+    approximation (any duplicated run ≥ K tokens is guaranteed to
+    produce duplicated windows)."""
+    tok = "split(text, ' ')"
+    span_str = f"array_join(slice({tok}, i, {_SUBSTR_K}), ' ')"
+    spans_expr = (
+        f"case when size({tok}) >= {_SUBSTR_K} then "
+        f"transform(sequence(1, size({tok}) - {_SUBSTR_K} + 1), "
+        f"i -> {_H.format(x=span_str)}) "
+        "else array() end"
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
+        .select("doc_id", F.expr(spans_expr).alias("spans"))
+    )
+    ex = d.select("doc_id", F.explode("spans").alias("h"))
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    perdoc = ex.join(dup, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return (
+        d.select("doc_id", F.size("spans").alias("n_spans"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_spans"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 #: Spark SQL: 16-bit SimHash over precomputed token hashes (``tokh``
 #: column). Bit b is set when more tokens have bit b of their 60-bit
 #: hash set than clear.
@@ -1050,9 +1146,16 @@ def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is one cheap job over the already-checkpointed CC labels;
     past the threshold the plan falls back to a shuffle join, which is
     the correct answer at that size."""
+    return _survivor_over_clusters(spark, sf_dir, q_dedup_cluster(spark, sf_dir))
+
+
+def _survivor_over_clusters(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame
+) -> DataFrame:
+    """Shared survivor body: (doc_id, cluster_id, n_members) clusters →
+    quality-ranked keep flags (longest n_chars wins, min doc_id ties)."""
     from pyspark.sql.window import Window
 
-    clusters = q_dedup_cluster(spark, sf_dir)
     if clusters.count() <= _SURVIVOR_BROADCAST_MAX_ROWS:
         clusters = F.broadcast(clusters)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -1063,6 +1166,40 @@ def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.join(d, "doc_id")
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "n_members", "keep")
+    )
+
+
+@register(
+    "q_dedup_survivor_lsh",
+    oracle=_cc_oracle_prefix(
+        pairs_cte=_LSH_PAIRS_CTE.format(
+            sig=_D_MINHASH_SIG, n_bands=_N_BANDS, rows=_ROWS_PER_BAND
+        )
+    )
+    + """,
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM comp)
+    SELECT s.doc_id, s.cluster_id, s.n_members,
+           ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                              ORDER BY d.n_chars DESC, s.doc_id ASC) = 1
+             AS keep
+    FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def q_dedup_survivor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over the MinHash-LSH cluster
+    path — the end-to-end corpus-scale dedup DECISION (r6): LSH banded
+    candidates → exact-Jaccard verify → iterative CC → per-cluster
+    quality winner. Composes ``q_dedup_cluster_lsh`` with the shared
+    survivor window; every stage is the measured-sublinear shape
+    (SCALE.md: cluster_lsh alpha 0.37 at the 10× stress step), so this
+    is the variant a 5B-document pipeline actually runs; the exact
+    twins (q_dedup_survivor over q_dedup_near pairs) remain the oracle
+    references."""
+    return _survivor_over_clusters(
+        spark, sf_dir, q_dedup_cluster_lsh(spark, sf_dir)
     )
 
 
