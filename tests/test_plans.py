@@ -339,3 +339,20 @@ def test_sim_threshold_blocked_is_cartesian_free(spark):
     assert "CartesianProduct" not in final
     assert final.count("BroadcastNestedLoopJoin") <= 2
     assert "Join [cid" in final  # the cell id drives the pair join
+
+
+def test_dedup_substring_has_no_self_join_and_no_python(spark):
+    """Duplicated-span detection must stay explode→groupBy→equi-join —
+    never a doc×doc self-join (no CartesianProduct/BNLJ) and never a
+    Python worker; the dup-hash join side is corpus-dependent so it
+    must carry no broadcast hint (strategy stays size/conf-driven)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(all_queries()["q_dedup_substring"](spark, SF_SMOKE))
+        final = p.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+        assert "BroadcastHashJoin" not in final  # no lingering hint
+        assert "PythonUDF" not in final and "ArrowEvalPython" not in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
