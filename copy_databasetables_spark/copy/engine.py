@@ -485,3 +485,75 @@ def delete_rows(
         spark, out, target_path, n_before - n_match, "delete_rows"
     )
     return CopyResult("delete", target_path, n, True, rows_deleted=n_match)
+
+
+def scd2_apply(
+    dim: DataFrame | None,
+    snapshot: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective: str,
+) -> DataFrame:
+    """Apply one snapshot to a slowly-changing-dimension type-2 table —
+    the history-keeping copy mode a DW sync runs on every pull, one step
+    past ``merge_table`` (which keeps only latest state): changed keys
+    CLOSE their current version and open a new one, new keys insert,
+    keys missing from the snapshot close with no successor, and closed
+    history rows are never touched again.
+
+    ``dim`` carries [key, *tracked, valid_from, valid_to, is_current]
+    (None initializes from the snapshot); ``snapshot`` carries
+    [key, *tracked]. ``effective`` is the snapshot's as-of date, kept as
+    a plain 'yyyy-MM-dd' string so results are engine-portable byte-for-
+    byte (production would cast to DATE without changing the plan).
+
+    Shape: ONE full-outer join current-rows ⋈ snapshot on the key per
+    applied snapshot, with null-safe change detection across the tracked
+    columns; closed history passes through untouched (at 100 TB,
+    partition the dim by is_current so the join scans only the current
+    slice — the history partition is write-once). The output unions the
+    four legs by name; no window, no driver data path, and the join key
+    is the dimension's natural key — skew-safe for real dims."""
+    cur_cols = [key, *tracked, "valid_from", "valid_to", "is_current"]
+    fresh = snapshot.select(
+        key,
+        *tracked,
+        F.lit(effective).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).select(cur_cols)
+    if dim is None:
+        return fresh
+    history = dim.where(~F.col("is_current")).select(cur_cols)
+    cur = dim.where(F.col("is_current")).select(cur_cols)
+    s = snapshot.select(
+        F.col(key).alias("_sk"), *[F.col(c).alias(f"_s_{c}") for c in tracked]
+    )
+    j = cur.join(s, cur[key] == s["_sk"], "full_outer")
+    in_cur = F.col(key).isNotNull()
+    in_snap = F.col("_sk").isNotNull()
+    differs = F.lit(False)
+    for c in tracked:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+    closed_at = F.lit(effective).alias("valid_to")
+    # leg 1: unchanged current rows ride through as-is
+    unchanged = j.where(in_cur & in_snap & ~differs).select(cur_cols)
+    # leg 2: changed + vanished keys close their current version
+    closed = (
+        j.where(in_cur & (~in_snap | differs))
+        .select(
+            key, *tracked, "valid_from", closed_at, F.lit(False).alias("is_current")
+        )
+    )
+    # leg 3: changed + brand-new keys open a version at `effective`
+    opened = (
+        j.where(in_snap & (~in_cur | differs))
+        .select(
+            F.col("_sk").alias(key),
+            *[F.col(f"_s_{c}").alias(c) for c in tracked],
+            F.lit(effective).alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return history.unionByName(unchanged).unionByName(closed).unionByName(opened)

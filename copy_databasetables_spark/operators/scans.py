@@ -837,3 +837,127 @@ def q_copy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
         )
     )
+
+
+@register(
+    "copy_table_scd2",
+    oracle="""
+    WITH snap1 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal - 50.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0),
+    snap2 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+              WHERE c_custkey % 17 <> 0),
+    j AS (SELECT s1.c_custkey AS k1, s1.c_acctbal AS b1,
+                 s1.c_mktsegment AS m1,
+                 s2.c_custkey AS k2, s2.c_acctbal AS b2,
+                 s2.c_mktsegment AS m2
+          FROM snap1 s1 FULL OUTER JOIN snap2 s2
+            ON s1.c_custkey = s2.c_custkey)
+    SELECT k1 AS c_custkey, b1 AS c_acctbal, m1 AS c_mktsegment,
+           '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current
+    FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+               AND b1 = b2 AND m1 = m2
+    UNION ALL
+    SELECT k1, b1, m1, '2024-01-01', '2024-02-01', FALSE
+    FROM j WHERE k1 IS NOT NULL
+               AND (k2 IS NULL OR b1 <> b2 OR m1 <> m2)
+    UNION ALL
+    SELECT k2, b2, m2, '2024-02-01', CAST(NULL AS VARCHAR), TRUE
+    FROM j WHERE k2 IS NOT NULL
+               AND (k1 IS NULL OR b1 <> b2 OR m1 <> m2)
+    """,
+)
+def q_copy_table_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 copy (copy/engine.scd2_apply):
+    two customer snapshots — day 1 with some balances shifted and the
+    %13 keys not yet present, day 2 the live table minus the %17 keys —
+    drive the full SCD2 state machine: changed keys carry a CLOSED
+    day-1 version plus an open day-2 version, late-arriving keys insert
+    at day 2, vanished keys close with no successor, untouched keys
+    keep their day-1 open row. The published dimension is hash-checked
+    against a DuckDB reconstruction of all four legs.
+
+    This is the history-preserving step past copy_table_merge: merge
+    answers "what is current", SCD2 answers "what was true when" — the
+    mode a warehouse sync needs for dimensions feeding point-in-time
+    joins (q_join_asof consumes exactly this shape)."""
+    from copy_databasetables_spark.copy.engine import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    tracked = ["c_acctbal", "c_mktsegment"]
+    snap1 = cust.where(F.col("c_custkey") % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") - 50.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    snap2 = cust.where(F.col("c_custkey") % 17 != 0)
+    dim = scd2_apply(None, snap1, "c_custkey", tracked, "2024-01-01")
+    dim = scd2_apply(dim, snap2, "c_custkey", tracked, "2024-02-01")
+    target = _out("copy_table_scd2", sf_dir, "customer_dim")
+    dim.write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target)
+
+
+def _z_spread_expr(col: str) -> str:
+    """Interleave-ready spread of a 16-bit value: after this, bit i of
+    the input sits at bit 2i of the output."""
+    x = f"(({col}) & 65535)"
+    s1 = f"(({x} | ({x} << 8)) & 16711935)"  # 0x00FF00FF
+    s2 = f"(({s1} | ({s1} << 4)) & 252645135)"  # 0x0F0F0F0F
+    s3 = f"(({s2} | ({s2} << 2)) & 858993459)"  # 0x33333333
+    s4 = f"(({s3} | ({s3} << 1)) & 1431655765)"  # 0x55555555
+    return s4
+
+
+@register("snk_zorder_write", oracle=_D_ORDERS)
+def q_snk_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write: orders laid out on the morton interleave
+    of (o_custkey, o_orderdate) — the multi-dimensional data-skipping
+    layout (Delta OPTIMIZE ZORDER / Iceberg sort orders) that a plain
+    sort can't give: sorting by one key clusters ONE column's row-group
+    min/max; the z-curve clusters BOTH, so parquet footer pruning works
+    for customer-filtered AND date-filtered scans of the same copy.
+
+    Mechanics, all codegen bitwise ops: scale each key to 16 bits
+    against its min/max (one scalar agg broadcast — at 100 TB these
+    bounds come from table stats), spread bits with the mask-and-shift
+    ladder, OR the two spreads offset by one bit, then
+    repartitionByRange + sortWithinPartitions on the z value (one range
+    exchange — the same cost as a plain sorted write). Content is
+    untouched — the oracle hash-checks the full table against the
+    source; the min/max-narrowing evidence per output file is pinned in
+    tests/test_operators.py (both dimensions cluster simultaneously)."""
+    src = load_table(spark, sf_dir, "orders")
+    bounds = src.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("d_min"),
+        F.max(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("d_max"),
+    )
+    norm = (
+        "cast(floor((cast({v} as double) - {lo}) * 65535.0 / "
+        "greatest(cast({hi} - {lo} as double), 1.0)) as bigint)"
+    )
+    ck16 = norm.format(v="o_custkey", lo="ck_min", hi="ck_max")
+    d16 = norm.format(
+        v="datediff(o_orderdate, '1970-01-01')", lo="d_min", hi="d_max"
+    )
+    z = f"({_z_spread_expr(ck16)}) | (({_z_spread_expr(d16)}) << 1)"
+    target = _out("snk_zorder_write", sf_dir, "orders")
+    (
+        src.crossJoin(F.broadcast(bounds))
+        .withColumn("_z", F.expr(z))
+        .repartitionByRange(8, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z", "ck_min", "ck_max", "d_min", "d_max")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    return _orders_projected(spark.read.parquet(target))

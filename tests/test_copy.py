@@ -249,3 +249,46 @@ def test_hwm_from_footers_matches_aggregate(spark, tmp_path):
     assert _parquet_max_from_footers(target, "nope") is None
     # empty dir → decline
     assert _parquet_max_from_footers(str(tmp_path / "missing"), "k") is None
+
+
+def test_scd2_state_machine_all_four_legs(spark):
+    """scd2_apply on a handcrafted dim: changed key closes + reopens,
+    new key inserts, vanished key closes with no successor, untouched
+    key keeps its original open row — and a third apply never touches
+    already-closed history."""
+    from copy_databasetables_spark.copy.engine import scd2_apply
+
+    snap1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, attr string"
+    )
+    #      1 unchanged · 2 changed · 3 deleted · 4 new
+    snap2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, attr string"
+    )
+    dim = scd2_apply(None, snap1, "k", ["attr"], "2024-01-01")
+    dim = scd2_apply(dim, snap2, "k", ["attr"], "2024-02-01")
+    rows = {
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in dim.collect()
+    }
+    assert rows == {
+        (1, "a", "2024-01-01", None, True),
+        (2, "b", "2024-01-01", "2024-02-01", False),
+        (2, "B", "2024-02-01", None, True),
+        (3, "c", "2024-01-01", "2024-02-01", False),
+        (4, "d", "2024-02-01", None, True),
+    }
+    # third apply: 2 changes again — its 01-01 row must stay untouched
+    snap3 = spark.createDataFrame([(1, "a"), (2, "z")], "k long, attr string")
+    dim3 = scd2_apply(dim, snap3, "k", ["attr"], "2024-03-01")
+    rows3 = {
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in dim3.collect()
+    }
+    assert (2, "b", "2024-01-01", "2024-02-01", False) in rows3
+    assert (2, "B", "2024-02-01", "2024-03-01", False) in rows3
+    assert (2, "z", "2024-03-01", None, True) in rows3
+    # exactly one current row per live key, ever
+    cur = [r for r in rows3 if r[4]]
+    assert sorted(r[0] for r in cur) == [1, 2]
+    assert (4, "d", "2024-02-01", "2024-03-01", False) in rows3  # 4 vanished
