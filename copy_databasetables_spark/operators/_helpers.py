@@ -88,3 +88,59 @@ SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 SQL_DAVG = "(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x}))"
 SQL_US = "epoch_us(CAST({x} AS TIMESTAMP))"
 SQL_DS = "strftime(CAST({x} AS TIMESTAMP), '%Y-%m-%d')"
+
+
+# --- SQL-expression bloom filter -------------------------------------
+#
+# Spark exposes no SQL bloom_filter_agg, and df.stat.bloomFilter detours
+# through the driver and a Python UDF — so the engine builds blooms as
+# plain JVM expressions: the bit array is bits/64 int64 words assembled
+# by a bit_or aggregate and shipped as ONE broadcast row; membership is
+# a forall over k (word, bit) probes. Used by q_decontaminate_bloom
+# (benchmark-gram filter) and q_join_bloom_prune (shuffle-join runtime
+# filter). Both sides — build and probe — must hash identically, which
+# is why the k-position fragment is generated in exactly one place.
+
+
+def bloom_positions_sql(g: str, bits: int, k: int) -> str:
+    """The k bit positions of expression ``g``: xxhash64(g, i) mod bits."""
+    return (
+        f"transform(sequence(0, {k - 1}), "
+        f"i -> pmod(xxhash64({g}, cast(i as int)), {bits}L))"
+    )
+
+
+def bloom_build(df, col: str, bits: int, k: int):
+    """ONE-row DataFrame [bloom: array<long>] over df[``col``]'s values.
+
+    Explode each value's k positions, bit_or the masks per 64-bit word,
+    then densify via map_from_entries + sequence (absent words are 0).
+    Broadcast the result; at 100 TB the array is sized by the FP budget
+    (bits), never by the corpus."""
+    words = bits // 64
+    pos = df.select(F.explode(F.expr(bloom_positions_sql(col, bits, k))).alias("p"))
+    w = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("wi"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+    )
+    return w.agg(
+        F.map_from_entries(F.collect_list(F.struct("wi", "w"))).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {words - 1}), i -> coalesce(wm[i], 0L))"
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain_sql(g: str, bits: int, k: int) -> str:
+    """Membership predicate against a ``bloom`` column in scope
+    (element_at is 1-based; positions are 0-based)."""
+    return (
+        f"forall({bloom_positions_sql(g, bits, k)}, "
+        f"p -> (shiftright(element_at(bloom, cast(p div 64 as int) + 1), "
+        f"cast(p % 64 as int)) & 1L) = 1L)"
+    )

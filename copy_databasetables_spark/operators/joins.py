@@ -26,7 +26,12 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import dsum, us
+from copy_databasetables_spark.operators._helpers import (
+    bloom_build,
+    bloom_might_contain_sql,
+    dsum,
+    us,
+)
 
 
 @register(
@@ -390,4 +395,61 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderstatus")
         .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+#: runtime-filter bloom for q_join_bloom_prune: 2^20 bits × 3 hashes.
+#: At sf0.1's ~30k urgent orders the per-key FP rate is
+#: (1-e^(-kn/m))^k ≈ 6e-4 — the pruned fact stream is within a fraction
+#: of a percent of the true matching rows.
+_JB_BITS = 1 << 20
+_JB_K = 3
+
+
+@register(
+    "q_join_bloom_prune",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim join with a BLOOM RUNTIME FILTER on the fact
+    side — the shuffle-reduction move for when the dim side is filtered
+    (~20% of orders are 1-URGENT) but too big to broadcast: build a
+    bloom of the surviving join keys (one aggregate over the small
+    side, a 128 KB broadcast — _helpers.bloom_build, the same
+    construction q_decontaminate_bloom uses), test every lineitem row
+    against it MAP-SIDE before the join's exchange, and let the real
+    equi-join eliminate the residual false positives. The result is
+    therefore EXACTLY the plain join's (hash-proven against the
+    unfiltered-join oracle); what changed is that ~80% of the fact
+    table never enters the shuffle.
+
+    This hand-builds what Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects when
+    statistics justify it — expressed explicitly so the plan is pinned
+    rather than statistics-dependent, and so the filter composes with
+    engines/API levels where the optimizer rule is off. At 100 TB the
+    savings is the difference between shuffling 100 TB and 20 TB;
+    pruning effectiveness is unit-tested (pruned stream ≤ match count
+    + FP margin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey", _JB_BITS, _JB_K)
+    pruned = li.crossJoin(F.broadcast(bloom)).where(
+        F.expr(bloom_might_contain_sql("l_orderkey", _JB_BITS, _JB_K))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue, "revenue"))
     )

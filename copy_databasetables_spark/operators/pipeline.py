@@ -16,6 +16,10 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import (
+    bloom_build,
+    bloom_might_contain_sql,
+)
 
 #: portable hash of a string expr (see dedup.py) folded to [0, 100).
 _PCT = "pmod(cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint), 100)"
@@ -599,13 +603,6 @@ _BLOOM_WORDS = _BLOOM_BITS // 64
 _BLOOM_K = 3
 _BLOOM_FP_BOUND = 0.02
 
-#: the k bit positions of gram-hash column {g} — shared verbatim by the
-#: build and probe sides so both hash identically: position_i =
-#: xxhash64(gram_hash, i) mod m.
-_BLOOM_POS = (
-    f"transform(sequence(0, {_BLOOM_K - 1}), "
-    f"i -> pmod(xxhash64({{g}}, cast(i as int)), {_BLOOM_BITS}L))"
-)
 
 
 @register(
@@ -666,36 +663,16 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # build: benchmark gram → k bit positions → (word, mask) → bit_or
-    # per word → ONE dense array<long> row (missing words coalesce to 0)
-    pos = bg.select(
-        F.explode(F.expr(_BLOOM_POS.format(g="gh"))).alias("p")
-    )
-    words = (
-        pos.select(
-            (F.col("p") / 64).cast("int").alias("wi"),
-            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
-        )
-        .groupBy("wi")
-        .agg(F.expr("bit_or(mask)").alias("w"))
-    )
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("wi", "w"))).alias("wm")
-    ).select(
-        F.expr(
-            f"transform(sequence(0, {_BLOOM_WORDS - 1}), "
-            f"i -> coalesce(wm[i], 0L))"
-        ).alias("bloom")
-    )
+    # per word → ONE dense array<long> row (shared machinery:
+    # _helpers.bloom_build / bloom_might_contain_sql — the join runtime
+    # filter q_join_bloom_prune uses the identical construction)
+    bloom = bloom_build(bg, "gh", _BLOOM_BITS, _BLOOM_K)
     # probe: each distinct (doc, gram) tests its k bits against the
-    # broadcast array. element_at is 1-based; positions are 0-based.
+    # broadcast array.
     corpus_g = g.select(
         "doc_id", F.explode(F.array_distinct("grams")).alias("gh")
     )
-    might = F.expr(
-        f"forall({_BLOOM_POS.format(g='gh')}, "
-        f"p -> (shiftright(element_at(bloom, cast(p div 64 as int) + 1), "
-        f"cast(p % 64 as int)) & 1L) = 1L)"
-    )
+    might = F.expr(bloom_might_contain_sql("gh", _BLOOM_BITS, _BLOOM_K))
     bloom_hits = (
         corpus_g.crossJoin(F.broadcast(bloom))
         .where(might)

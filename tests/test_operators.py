@@ -895,3 +895,31 @@ def test_zorder_write_clusters_both_dimensions(spark):
         mean_r = sum(_span(a, b) for a, b in ranges) / len(ranges)
         frac = mean_r / _span(lo, hi)
         assert frac < 0.8, f"{col} per-file range {frac:.2f} not clustered"
+
+
+def test_bloom_prune_join_removes_nonmatching_fact_rows(spark):
+    """The bloom runtime filter must cut the fact stream to the true
+    matching rows plus a sub-percent FP margin BEFORE the join shuffle —
+    and the filtered stream must still contain every matching row (no
+    false negatives, or the hash gate would already have caught it)."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import joins as j
+    from copy_databasetables_spark.operators._helpers import (
+        bloom_build,
+        bloom_might_contain_sql,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey", j._JB_BITS, j._JB_K)
+    pruned = li.crossJoin(F.broadcast(bloom)).where(
+        F.expr(bloom_might_contain_sql("l_orderkey", j._JB_BITS, j._JB_K))
+    )
+    n_total = li.count()
+    n_pruned = pruned.count()
+    n_match = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    assert n_match <= n_pruned <= n_match + int(0.01 * n_total) + 1
+    assert n_pruned < 0.3 * n_total  # ~80% of the shuffle input is gone
