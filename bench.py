@@ -50,6 +50,10 @@ HEADLINE = [
     "q_dedup_embed_lsh",
     "q_dedup_cluster_lsh",
     "q_sim_ivf",
+    # late r6: the PQ memory path (32x smaller resident index than
+    # brute-force float vectors) and the bloom runtime-filter join
+    "q_sim_pq",
+    "q_join_bloom_prune",
     "q_text_tfidf",
     "q_text_lm_score",
     "q_sessionize",
