@@ -961,3 +961,59 @@ def q_snk_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(target)
     )
     return _orders_projected(spark.read.parquet(target))
+
+
+@register(
+    "copy_table_evolve",
+    oracle="""
+    WITH h AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS half
+               FROM orders)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+           CASE WHEN o_orderkey <= (SELECT half FROM h)
+                THEN NULL ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def q_copy_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution copy: the long-lived-target reality the plain
+    copy modes ignore — the source GREW a column between syncs. Day 1
+    lands the lower half of orders WITHOUT o_orderpriority (the legacy
+    schema); day 2 appends the upper half WITH it; the read-back uses
+    parquet schema merging so the union schema surfaces, and legacy
+    rows report NULL for the new column (the evolution-correct answer:
+    fabricating a default would erase the fact that the value was never
+    recorded — a downstream backfill is an explicit, separate decision).
+    Hash-checked against an oracle that reconstructs exactly that
+    NULL-for-legacy shape from the source.
+
+    Scale notes: mergeSchema=true is a FOOTER-READ of every file, which
+    at 100 TB is exactly the metadata storm explicit schemas avoid
+    (SCALE.md "Scans") — production pins the merged schema in the
+    catalog (or passes it explicitly) after ONE evolution event; the
+    per-file merge here demonstrates the semantics. Appends never
+    rewrite day-1 files: evolution is metadata-only on the write path,
+    which is what makes it affordable on a 100 TB target."""
+    src = load_table(spark, sf_dir, "orders")
+    half = (
+        src.agg((F.max("o_orderkey") / 2).cast("bigint").alias("h"))
+        .collect()[0]["h"]
+    )
+    target = _out("copy_table_evolve", sf_dir, "orders")
+    import shutil
+
+    shutil.rmtree(target, ignore_errors=True)
+    (
+        src.where(F.col("o_orderkey") <= half)
+        .drop("o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    (
+        src.where(F.col("o_orderkey") > half)
+        .write.mode("append")
+        .parquet(target)
+    )
+    return _orders_projected(
+        spark.read.option("mergeSchema", "true").parquet(target)
+    )

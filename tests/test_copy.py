@@ -292,3 +292,29 @@ def test_scd2_state_machine_all_four_legs(spark):
     cur = [r for r in rows3 if r[4]]
     assert sorted(r[0] for r in cur) == [1, 2]
     assert (4, "d", "2024-02-01", "2024-03-01", False) in rows3  # 4 vanished
+
+
+def test_evolve_copy_appends_without_rewriting_day1_files(spark):
+    """Schema evolution must be metadata-only on the write path: after
+    the day-2 append the target holds BOTH schema generations side by
+    side (day-1 footers lack o_orderpriority, day-2 footers carry it) —
+    proof the append rewrote nothing — and the merged read reports NULL
+    (not a fabricated default) for the legacy rows' new column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    target = "/tmp/spark_graft_io/copy_table_evolve/sf0.001/orders"
+    out = all_queries()["copy_table_evolve"](spark, sf)
+    legacy_nulls = out.where(F.col("o_orderpriority").isNull()).count()
+    modern = out.where(F.col("o_orderpriority").isNotNull()).count()
+    assert legacy_nulls > 0 and modern > 0
+    assert legacy_nulls + modern == out.count()
+    gens = {"legacy": 0, "evolved": 0}
+    for f in glob.glob(f"{target}/part-*.parquet"):
+        names = set(pq.read_schema(f).names)
+        gens["evolved" if "o_orderpriority" in names else "legacy"] += 1
+    assert gens["legacy"] > 0, "day-1 files were rewritten with the new schema"
+    assert gens["evolved"] > 0
