@@ -66,6 +66,28 @@ def main(argv: list[str] | None = None) -> int:
         "target's current maximum (full copy on first run)",
     )
     ap.add_argument(
+        "--scd2",
+        metavar="KEY",
+        default=None,
+        help="slowly-changing-dimension type-2 sync: apply the source "
+        "snapshot to the type-2 dimension at target (created on first "
+        "run); requires --tracked and --as-of, exactly one --tables",
+    )
+    ap.add_argument(
+        "--tracked",
+        nargs="+",
+        default=None,
+        metavar="COL",
+        help="change-tracked columns (with --scd2)",
+    )
+    ap.add_argument(
+        "--as-of",
+        dest="as_of",
+        default=None,
+        metavar="YYYY-MM-DD",
+        help="snapshot effective date (with --scd2)",
+    )
+    ap.add_argument(
         "--delete",
         metavar="KEY",
         default=None,
@@ -80,6 +102,55 @@ def main(argv: list[str] | None = None) -> int:
         help="key values to delete (with --delete)",
     )
     args = ap.parse_args(argv)
+
+    # SCD2 sync mode: one table, tracked columns, an effective date
+    if args.scd2 or args.tracked or args.as_of:
+        if not (args.scd2 and args.tracked and args.as_of):
+            print(
+                "FAILED: --scd2 KEY, --tracked COL... and --as-of DATE go "
+                "together",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.source or not args.tables or len(args.tables) != 1:
+            print(
+                "FAILED: --scd2 requires --source and exactly one --tables "
+                "entry",
+                file=sys.stderr,
+            )
+            return 2
+        if args.checksum or args.partitions or args.incremental or args.delete:
+            print(
+                "FAILED: --checksum/--partitions/--incremental/--delete are "
+                "not supported with --scd2",
+                file=sys.stderr,
+            )
+            return 2
+        import os
+
+        from copy_databasetables_spark.copy.engine import scd2_table
+
+        spark = get_spark("copy-cli")
+        t0 = time.time()
+        t = args.tables[0]
+        try:
+            res = scd2_table(
+                spark, args.source, t, os.path.join(args.target, t),
+                key=args.scd2, tracked=args.tracked, as_of=args.as_of,
+            )
+        except CopyVerificationError as err:
+            print(f"FAILED: {err}", file=sys.stderr)
+            return 1
+        except Exception as err:
+            first_line = str(err).split("\n")[0]
+            print(f"FAILED: {type(err).__name__}: {first_line}", file=sys.stderr)
+            return 3
+        print(
+            f"scd2 {res.table}: dimension now {res.rows_copied} version "
+            f"row(s) at {res.target_path} as of {args.as_of} "
+            f"({time.time() - t0:.1f}s, verified)"
+        )
+        return 0
 
     # targeted-erasure mode operates on --target alone
     if args.delete or args.keys:

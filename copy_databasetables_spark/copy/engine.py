@@ -557,3 +557,28 @@ def scd2_apply(
         )
     )
     return history.unionByName(unchanged).unionByName(closed).unionByName(opened)
+
+
+def scd2_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    target_path: str,
+    key: str,
+    tracked: list[str],
+    as_of: str,
+) -> CopyResult:
+    """Run one SCD2 sync of ``table``'s current snapshot into the
+    type-2 dimension at ``target_path`` (created on first run), through
+    the same staged two-phase publish as merge — an interrupted run
+    leaves the previous dimension intact. The published row count is
+    verified against the pre-publish count of the computed dimension."""
+    _recover_interrupted_publish(target_path)
+    snapshot = load_table(spark, sf_dir, table).select(key, *tracked)
+    existing = _read_target_if_exists(spark, target_path)
+    dim = scd2_apply(existing, snapshot, key, tracked, as_of)
+    # the union plan reads target_path while the publish replaces it —
+    # pin the computed dimension first (same reason merge counts first)
+    n_expect = dim.count()
+    n = _staged_publish(spark, dim, target_path, n_expect, f"{table}: scd2")
+    return CopyResult(table, target_path, n, True)

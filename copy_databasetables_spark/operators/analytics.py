@@ -273,3 +273,109 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+#: anomaly detection: trailing window of hourly counts (rows, not time —
+#: both engines see the identical hour sequence) and the z>3 rule.
+_ANOM_TRAIL = 24
+_ANOM_MIN_HISTORY = 12
+_ANOM_Z = 3
+
+
+@register(
+    "q_events_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT hr, n_events,
+             COUNT(*)            OVER t AS n_hist,
+             SUM(n_events)       OVER t AS s,
+             SUM(n_events * n_events) OVER t AS ss
+      FROM hourly
+      WINDOW t AS (ORDER BY hr
+                   ROWS BETWEEN {_ANOM_TRAIL} PRECEDING AND 1 PRECEDING))
+    SELECT epoch_us(hr) AS hour_us, n_events,
+           CASE WHEN n_hist >= 2 AND n_hist * ss > s * s THEN
+             round((n_events - CAST(s AS DOUBLE) / n_hist)
+                   / sqrt((ss - CAST(s AS DOUBLE) * s / n_hist)
+                          / (n_hist - 1)), 4)
+           END AS z,
+           COALESCE(n_hist >= {_ANOM_MIN_HISTORY}
+             AND n_hist * n_events - s > 0
+             AND (n_hist - 1) * (n_hist * n_events - s)
+                              * (n_hist * n_events - s)
+                 > {_ANOM_Z * _ANOM_Z} * n_hist * (n_hist * ss - s * s),
+             FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts vs their trailing
+    24-hour window, flagging hours more than 3 trailing standard
+    deviations above the trailing mean — the ingest-monitoring job a
+    training-data pipeline runs on every source feed (a spiking crawl
+    host, a stuck producer replaying, a log-format break flooding one
+    type).
+
+    Determinism across engines is the design problem: mean/std are
+    float, and a float `z > 3` comparison can flip on last-ulp
+    differences right at the boundary. The FLAG therefore uses only
+    int64 arithmetic — with n the trailing count, S/SS the trailing
+    sum and sum of squares, `z² > 9·var` rewrites as
+    (n-1)·(n·cnt − S)² > 9·n·(n·SS − S²), exact in BIGINT at any
+    realistic magnitude (hour counts ≤ ~1e6 before overflow matters).
+    The displayed z is informational (rounded 4dp); the decision never
+    touches a double.
+
+    Scale: one two-phase hourly count (shuffle carries |hours| rows,
+    constant in event volume), one window over the tiny hour table.
+    At 100 TB partition the count by (source, hour) and the window by
+    source — per-feed anomaly streams, same plan."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    from pyspark.sql.window import Window
+
+    t = (
+        Window.orderBy("hr")
+        .rowsBetween(-_ANOM_TRAIL, -1)
+    )
+    w = hourly.select(
+        "hr",
+        "n_events",
+        F.count(F.lit(1)).over(t).alias("n_hist"),
+        F.sum("n_events").over(t).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(t).alias("ss"),
+    )
+    dev = F.col("n_hist") * F.col("n_events") - F.col("s")
+    var_num = F.col("n_hist") * F.col("ss") - F.col("s") * F.col("s")
+    z = F.when(
+        (F.col("n_hist") >= 2) & (var_num > 0),
+        F.round(
+            (F.col("n_events") - F.col("s").cast("double") / F.col("n_hist"))
+            / F.sqrt(
+                (
+                    F.col("ss")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n_hist")
+                )
+                / (F.col("n_hist") - 1)
+            ),
+            4,
+        ),
+    )
+    is_anom = F.coalesce(
+        (F.col("n_hist") >= _ANOM_MIN_HISTORY)
+        & (dev > 0)
+        & ((F.col("n_hist") - 1) * dev * dev > _ANOM_Z * _ANOM_Z * F.col("n_hist") * var_num),
+        F.lit(False),
+    )
+    return w.select(
+        us("hr", "hour_us"),
+        "n_events",
+        z.alias("z"),
+        is_anom.alias("is_anomaly"),
+    )

@@ -115,3 +115,34 @@ def test_cli_delete_mode(spark, capsys, tmp_path):
     )
     # missing source in copy mode is a usage error, not a crash
     assert main(["--target", str(tmp_path)]) == 2
+
+
+def test_cli_scd2_mode(spark, capsys, tmp_path):
+    """Two --scd2 syncs: the first materializes the dimension, the
+    second (identical snapshot) leaves every version row open and
+    unchanged; flag misuse exits 2."""
+    tgt = str(tmp_path / "dim")
+    rc = main(
+        ["--source", SF_SMOKE, "--target", tgt, "--tables", "customer",
+         "--scd2", "c_custkey", "--tracked", "c_acctbal", "c_mktsegment",
+         "--as-of", "2024-01-01"]
+    )
+    assert rc == 0
+    assert "150 version row(s)" in capsys.readouterr().out
+    rc = main(
+        ["--source", SF_SMOKE, "--target", tgt, "--tables", "customer",
+         "--scd2", "c_custkey", "--tracked", "c_acctbal", "c_mktsegment",
+         "--as-of", "2024-02-01"]
+    )
+    assert rc == 0
+    assert "150 version row(s)" in capsys.readouterr().out
+    dim = spark.read.parquet(f"{tgt}/customer")
+    assert dim.count() == 150
+    assert dim.where("NOT is_current OR valid_to IS NOT NULL").count() == 0
+    assert set(dim.select("valid_from").distinct().toPandas()["valid_from"]) == {
+        "2024-01-01"
+    }
+    # misuse: --scd2 without --tracked/--as-of
+    rc = main(["--target", "/tmp/x", "--scd2", "k"])
+    assert rc == 2
+    assert "--tracked" in capsys.readouterr().err

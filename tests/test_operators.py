@@ -923,3 +923,25 @@ def test_bloom_prune_join_removes_nonmatching_fact_rows(spark):
     n_match = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
     assert n_match <= n_pruned <= n_match + int(0.01 * n_total) + 1
     assert n_pruned < 0.3 * n_total  # ~80% of the shuffle input is gone
+
+
+def test_events_anomaly_flag_matches_float_z_and_min_history(spark):
+    """The exact-int64 anomaly predicate must agree with the float z
+    everywhere away from the knife edge (flagged → z ≥ 2.99, unflagged
+    with history → z ≤ 3.01), must fire on this data (positive path),
+    and must never flag inside the warm-up window."""
+    from copy_databasetables_spark.operators import all_queries
+
+    rows = (
+        all_queries()["q_events_anomaly"](spark, "/root/testdata/sf0.01")
+        .orderBy("hour_us")
+        .collect()
+    )
+    assert sum(r["is_anomaly"] for r in rows) >= 1
+    for r in rows[:12]:  # warm-up: fewer than _ANOM_MIN_HISTORY trailing
+        assert not r["is_anomaly"]
+    for r in rows:
+        if r["is_anomaly"]:
+            assert r["z"] is not None and r["z"] >= 2.99
+        elif r["z"] is not None:
+            assert r["z"] <= 3.01
