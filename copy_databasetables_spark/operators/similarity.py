@@ -943,3 +943,97 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
+
+
+def _register_recall_report() -> None:
+    """Registered via a builder so the oracle can REUSE the already-
+    registered q_sim_topk / q_sim_ivf / q_sim_pq oracle texts verbatim
+    (nested as CTE bodies) — the report measures exactly the queries the
+    gate hash-checks, not a re-derivation that could drift."""
+    from copy_databasetables_spark.operators import ORACLES
+
+    exact_sql = ORACLES["q_sim_topk"]
+    ivf_sql = ORACLES["q_sim_ivf"]
+    pq_sql = ORACLES["q_sim_pq"]
+    oracle = f"""
+    WITH exact_q AS ({exact_sql}),
+    ivf_q AS ({ivf_sql}),
+    pq_q AS ({pq_sql}),
+    e AS (SELECT probe_id, neighbor_id FROM exact_q
+          WHERE rank_pos <= {_IVF_K}),
+    legs AS (
+      SELECT 'ivf' AS method, e.probe_id,
+             COUNT(*) AS n_exact,
+             CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM e LEFT JOIN ivf_q a
+        ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
+      UNION ALL
+      SELECT 'pq', e.probe_id, COUNT(*),
+             CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM e LEFT JOIN pq_q a
+        ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id)
+    SELECT method, probe_id, n_exact, n_hit,
+           CAST(FLOOR(10000.0 * n_hit / n_exact) AS BIGINT) AS recall_bp
+    FROM legs
+    """
+
+    @register("q_sim_recall_report", oracle=oracle)
+    def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN recall report: per probe, how many of the EXACT top-3
+        neighbors each approximate index (IVF-Flat, PQ16x4) actually
+        returned — the continuous-eval job a production ANN deployment
+        runs on every index build, promoted from a unit test to a
+        first-class hash-checked operator. recall_bp is floor-basis-
+        points so the metric is integer-exact cross-engine.
+
+        Composition, not re-derivation: the Spark side calls the
+        REGISTERED q_sim_topk/q_sim_ivf/q_sim_pq functions and the
+        oracle nests their registered oracle texts as CTEs, so this
+        report stays correct by construction when an index
+        implementation changes. Scale: the joined tables are
+        |probes|·k rows — the report costs nothing next to the
+        searches it audits."""
+        from copy_databasetables_spark.operators import QUERIES
+
+        e = (
+            QUERIES["q_sim_topk"](spark, sf_dir)
+            .where(F.col("rank_pos") <= _IVF_K)
+            .select("probe_id", "neighbor_id")
+        )
+        legs = []
+        for method in ("ivf", "pq"):
+            a = QUERIES[f"q_sim_{method}"](spark, sf_dir).select(
+                F.col("probe_id").alias("ap"), F.col("neighbor_id").alias("an")
+            )
+            legs.append(
+                e.join(
+                    a,
+                    (F.col("probe_id") == F.col("ap"))
+                    & (F.col("neighbor_id") == F.col("an")),
+                    "left",
+                )
+                .groupBy("probe_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_exact"),
+                    F.sum(
+                        F.when(F.col("an").isNotNull(), 1).otherwise(0)
+                    ).alias("n_hit"),
+                )
+                .select(
+                    F.lit(method).alias("method"),
+                    "probe_id",
+                    "n_exact",
+                    "n_hit",
+                    F.floor(10000.0 * F.col("n_hit") / F.col("n_exact")).alias(
+                        "recall_bp"
+                    ),
+                )
+            )
+        return legs[0].unionByName(legs[1])
+
+
+_register_recall_report()

@@ -945,3 +945,33 @@ def test_events_anomaly_flag_matches_float_z_and_min_history(spark):
             assert r["z"] is not None and r["z"] >= 2.99
         elif r["z"] is not None:
             assert r["z"] <= 3.01
+
+
+def test_recall_report_structure_and_bounds(spark):
+    """Both methods report every probe; recall lands in [0, 10000] bp
+    with n_exact pinned to the top-3 comparison set; and the report's
+    IVF numbers agree with a direct recomputation from the two
+    registered queries (composition really composes)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["q_sim_recall_report"](spark, sf).collect()
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r["method"], {})[r["probe_id"]] = r
+        assert r["n_exact"] == 3
+        assert 0 <= r["n_hit"] <= 3
+        assert 0 <= r["recall_bp"] <= 10000
+        assert r["recall_bp"] == 10000 * r["n_hit"] // 3
+    assert set(by_method) == {"ivf", "pq"}
+    assert set(by_method["ivf"]) == set(by_method["pq"])
+    exact = {}
+    for r in (
+        all_queries()["q_sim_topk"](spark, sf).where("rank_pos <= 3").collect()
+    ):
+        exact.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in all_queries()["q_sim_ivf"](spark, sf).collect():
+        ivf.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    for p, want in exact.items():
+        assert by_method["ivf"][p]["n_hit"] == len(want & ivf.get(p, set()))
