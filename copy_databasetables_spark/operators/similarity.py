@@ -826,6 +826,57 @@ _PQ_SUBS_SQL = f"""
 """
 
 
+def _pq_index(v: DataFrame) -> DataFrame:
+    """The PQ index side shared by q_sim_pq and q_sim_pq_rerank: encode
+    every vector (bounded codebook broadcast + per-(vec, subspace)
+    window argmin), decode to the reconstruction, precompute its norm.
+    At 100 TB this runs once at index build and persists 8-byte codes."""
+    sub = (
+        f"transform(sequence(0, {_PQ_M - 1}), "
+        f"m -> struct(m AS m, slice({{col}}, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
+    )
+    cb = (
+        v.where(_PQ_CB_FILTER)
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .withColumn("code_id", F.row_number().over(Window.orderBy("vec_id")) - 1)
+    )
+    sub_cb = cb.select(
+        "code_id", F.explode(F.expr(sub.format(col="e"))).alias("sc")
+    ).select("code_id", F.col("sc.m").alias("m"), F.col("sc.s").alias("cw"))
+    vsub = v.select(
+        "vec_id", F.explode(F.expr(sub.format(col="e"))).alias("sv")
+    ).select("vec_id", F.col("sv.m").alias("m"), F.col("sv.s").alias("vs"))
+    d2 = F.aggregate(
+        F.zip_with("vs", "cw", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    enc_w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code_id").asc()
+    )
+    codes = (
+        vsub.join(F.broadcast(sub_cb), "m")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "cw")
+    )
+    dec = codes.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cw"))),
+                lambda s: s.cw,
+            )
+        ).alias("d")
+    )
+    return dec.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("d"), F.lit(0.0), lambda a, x: a + x * x)),
+    ).where(F.col("nrm") > 0.0)
+
+
 @register(
     "q_sim_pq",
     oracle=f"""
@@ -877,50 +928,7 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-R (FAISS refine) — none of which change the plan shape the
     gate pins here."""
     v = _vecs(spark, sf_dir)
-    sub = (
-        f"transform(sequence(0, {_PQ_M - 1}), "
-        f"m -> struct(m AS m, slice({{col}}, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
-    )
-    cb = (
-        v.where(_PQ_CB_FILTER)
-        .select("vec_id", "e")
-        .orderBy("vec_id")
-        .limit(_PQ_K)
-        .withColumn("code_id", F.row_number().over(Window.orderBy("vec_id")) - 1)
-    )
-    sub_cb = cb.select(
-        "code_id", F.explode(F.expr(sub.format(col="e"))).alias("sc")
-    ).select("code_id", F.col("sc.m").alias("m"), F.col("sc.s").alias("cw"))
-    vsub = v.select(
-        "vec_id", F.explode(F.expr(sub.format(col="e"))).alias("sv")
-    ).select("vec_id", F.col("sv.m").alias("m"), F.col("sv.s").alias("vs"))
-    d2 = F.aggregate(
-        F.zip_with("vs", "cw", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    enc_w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("code_id").asc()
-    )
-    codes = (
-        vsub.join(F.broadcast(sub_cb), "m")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "cw")
-    )
-    dec = codes.groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "cw"))),
-                lambda s: s.cw,
-            )
-        ).alias("d")
-    )
-    n = dec.withColumn(
-        "nrm",
-        F.sqrt(F.aggregate(F.col("d"), F.lit(0.0), lambda a, x: a + x * x)),
-    ).where(F.col("nrm") > 0.0)
+    n = _pq_index(v)
     p = v.where(_PROBE_FILTER).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
@@ -945,6 +953,98 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_RERANK_R = 25
+
+
+@register(
+    "q_sim_pq_rerank",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    {_PQ_SUBS_SQL},
+    p AS (SELECT vec_id AS probe_id, e AS pe,
+                 sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS pn
+          FROM v WHERE {_PROBE_FILTER}),
+    approx AS (
+      SELECT p.probe_id, n.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_dot_product(p.pe, n.d)
+                                         / (p.pn * n.nrm) DESC,
+                                         n.vec_id ASC) AS rpq
+      FROM p JOIN n ON n.vec_id <> p.probe_id),
+    cand AS (SELECT probe_id, neighbor_id FROM approx
+             WHERE rpq <= {_PQ_RERANK_R}),
+    rescored AS (
+      SELECT c.probe_id, c.neighbor_id,
+             list_cosine_similarity(p.pe, nv.e) AS cos_raw,
+             row_number() OVER (PARTITION BY c.probe_id
+                                ORDER BY list_cosine_similarity(p.pe, nv.e)
+                                         DESC, c.neighbor_id ASC) AS rank_pos
+      FROM cand c
+      JOIN p ON p.probe_id = c.probe_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id)
+    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    FROM rescored WHERE rank_pos <= {_K}
+    """,
+)
+def q_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with EXACT re-ranking (the FAISS refine pattern): the
+    8-byte PQ index nominates each probe's top-{_PQ_RERANK_R}
+    candidates, then only those {_PQ_RERANK_R} rows per probe are
+    rescored against their full-precision vectors and the true top-k
+    returned. This is how PQ is actually deployed: the quantized scan
+    bounds the expensive exact work at O(|probes|·R) instead of
+    O(|probes|·|corpus|) — at 10B vectors the refine step touches
+    0.0000025% of the corpus — and buys back most of the recall the
+    4-bit codes lose (measured in tests: ≥2× raw PQ's recall@5 on
+    this worst-case random corpus)."""
+    v = _vecs(spark, sf_dir)
+    n = _pq_index(v)
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    aw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_pq").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        F.broadcast(p)
+        .join(n, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "pe",
+            "pn",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_pre("pe", "d", "pn", "nrm").alias("cos_pq"),
+        )
+        .withColumn("rpq", F.row_number().over(aw))
+        .where(F.col("rpq") <= _PQ_RERANK_R)
+        .select("probe_id", "pe", "pn", "neighbor_id")
+    )
+    nv = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(nv, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine_pre("pe", "ne", "pn", "nn").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(rw))
+        .where(F.col("rank_pos") <= _K)
+        .select(
+            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+        )
+    )
+
+
 def _register_recall_report() -> None:
     """Registered via a builder so the oracle can REUSE the already-
     registered q_sim_topk / q_sim_ivf / q_sim_pq oracle texts verbatim
@@ -955,10 +1055,12 @@ def _register_recall_report() -> None:
     exact_sql = ORACLES["q_sim_topk"]
     ivf_sql = ORACLES["q_sim_ivf"]
     pq_sql = ORACLES["q_sim_pq"]
+    pqr_sql = ORACLES["q_sim_pq_rerank"]
     oracle = f"""
     WITH exact_q AS ({exact_sql}),
     ivf_q AS ({ivf_sql}),
     pq_q AS ({pq_sql}),
+    pqr_q AS ({pqr_sql}),
     e AS (SELECT probe_id, neighbor_id FROM exact_q
           WHERE rank_pos <= {_IVF_K}),
     legs AS (
@@ -974,6 +1076,13 @@ def _register_recall_report() -> None:
              CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM e LEFT JOIN pq_q a
+        ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
+      UNION ALL
+      SELECT 'pq_rerank', e.probe_id, COUNT(*),
+             CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM e LEFT JOIN pqr_q a
         ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
       GROUP BY e.probe_id)
     SELECT method, probe_id, n_exact, n_hit,
@@ -1005,7 +1114,7 @@ def _register_recall_report() -> None:
             .select("probe_id", "neighbor_id")
         )
         legs = []
-        for method in ("ivf", "pq"):
+        for method in ("ivf", "pq", "pq_rerank"):
             a = QUERIES[f"q_sim_{method}"](spark, sf_dir).select(
                 F.col("probe_id").alias("ap"), F.col("neighbor_id").alias("an")
             )
@@ -1033,7 +1142,10 @@ def _register_recall_report() -> None:
                     ),
                 )
             )
-        return legs[0].unionByName(legs[1])
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
 
 
 _register_recall_report()

@@ -963,8 +963,10 @@ def test_recall_report_structure_and_bounds(spark):
         assert 0 <= r["n_hit"] <= 3
         assert 0 <= r["recall_bp"] <= 10000
         assert r["recall_bp"] == 10000 * r["n_hit"] // 3
-    assert set(by_method) == {"ivf", "pq"}
-    assert set(by_method["ivf"]) == set(by_method["pq"])
+    assert set(by_method) == {"ivf", "pq", "pq_rerank"}
+    assert set(by_method["ivf"]) == set(by_method["pq"]) == set(
+        by_method["pq_rerank"]
+    )
     exact = {}
     for r in (
         all_queries()["q_sim_topk"](spark, sf).where("rank_pos <= 3").collect()
@@ -975,3 +977,20 @@ def test_recall_report_structure_and_bounds(spark):
         ivf.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
     for p, want in exact.items():
         assert by_method["ivf"][p]["n_hit"] == len(want & ivf.get(p, set()))
+
+
+def test_pq_rerank_recall_dominates_raw_pq(spark):
+    """Exact re-ranking of the PQ top-25 must recover most of what the
+    4-bit codes lose: measured 0.73 recall@3 vs raw PQ's 0.27 on this
+    worst-case random corpus — the test pins ≥2× dominance and an
+    absolute floor."""
+    from copy_databasetables_spark.operators import all_queries
+
+    rows = all_queries()["q_sim_recall_report"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    hits = {}
+    for r in rows:
+        hits[r["method"]] = hits.get(r["method"], 0) + r["n_hit"]
+    assert hits["pq_rerank"] >= 2 * hits["pq"]
+    assert hits["pq_rerank"] >= 15  # ≥ 0.5 recall over 30 exact slots
