@@ -1401,3 +1401,70 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_dedup_bucket_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    th AS (SELECT doc_id, lang, toks, {_D_TOKH} AS tokh FROM t),
+    sigs AS (SELECT doc_id, lang, len(toks) AS sz,
+                    {_D_MINHASH_SIG} AS sig FROM th),
+    bands AS (
+      SELECT doc_id, lang, sz, sig,
+             CAST(UNNEST(range({_N_BANDS})) AS INT) AS band
+      FROM sigs),
+    keyed AS (
+      SELECT doc_id, lang, band,
+             array_to_string(sig[band * {_ROWS_PER_BAND} + 1 :
+                                 band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+                             '_') AS bucket
+      FROM bands),
+    per_bucket AS (
+      SELECT lang, band, bucket, COUNT(*) AS k
+      FROM keyed GROUP BY lang, band, bucket)
+    SELECT lang, band,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(MAX(k) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN k > {_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hot_buckets,
+           CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS implied_pairs
+    FROM per_bucket GROUP BY lang, band
+    """,
+)
+def q_dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-population diagnostics per (lang, band) — the
+    observability job that DECIDES between q_dedup_minhash and its
+    hot-bucket-capped variant before the pair join runs, exactly as
+    q_agg_heavy_hitters decides salted vs plain joins: ``implied_pairs``
+    (Σ k·(k-1)/2 over buckets) is the candidate-join output size BEFORE
+    paying for it, ``max_bucket``/``hot_buckets`` (> {_BUCKET_CAP})
+    expose boilerplate clusters that would dominate it. At 5B docs you
+    run this after every signature build: it costs one groupBy on the
+    band table (the same shuffle key the pair join would use, a tiny
+    fraction of its cost) and its output is |lang|·|bands| rows.
+
+    Integer-exact everywhere (counts and k·(k-1)/2 on BIGINT), so the
+    hash gate needs no float tolerance."""
+    sigs = (
+        _toks_df(spark, sf_dir)
+        .withColumn("tokh", F.expr(_TOKH))
+        .select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
+    )
+    per_bucket = (
+        _band_keyed(sigs)
+        .groupBy("lang", "band", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return per_bucket.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("k").alias("n_docs"),
+        F.max("k").alias("max_bucket"),
+        F.sum(F.when(F.col("k") > _BUCKET_CAP, 1).otherwise(0)).alias(
+            "hot_buckets"
+        ),
+        F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("bigint").alias(
+            "implied_pairs"
+        ),
+    )

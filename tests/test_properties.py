@@ -88,3 +88,64 @@ def test_scaled_int_sum_matches_fsum(spark, rows):
 
     got = df.agg(dsum("v", "s")).collect()[0]["s"]
     assert got == round(math.fsum(vals), 6)
+
+
+_snapshots = st.lists(
+    st.dictionaries(
+        st.integers(1, 6),            # keys
+        st.integers(0, 3),            # tracked attribute value
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(snaps=_snapshots)
+@_settings
+def test_scd2_invariants_under_any_snapshot_sequence(spark, snaps):
+    """SCD2 state-machine invariants for ANY sequence of snapshots:
+    (1) at most one current row per key, and the current keys are
+    exactly the last snapshot's keys; (2) every closed row has
+    valid_to set, every open row has it null; (3) per key, version
+    intervals are chronologically ordered and never overlap; (4) the
+    final current value equals the last snapshot's value; (5) rows
+    closed by step i are byte-identical in every later step (history
+    is immutable)."""
+    from copy_databasetables_spark.copy.engine import scd2_apply
+
+    dates = [f"2024-0{i + 1}-01" for i in range(len(snaps))]
+    dim = None
+    closed_so_far: set[tuple] = set()
+    for snap, d in zip(snaps, dates):
+        sdf = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()], "k long, v long"
+        )
+        dim = scd2_apply(dim, sdf, "k", ["v"], d)
+        rows = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in dim.collect()
+        }
+        cur = [r for r in rows if r[4]]
+        # (1) one current row per key; current keys == snapshot keys
+        assert len(cur) == len({r[0] for r in cur}) == len(snap)
+        assert {r[0] for r in cur} == set(snap)
+        # (2) open ⇔ valid_to null
+        for r in rows:
+            assert (r[3] is None) == r[4]
+        # (4) current values match the snapshot
+        for r in cur:
+            assert r[1] == snap[r[0]]
+        # (3) per-key interval ordering
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r[0], []).append(r)
+        for vs in by_key.values():
+            vs.sort(key=lambda r: r[2])
+            for a, b in zip(vs, vs[1:]):
+                assert a[3] is not None and a[3] <= b[2]
+        # (5) closed rows never change
+        new_closed = {r for r in rows if not r[4]}
+        assert closed_so_far <= new_closed
+        closed_so_far = new_closed
