@@ -65,9 +65,9 @@ _loaded = False
 #: attested in r2 (the remaining 13 r2 keys + r4's roll to round 7).
 #: Keys NOT listed keep registration order after these; keys already
 #: driver-green in a prior round sort last. Late-r6 additions (the
-#: eleven keys after q_dedup_survivor_lsh) are fronted too — never
+#: twelve keys after q_dedup_survivor_lsh) are fronted too — never
 #: driver-checked beats re-attesting r2-green keys — displacing the
-#: window's last eleven stale-r2 entries to round 7's backlog.
+#: window's last twelve stale-r2 entries to round 7's backlog.
 DRIVER_WINDOW: list[str] = [
     # never driver-checked (close the coverage gap first): the three
     # keys absent from the r1–r5 window union, then the four keys new
@@ -91,6 +91,7 @@ DRIVER_WINDOW: list[str] = [
     "q_sim_recall_report",
     "q_sim_pq_rerank",
     "q_dedup_bucket_stats",
+    "q_join_range_binned",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",
@@ -124,12 +125,11 @@ DRIVER_WINDOW: list[str] = [
     "q_higher_order",
     "q_json_funcs",
     "q_map_funcs",
-    "q_dedup_exact",
-    # (q_dedup_near q_dedup_ngram q_dedup_simhash q_dedup_minhash
-    # q_dedup_embed q_sim_topk q_sim_threshold q_knn_label
-    # q_sim_topk_blas q_sim_ivf q_text_wordcount displaced to the r7
-    # backlog by the eleven late-r6 keys above — all displaced keys are
-    # r2-green.)
+    # (q_dedup_exact q_dedup_near q_dedup_ngram q_dedup_simhash
+    # q_dedup_minhash q_dedup_embed q_sim_topk q_sim_threshold
+    # q_knn_label q_sim_topk_blas q_sim_ivf q_text_wordcount displaced
+    # to the r7 backlog by the twelve late-r6 keys above — all
+    # displaced keys are r2-green.)
 ]
 
 #: Keys with a green row in a prior round's CORRECTNESS file — pushed to

@@ -453,3 +453,81 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue, "revenue"))
     )
+
+
+@register(
+    "q_join_range_binned",
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS window_id, CAST(ts AS TIMESTAMP) AS w_start,
+             CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_id % 199 = 0)
+    SELECT w.window_id,
+           COUNT(e.event_id) AS n_events,
+           COALESCE(CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE),
+                    0.0) AS total_value
+    FROM w LEFT JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= w.w_start
+     AND CAST(e.ts AS TIMESTAMP) <  w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key, made shuffle-joinable
+    by TIME BINNING — the missing case between q_join_interval (which
+    has user_id to hash on) and q_join_theta (whose band table is tiny
+    enough to broadcast): here the window table is unbounded and shares
+    no key with the probe side, so the naive plan is a cartesian
+    product. The binned rewrite is the standard range-join
+    optimization: explode each 2-hour window into the epoch-hours it
+    overlaps (≤3 rows/window — bin count = ceil(len/step)+1), map each
+    event to its single hour, equi-join on the hour, then apply the
+    exact containment predicate. No pair can be produced twice (an
+    event lives in exactly one bin), so no distinct is needed; the
+    shuffle key is the hour, and skew in a hot hour is ordinary
+    equi-join skew that AQE already handles. At 100 TB the bin width
+    tunes fan-out vs selectivity exactly like a range-join hint's bin
+    size. LEFT join keeps empty windows at zero, matching the oracle's
+    direct theta join."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    w = ev.where(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+    )
+    wh = w.withColumn(
+        "hr",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.date_trunc(
+                    "hour", F.col("w_end") - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    e = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        "value",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    matched = (
+        wh.join(e, "hr")
+        .where((F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") < F.col("w_end")))
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+    return (
+        w.select("window_id")
+        .join(matched, "window_id", "left")
+        .select(
+            "window_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )

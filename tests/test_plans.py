@@ -356,3 +356,20 @@ def test_dedup_substring_has_no_self_join_and_no_python(spark):
         assert "PythonUDF" not in final and "ArrowEvalPython" not in final
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_range_binned_join_is_cartesian_free(spark):
+    """The keyless point-in-interval join must pair windows with events
+    through the hour-bucket equi-join — never a cartesian or
+    nested-loop pair join, even with broadcast disabled (at corpus
+    scale NEITHER side is broadcastable), and never a Python worker."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(all_queries()["q_join_range_binned"](spark, SF_SMOKE))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "Python" not in final
+    assert "hr" in final  # the hour bin drives the join
