@@ -53,6 +53,7 @@ HEADLINE = [
     # late r6: the PQ memory path (32x smaller resident index than
     # brute-force float vectors) and the bloom runtime-filter join
     "q_sim_pq",
+    "q_sim_pq_rerank",
     "q_join_bloom_prune",
     "q_text_tfidf",
     "q_text_lm_score",

@@ -24,6 +24,8 @@ The other eight tables are symlinked from the source sf dir so
 Usage:
     python tools/stress_scale.py                    # sf0.1 → 10×
     python tools/stress_scale.py --ops q_sim_ivf    # subset
+    python tools/stress_scale.py --copies 100       # second decade:
+                                                    # alpha from 1×→100×
 """
 
 from __future__ import annotations
@@ -43,16 +45,16 @@ from copy_databasetables_spark.io import TABLES, load_table, table_path  # noqa:
 from copy_databasetables_spark.operators import all_queries  # noqa: E402
 
 OPS = ["q_dedup_minhash", "q_dedup_cluster", "q_dedup_embed_lsh", "q_sim_ivf"]
-COPIES = 10
+COPIES = 10  # overridden by --copies
 
 
-def build_blowup(spark, src_dir: str, out_dir: str) -> None:
+def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
     docs = load_table(spark, src_dir, "documents")
     n_docs = docs.count()
-    copies = spark.range(COPIES).select(F.col("id").cast("int").alias("copy"))
+    copies = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
     blown_docs = (
         docs.crossJoin(F.broadcast(copies))
         .select(
@@ -106,25 +108,40 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_scale10")
+    global COPIES
     ap.add_argument("--ops", nargs="*", default=OPS)
+    ap.add_argument("--copies", type=int, default=COPIES)
     args = ap.parse_args()
 
     spark = get_spark("stress-scale")
     os.environ["SPARK_GRAFT_SCAN_PARALLELISM"] = str(
         spark.sparkContext.defaultParallelism
     )
-    build_blowup(spark, args.src, args.out)
+    COPIES = args.copies
+    build_blowup(spark, args.src, args.out, args.copies)
     n1 = load_table(spark, args.src, "documents").count()
     n10 = load_table(spark, args.out, "documents").count()
 
-    out = {"src": args.src, "docs_1x": n1, "docs_10x": n10, "ops": {}}
+    out = {
+        "src": args.src,
+        "docs_1x": n1,
+        f"docs_{args.copies}x": n10,
+        "copies": args.copies,
+        "ops": {},
+    }
     for name in args.ops:
         t1 = time_op(spark, name, args.src)
         t10 = time_op(spark, name, args.out)
         alpha = round(math.log(t10 / t1) / math.log(COPIES), 2)
-        out["ops"][name] = {"t_1x_sec": t1, "t_10x_sec": t10, "alpha": alpha}
-        print(f"{name:24s} 1x={t1:8.3f}s  10x={t10:8.3f}s  alpha={alpha}",
-              file=sys.stderr)
+        out["ops"][name] = {
+            "t_1x_sec": t1,
+            f"t_{COPIES}x_sec": t10,
+            "alpha": alpha,
+        }
+        print(
+            f"{name:24s} 1x={t1:8.3f}s  {COPIES}x={t10:8.3f}s  alpha={alpha}",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
 
 
