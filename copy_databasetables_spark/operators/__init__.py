@@ -92,6 +92,9 @@ DRIVER_WINDOW: list[str] = [
     "q_sim_pq_rerank",
     "q_dedup_bucket_stats",
     "q_join_range_binned",
+    # r6 continuation session, also never driver-checked
+    "q_text_bm25",
+    "q_sim_hybrid",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

@@ -1149,3 +1149,87 @@ def _register_recall_report() -> None:
 
 
 _register_recall_report()
+
+
+#: hybrid-search metadata predicate (applied to the documents row of
+#: each corpus vector, vec_id = doc_id): language allowlist + a minimum
+#: length — the shape of a real retrieval filter ("English, non-stub").
+_HYBRID_PRED_SQL = "lang IN ('en', 'de') AND n_chars >= 100"
+
+
+@register(
+    "q_sim_hybrid",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    meta AS (SELECT doc_id, lang FROM documents
+             WHERE {_HYBRID_PRED_SQL}),
+    corpus AS (SELECT v.*, meta.lang FROM v
+               JOIN meta ON v.vec_id = meta.doc_id),
+    p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.lang,
+             list_cosine_similarity(p.e, c.e) AS cos_raw,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_cosine_similarity(p.e, c.e) DESC,
+                                         c.vec_id ASC) AS rank_pos
+      FROM p JOIN corpus c ON c.vec_id <> p.vec_id)
+    SELECT probe_id, neighbor_id, lang, round(cos_raw, 4) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_K}
+    """,
+)
+def q_sim_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered (hybrid) vector search: per-probe cosine top-k
+    restricted to corpus vectors whose document row passes a structured
+    predicate (language allowlist + length floor). This is the
+    filtered-ANN primitive behind every production retrieval stack —
+    "nearest English non-stub documents", not "nearest then hope the
+    filter leaves k".
+
+    Semantics: PRE-filtering. The predicate restricts the candidate set
+    BEFORE ranking, so every probe gets exactly k qualifying neighbors
+    (post-filtering an unfiltered top-k would return <k rows whenever
+    the filter knocks out winners — wrong, and the standard bug).
+
+    Scale shape (100 TB): the predicate lands on the documents parquet
+    scan as pushed filters (lang/n_chars row-group pruning — no
+    qualifying-row I/O amplification); the metadata⋈vector attach is an
+    equi-join on vec_id = doc_id (co-partitionable, or free when
+    metadata columns live denormalized next to the vectors, the usual
+    lakehouse layout); the probe side stays a broadcast. Composing the
+    same pre-filter into the IVF path (filter the inverted lists, not
+    the ranked output) keeps the bucketed scale story — this operator
+    pins the exact semantics those variants must preserve."""
+    v = _vecs(spark, sf_dir)
+    meta = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.expr(_HYBRID_PRED_SQL))
+        .select(F.col("doc_id").alias("vec_id"), "lang")
+    )
+    corpus = v.join(meta, "vec_id")
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(p)
+        .join(corpus, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "lang",
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "lang",
+            F.round("cos_raw", 4).alias("cosine"),
+            "rank_pos",
+        )
+    )

@@ -630,3 +630,103 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg(lp), 4).alias("surprisal"),
         )
     )
+
+
+#: BM25 free parameters (the Robertson/Okapi defaults used by Lucene).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+#: the fixed keyword query the gate scores — three mid-frequency corpus
+#: terms so tf AND df both vary across the candidate set.
+_BM25_QUERY = ("hash", "merge", "window")
+_BM25_TOPN = 20
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term IN ('hash', 'merge', 'window')
+            GROUP BY doc_id, term),
+    qdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE term IN ('hash', 'merge', 'window')
+            GROUP BY term),
+    scored AS (
+      SELECT qtf.doc_id,
+             SUM(ln((stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+                 * (qtf.tf * ({_BM25_K1} + 1.0))
+                 / (qtf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS s,
+             COUNT(*) AS n_terms_hit
+      FROM qtf
+      JOIN dl USING (doc_id) CROSS JOIN stats
+      JOIN qdf ON qtf.term = qdf.term
+      GROUP BY qtf.doc_id)
+    SELECT doc_id, round(s, 6) AS bm25, n_terms_hit
+    FROM scored
+    ORDER BY round(s, 6) DESC, doc_id ASC
+    LIMIT {_BM25_TOPN}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a fixed
+    keyword query and return the top-N — the keyword leg of a hybrid
+    (lexical + vector) retrieval stack, and the standard relevance
+    baseline for mining topic-targeted training data out of a crawl.
+
+    idf is the Robertson Okapi form ln((N−df+0.5)/(df+0.5)+1); the tf
+    leg saturates at k1 and is length-normalized by b·dl/avgdl.
+
+    Scale shape (100 TB): the token stream is scanned ONCE; document
+    length and query-term tf come out of it as two partial aggregates
+    (dl keyed by doc, tf keyed by (doc, query-term) — the tf side is
+    pre-filtered to the |Q| query terms, so it is |Q|·|docs| bounded,
+    not |vocab|·|docs|). df and the corpus stats collapse to |Q| rows
+    and ONE row respectively and ride broadcasts onto the per-doc
+    score; the final top-N is a TakeOrdered, not a global sort. Nothing
+    in the plan materializes per-(doc, vocab-term) state, so the wire
+    cost is the dl/tf partials — the same map-heavy/reduce-light shape
+    as q_text_tfidf.
+
+    Determinism: tf/df/dl/N are exact integers; avgdl is an exact
+    integer ratio, so both engines compute bit-identical inputs and the
+    only float work is the ln and the ≤|Q|-term sum (ulp-level); ranks
+    are decided on the 6dp-rounded score with doc_id as total
+    tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tok.where(F.col("term").isin(*_BM25_QUERY))
+    qtf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    qdf = qtok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_leg = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        qtf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * tf_leg), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPN)
+        .select("doc_id", "bm25", "n_terms_hit")
+    )

@@ -994,3 +994,61 @@ def test_pq_rerank_recall_dominates_raw_pq(spark):
         hits[r["method"]] = hits.get(r["method"], 0) + r["n_hit"]
     assert hits["pq_rerank"] >= 2 * hits["pq"]
     assert hits["pq_rerank"] >= 15  # ≥ 0.5 recall over 30 exact slots
+
+
+def test_bm25_scores_monotone_and_terms_verified(spark):
+    """BM25 invariants on real data: the top-N list is sorted by the
+    reported (rounded) score with doc_id tie-break, every hit count is
+    within 1..|Q|, and every returned document actually contains at
+    least one query term (re-verified against the raw text)."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.text import _BM25_QUERY, q_text_bm25
+    from tests.conftest import SF_SMOKE
+
+    rows = q_text_bm25(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    key = [(-r["bm25"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+    assert all(1 <= r["n_terms_hit"] <= len(_BM25_QUERY) for r in rows)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        toks = set(texts[r["doc_id"]].lower().split(" "))
+        assert toks & set(_BM25_QUERY)
+
+
+def test_hybrid_search_prefilters_before_ranking(spark):
+    """Filtered-ANN semantics: every neighbor's document row passes the
+    metadata predicate, each probe still gets a full top-k (the
+    pre-filter property — post-filtering would return short lists), and
+    per-probe cosines are non-increasing in rank."""
+    from collections import Counter
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.similarity import _K, q_sim_hybrid
+    from tests.conftest import SF_SMOKE
+
+    rows = q_sim_hybrid(spark, SF_SMOKE).collect()
+    assert rows
+    meta = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    per_probe = Counter()
+    for r in rows:
+        lang, n_chars = meta[r["neighbor_id"]]
+        assert lang in ("en", "de") and n_chars >= 100
+        assert r["lang"] == lang
+        per_probe[r["probe_id"]] += 1
+    # the qualifying corpus is far larger than k at every SF, so every
+    # probe must get exactly k qualifying neighbors
+    assert set(per_probe.values()) == {_K}
+    by_probe = {}
+    for r in sorted(rows, key=lambda r: (r["probe_id"], r["rank_pos"])):
+        by_probe.setdefault(r["probe_id"], []).append(r["cosine"])
+    for cs in by_probe.values():
+        assert cs == sorted(cs, reverse=True)

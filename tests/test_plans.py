@@ -373,3 +373,30 @@ def test_range_binned_join_is_cartesian_free(spark):
     assert "BroadcastNestedLoopJoin" not in final
     assert "Python" not in final
     assert "hr" in final  # the hour bin drives the join
+
+
+def test_hybrid_predicate_pushed_to_documents_scan(spark):
+    """q_sim_hybrid's metadata predicate must land on the documents
+    parquet scan as pushed filters (row-group pruning at 100 TB), and
+    the metadata attach must be a vec_id equi-join — the only
+    nested-loop node allowed is the bounded broadcast probe×corpus
+    scoring join (fixed probe set, same as q_sim_topk)."""
+    df = all_queries()["q_sim_hybrid"](spark, SF_SMOKE)
+    fp = full_plan(df)
+    pushed = fp.split("PushedFilters")
+    assert len(pushed) > 1 and any(
+        "n_chars" in seg[:300] for seg in pushed[1:]
+    ), "documents predicate not pushed to the scan"
+    p = plan(df)
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bm25_topn_is_take_ordered(spark):
+    """The BM25 top-N must compile to TakeOrdered (partial per-partition
+    top-N + driver merge of N·parts rows), never a global Sort of every
+    scored document."""
+    df = all_queries()["q_text_bm25"](spark, SF_SMOKE)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
