@@ -95,6 +95,7 @@ DRIVER_WINDOW: list[str] = [
     # r6 continuation session, also never driver-checked
     "q_text_bm25",
     "q_sim_hybrid",
+    "q_emb_kmeans",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

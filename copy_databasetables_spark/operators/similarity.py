@@ -1233,3 +1233,127 @@ def q_sim_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_pos",
         )
     )
+
+
+def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid by squared L2, cid
+    ascending as the total tie-break. The centroid side is a FIXED ≤K
+    rows (broadcast); the distance is one zip_with fold per (vector,
+    centroid) in whole-stage codegen."""
+    d2 = F.aggregate(
+        F.zip_with("e", "ce", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "cid", "d2")
+    )
+
+
+@register(
+    "q_emb_kmeans",
+    oracle=f"""
+    WITH v AS MATERIALIZED ({_V_SQL}),
+    c0 AS MATERIALIZED ({_C_SQL}),
+    ve AS MATERIALIZED (
+      SELECT vec_id, CAST(UNNEST(range(0, len(e))) AS INT) AS pos,
+             UNNEST(e) AS x
+      FROM v),
+    c0e AS MATERIALIZED (
+      SELECT cid, CAST(UNNEST(range(0, len(ce))) AS INT) AS pos,
+             UNNEST(ce) AS cval
+      FROM c0),
+    d1 AS (SELECT ve.vec_id, c.cid,
+                  SUM((ve.x - c.cval) * (ve.x - c.cval)) AS d2
+           FROM ve JOIN c0e c ON ve.pos = c.pos
+           GROUP BY ve.vec_id, c.cid),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d1)
+      WHERE rn = 1),
+    m1 AS (SELECT a1.cid, ve.pos,
+                  CAST(SUM(CAST(FLOOR(ve.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / (1e6 * COUNT(*)) AS mval
+           FROM a1 JOIN ve USING (vec_id) GROUP BY a1.cid, ve.pos),
+    c1e AS MATERIALIZED (
+      SELECT c0e.cid, c0e.pos, COALESCE(m1.mval, c0e.cval) AS cval
+      FROM c0e LEFT JOIN m1 ON c0e.cid = m1.cid AND c0e.pos = m1.pos),
+    d2t AS (SELECT ve.vec_id, c.cid,
+                   SUM((ve.x - c.cval) * (ve.x - c.cval)) AS d2
+            FROM ve JOIN c1e c ON ve.pos = c.pos
+            GROUP BY ve.vec_id, c.cid),
+    a2 AS (SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2 ASC, cid ASC) AS rn
+             FROM d2t)
+           WHERE rn = 1)
+    SELECT cid, COUNT(*) AS n_assigned,
+           round(CAST(SUM(CAST(FLOOR(d2 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6, 6) AS inertia
+    FROM a2 GROUP BY cid
+    """,
+)
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embedding corpus
+    (assign → quantized-mean update → reassign), reporting per-cluster
+    population and inertia — the canonical iterative-ML-on-Spark shape
+    (centroid training for IVF index builds, semantic corpus
+    clustering, diversity sampling).
+
+    Scale shape (100 TB): the centroid set is FIXED-K (the same
+    `_centroids` bound as IVF — the broadcast is O(K·dim) bytes at any
+    corpus size); each iteration is one broadcast-assign pass over the
+    corpus plus one (cid, pos)-keyed partial aggregate whose shuffle
+    carries K·dim partial sums, not vectors. The iteration count is a
+    FIXED constant in the plan (unrolled, like the CC oracle's rounds)
+    — no driver-side data ever moves, and per-iteration cost is
+    linear in corpus bytes.
+
+    Determinism across engines: new centroid components are quantized
+    means (FLOOR(x·10⁶+0.5) int64 sums — the engine's scaled-int64
+    convention, bit-identical in Spark and DuckDB regardless of
+    partition/summation order), so iteration-2 distances are computed
+    against identical centroid doubles on both sides; assignment argmin
+    gaps (~1e-1 on this data) sit nine orders above fold-order ulp
+    noise, and inertia is an exact int64 sum of quantized distances.
+    Empty clusters keep their previous centroid (COALESCE) — the
+    standard Lloyd fallback, applied identically in both engines."""
+    v = _vecs(spark, sf_dir)
+    c0 = _centroids(v).select("cid", "ce")
+    c0_long = c0.select("cid", F.posexplode("ce").alias("pos", "cval"))
+
+    a1 = _km_assign(v, c0).select("vec_id", "cid")
+    members = a1.join(v, "vec_id").select("cid", F.posexplode("e").alias("pos", "x"))
+    m1 = members.groupBy("cid", "pos").agg(
+        (
+            F.sum(_scaled(F.col("x"))).cast("double")
+            / (F.lit(float(_SCALE)) * F.count(F.lit(1)))
+        ).alias("mval")
+    )
+    c1 = (
+        c0_long.join(m1, ["cid", "pos"], "left")
+        .select("cid", "pos", F.coalesce("mval", "cval").alias("cval"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("ce")
+        )
+    )
+    a2 = _km_assign(v, c1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.sum(_scaled(F.col("d2"))).cast("double") / float(_SCALE), 6).alias(
+            "inertia"
+        ),
+    )

@@ -1052,3 +1052,25 @@ def test_hybrid_search_prefilters_before_ranking(spark):
         by_probe.setdefault(r["probe_id"], []).append(r["cosine"])
     for cs in by_probe.values():
         assert cs == sorted(cs, reverse=True)
+
+
+def test_kmeans_inertia_non_increasing_and_total_assignment(spark):
+    """Lloyd's guarantee: total inertia after (update → reassign) is ≤
+    the iteration-1 inertia (J(a1,c0) ≥ J(a2,c1)); and every corpus
+    vector lands in exactly one cluster."""
+    from copy_databasetables_spark.operators.similarity import (
+        _centroids,
+        _km_assign,
+        _vecs,
+        q_emb_kmeans,
+    )
+    from tests.conftest import SF_SMOKE
+
+    v = _vecs(spark, SF_SMOKE)
+    n_vecs = v.count()
+    c0 = _centroids(v).select("cid", "ce")
+    j1 = _km_assign(v, c0).agg(F.sum("d2")).collect()[0][0]
+    rows = q_emb_kmeans(spark, SF_SMOKE).collect()
+    j2 = sum(r["inertia"] for r in rows)
+    assert j2 <= j1 + 1e-6
+    assert sum(r["n_assigned"] for r in rows) == n_vecs

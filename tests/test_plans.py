@@ -400,3 +400,16 @@ def test_bm25_topn_is_take_ordered(spark):
     df = all_queries()["q_text_bm25"](spark, SF_SMOKE)
     p = plan(df)
     assert "TakeOrderedAndProject" in p
+
+
+def test_kmeans_broadcasts_only_fixed_k_centroids(spark):
+    """Both k-means assignment passes must score through a broadcast of
+    the FIXED-K centroid table (O(K·dim) bytes at any corpus size) —
+    the only nested-loop nodes allowed are those two bounded
+    broadcasts; no CartesianProduct, and the update shuffle is keyed
+    (cid, pos) partial aggregation."""
+    p = plan(all_queries()["q_emb_kmeans"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 2
+    assert "partial_" in final.lower() or "HashAggregate" in final
