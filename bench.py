@@ -55,6 +55,12 @@ HEADLINE = [
     "q_sim_pq",
     "q_sim_pq_rerank",
     "q_join_bloom_prune",
+    # r6 continuation: BM25 lexical retrieval, filtered ANN, and the
+    # iterative k-means trainer — the three ops added after the matrix
+    # pin, benched from day one
+    "q_text_bm25",
+    "q_sim_hybrid",
+    "q_emb_kmeans",
     "q_text_tfidf",
     "q_text_lm_score",
     "q_sessionize",
