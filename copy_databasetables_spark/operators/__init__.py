@@ -96,6 +96,7 @@ DRIVER_WINDOW: list[str] = [
     "q_text_bm25",
     "q_sim_hybrid",
     "q_emb_kmeans",
+    "q_k_anonymity",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

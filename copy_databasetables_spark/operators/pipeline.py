@@ -725,3 +725,70 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_within_bound",
         )
     )
+
+
+#: k-anonymity threshold: a quasi-identifier combination shared by
+#: fewer than K records is a re-identification risk.
+_K_ANON = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang, source, (n_chars // 100) * 100 AS len_bucket
+      FROM documents),
+    g AS (SELECT lang, source, len_bucket, COUNT(*) AS grp_n
+          FROM q GROUP BY lang, source, len_bucket)
+    SELECT lang,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_risky_groups,
+           CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS n_risky_docs,
+           CAST(SUM(grp_n) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN grp_n ELSE 0 END)
+                      AS DOUBLE) / SUM(grp_n), 6) AS suppression_rate,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size
+    FROM g GROUP BY lang
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the corpus's quasi-identifiers
+    (lang, source, 100-char length bucket): per language, how many identifier
+    combinations fall below the k=5 anonymity floor, how many documents
+    they expose, and the suppression rate a release would pay — the
+    governance readout that decides generalize-vs-suppress before a
+    dataset ships. Pairs with q_pii_redact (direct identifiers) to
+    cover both halves of the privacy-hygiene story.
+
+    Scale shape (100 TB): two stacked aggregations — the first keyed by
+    the quasi-identifier tuple (partial map-side combine collapses the
+    corpus to |combinations| rows before the shuffle), the second by
+    lang over the tiny group table. Integer-exact except the one
+    rounded ratio, so the hash gate is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / 100) * 100).alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    risky = F.col("grp_n") < _K_ANON
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_docs"),
+        F.sum("grp_n").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.when(risky, F.col("grp_n")).otherwise(0)).cast("double")
+            / F.sum("grp_n"),
+            6,
+        ).alias("suppression_rate"),
+        F.min("grp_n").cast("bigint").alias("min_group_size"),
+    )

@@ -1074,3 +1074,22 @@ def test_kmeans_inertia_non_increasing_and_total_assignment(spark):
     j2 = sum(r["inertia"] for r in rows)
     assert j2 <= j1 + 1e-6
     assert sum(r["n_assigned"] for r in rows) == n_vecs
+
+
+def test_k_anonymity_report_invariants(spark):
+    """The k-anonymity report must tile the corpus exactly (per-lang
+    n_docs sum to the document count), keep risky counts within
+    bounds, and report a suppression rate consistent with its own
+    numerator/denominator."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.pipeline import q_k_anonymity
+    from tests.conftest import SF_SMOKE
+
+    rows = q_k_anonymity(spark, SF_SMOKE).collect()
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_risky_groups"] <= r["n_groups"]
+        assert 0 <= r["n_risky_docs"] <= r["n_docs"]
+        assert r["min_group_size"] >= 1
+        assert r["suppression_rate"] == round(r["n_risky_docs"] / r["n_docs"], 6)
