@@ -97,6 +97,7 @@ DRIVER_WINDOW: list[str] = [
     "q_sim_hybrid",
     "q_emb_kmeans",
     "q_k_anonymity",
+    "q_sim_hybrid_ivf",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

@@ -431,13 +431,24 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    meta: DataFrame | None = None,
+) -> DataFrame:
     """Shared IVF-Flat search core: corpus vectors coarse-quantize to
     their single nearest centroid (an inverted list is disjoint by
     construction); each PROBE fans out to its ``nprobe`` nearest cells.
     Because corpus assignment is unique, the probe-cells ⋈ members join
     can never emit a (probe, neighbor) pair twice — no dedup needed at
-    any nprobe."""
+    any nprobe.
+
+    ``meta`` (optional) is a (neighbor_id, lang) DataFrame of vectors
+    that pass a metadata predicate: when given, the inverted lists are
+    PRE-filtered to qualifying members before scoring (hybrid search
+    inside the index — q_sim_hybrid's semantics composed with the
+    bucketed scale path) and ``lang`` rides into the output."""
     v = _vecs(spark, sf_dir)
     c = _centroids(v)
     aw = Window.partitionBy("vec_id").orderBy(
@@ -473,6 +484,13 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     cell_members = assign.select(
         F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ncid")
     ).join(v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm"), "neighbor_id")
+    carry = []
+    if meta is not None:
+        # pre-filter the inverted lists: only qualifying vectors are
+        # scored, so every probe still gets a full k of qualifying
+        # neighbors (cell permitting) — never post-filtered short lists.
+        cell_members = cell_members.join(meta, "neighbor_id")
+        carry = ["lang"]
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
@@ -486,12 +504,17 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select(
             "probe_id",
             "neighbor_id",
+            *carry,
             _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
         )
         .withColumn("rank_pos", F.row_number().over(w))
         .where(F.col("rank_pos") <= _IVF_K)
         .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+            "probe_id",
+            "neighbor_id",
+            *carry,
+            F.round("cos_raw", 4).alias("cosine"),
+            "rank_pos",
         )
     )
 
@@ -1195,10 +1218,11 @@ def q_sim_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying-row I/O amplification); the metadata⋈vector attach is an
     equi-join on vec_id = doc_id (co-partitionable, or free when
     metadata columns live denormalized next to the vectors, the usual
-    lakehouse layout); the probe side stays a broadcast. Composing the
-    same pre-filter into the IVF path (filter the inverted lists, not
-    the ranked output) keeps the bucketed scale story — this operator
-    pins the exact semantics those variants must preserve."""
+    lakehouse layout); the probe side stays a broadcast. The same
+    pre-filter composed into the IVF path ships as
+    ``q_sim_hybrid_ivf`` (inverted lists filtered before scoring) —
+    this operator pins the exact semantics that approximation is
+    judged against."""
     v = _vecs(spark, sf_dir)
     meta = (
         load_table(spark, sf_dir, "documents")
@@ -1357,3 +1381,52 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia"
         ),
     )
+
+
+@register(
+    "q_sim_hybrid_ivf",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                           c.cid ASC) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1),
+    meta AS (SELECT doc_id, lang FROM documents
+             WHERE {_HYBRID_PRED_SQL}),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
+    scored AS (
+      SELECT p.probe_id, n.vec_id AS neighbor_id, meta.lang,
+             list_cosine_similarity(p.pe, nv.e) AS cos_raw,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_cosine_similarity(p.pe, nv.e) DESC,
+                                         n.vec_id ASC) AS rank_pos
+      FROM p
+      JOIN assign pa ON pa.vec_id = p.probe_id
+      JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
+      JOIN meta      ON meta.doc_id = n.vec_id
+      JOIN v nv      ON nv.vec_id = n.vec_id)
+    SELECT probe_id, neighbor_id, lang, round(cos_raw, 4) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_IVF_K}
+    """,
+)
+def q_sim_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search INSIDE the IVF index: q_sim_hybrid's metadata
+    pre-filter composed with q_sim_ivf's inverted-list search — the
+    deployment shape for filtered ANN at corpus scale. The inverted
+    lists are filtered to qualifying members BEFORE scoring (so every
+    probe gets a full k of qualifying in-cell neighbors), the documents
+    predicate still pushes to the parquet scan, and the search cost is
+    the IVF cost times the predicate's selectivity — filtering makes
+    the bucketed path CHEAPER, never wider. q_sim_hybrid stays the
+    exact-semantics twin this approximation is judged against."""
+    meta = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.expr(_HYBRID_PRED_SQL))
+        .select(F.col("doc_id").alias("neighbor_id"), "lang")
+    )
+    return _ivf_search(spark, sf_dir, nprobe=1, meta=meta)

@@ -1093,3 +1093,42 @@ def test_k_anonymity_report_invariants(spark):
         assert 0 <= r["n_risky_docs"] <= r["n_docs"]
         assert r["min_group_size"] >= 1
         assert r["suppression_rate"] == round(r["n_risky_docs"] / r["n_docs"], 6)
+
+
+def test_hybrid_ivf_composes_filter_with_index(spark):
+    """The filtered-IVF path must (a) return only predicate-passing
+    neighbors, (b) agree exactly with q_sim_hybrid's cosine wherever
+    the two share a (probe, neighbor) pair, and (c) never exceed the
+    IVF k per probe."""
+    from collections import Counter
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.similarity import (
+        _IVF_K,
+        q_sim_hybrid,
+        q_sim_hybrid_ivf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ivf_rows = q_sim_hybrid_ivf(spark, SF_SMOKE).collect()
+    assert ivf_rows
+    meta = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    per_probe = Counter()
+    for r in ivf_rows:
+        lang, n_chars = meta[r["neighbor_id"]]
+        assert lang in ("en", "de") and n_chars >= 100
+        per_probe[r["probe_id"]] += 1
+    assert max(per_probe.values()) <= _IVF_K
+    exact = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_sim_hybrid(spark, SF_SMOKE).collect()
+    }
+    shared = [
+        r for r in ivf_rows if (r["probe_id"], r["neighbor_id"]) in exact
+    ]
+    assert shared  # the index finds at least some exact winners
+    for r in shared:
+        assert r["cosine"] == exact[(r["probe_id"], r["neighbor_id"])]
