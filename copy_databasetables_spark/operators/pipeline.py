@@ -792,3 +792,74 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("suppression_rate"),
         F.min("grp_n").cast("bigint").alias("min_group_size"),
     )
+
+
+@register(
+    "q_assign_global_ids",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) AS global_id
+    FROM documents
+    """,
+)
+def q_assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 1-based global IDs in doc_id order — training-sample
+    numbering — WITHOUT the naive plan's fatal shape. ``row_number()
+    OVER (ORDER BY doc_id)`` compiles to Exchange SinglePartition: the
+    entire corpus funnels through ONE task (the classic zipWithIndex
+    problem), which at 100 TB is not slow but impossible.
+
+    The scale shape instead: (1) range-repartition by doc_id — ranges
+    are non-overlapping and partition index order follows doc_id order;
+    (2) per-partition LOCAL row_number (each window partition is one
+    range partition — parallel across the cluster); (3) a per-partition
+    count aggregate (|partitions| rows — the only single-partition
+    work is a cumulative sum over THAT, constant-size); (4) broadcast
+    the offsets back. global_id = offset + local rank reproduces the
+    exact global ranking.
+
+    Determinism: range boundaries come from sampling and can vary
+    between runs, but the OUTPUT is boundary-independent — any range
+    split of a total order yields the same offset+local_rank ranking;
+    and within one run the counts branch REUSES the range exchange
+    (ReusedExchange — pinned in the plan test), so both branches see
+    identical boundaries structurally, not by luck. Cost note: the
+    per-pid window adds one hash exchange on pid (Spark can't see that
+    range partitions already group by pid) — a fully parallel shuffle,
+    acceptable where the naive plan is impossible; the plan test pins
+    that the only SinglePartition exchange is the |partitions|-row
+    offsets leg."""
+    n_parts = spark.sparkContext.defaultParallelism
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = d.withColumn(
+        "local_rn",
+        F.row_number().over(Window.partitionBy("pid").orderBy("doc_id")),
+    )
+    offsets = (
+        d.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rn")).alias("global_id"),
+        )
+    )

@@ -413,3 +413,18 @@ def test_kmeans_broadcasts_only_fixed_k_centroids(spark):
     assert "CartesianProduct" not in final
     assert final.count("BroadcastNestedLoopJoin") <= 2
     assert "partial_" in final.lower() or "HashAggregate" in final
+
+
+def test_global_ids_avoid_corpus_single_partition(spark):
+    """q_assign_global_ids exists BECAUSE row_number() over a global
+    ORDER BY funnels the corpus through one task. Its plan must show:
+    the corpus side range-partitioned (parallel), the range exchange
+    REUSED by the counts branch (structural boundary consistency), and
+    exactly one SinglePartition exchange — the |partitions|-row offsets
+    cumsum, never the corpus."""
+    df = all_queries()["q_assign_global_ids"](spark, SF_SMOKE)
+    p = plan(df)
+    final = p.split("== Initial Plan ==")[0]
+    assert "rangepartitioning" in final.lower()
+    assert "ReusedExchange" in final
+    assert final.count("Exchange SinglePartition") == 1
