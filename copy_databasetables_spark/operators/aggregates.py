@@ -678,3 +678,64 @@ def q_agg_heavy_hitters_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * F.col("n") / F.col("total")).alias("frac_bp"),
         )
     )
+
+
+#: Apache DataSketches HLL accuracy at the default lgConfigK=12:
+#: rsd ≈ 1.04/√2¹² ≈ 1.6%. The verdict band is ~5σ (8%) with an
+#: absolute floor, same deterministic-safety reasoning as
+#: q_agg_approx_distinct's 4σ band.
+_SKETCH_TOL = 0.08
+
+
+@register(
+    "q_agg_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count design. A
+    daily job reduces each (event_type, day) to one fixed-size
+    DataSketches HLL sketch (``hll_sketch_agg``); the reporting query
+    then unions ~days×types sketches (``hll_union_agg``) WITHOUT ever
+    re-scanning raw events — re-aggregation cost is O(sketch table),
+    not O(corpus), and the same sketch table answers any day-range
+    slice. This is what q_agg_approx_distinct's single-pass HLL++
+    becomes once you need composable pre-aggregation.
+
+    Sketch bytes are engine-specific, so (as with approx_distinct) the
+    hash-checkable output is the exact cardinality plus an in-query
+    verdict that the MERGED estimate lands within ~5σ of it; the
+    oracle emits TRUE from the exact side. The unit suite additionally
+    pins merge losslessness: union-of-daily-sketches estimates exactly
+    what one corpus-wide sketch estimates."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk"))).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("est") - F.col("exact_users").cast("double"))
+                <= F.greatest(
+                    F.lit(2.0),
+                    F.lit(_SKETCH_TOL) * F.col("exact_users").cast("double"),
+                )
+            ).alias("within_tol"),
+        )
+    )

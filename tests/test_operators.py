@@ -1132,3 +1132,35 @@ def test_hybrid_ivf_composes_filter_with_index(spark):
     assert shared  # the index finds at least some exact winners
     for r in shared:
         assert r["cosine"] == exact[(r["probe_id"], r["neighbor_id"])]
+
+
+def test_hll_union_of_daily_sketches_is_lossless(spark):
+    """The mergeable-sketch design only works if unioning per-day
+    sketches estimates the same cardinality as one corpus-wide sketch —
+    DataSketches HLL union is deterministic and lossless at equal
+    lgConfigK, so the two estimates must be EQUAL, not merely close;
+    and the op's verdict must be TRUE for every group."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.aggregates import q_agg_hll_mergeable
+    from tests.conftest import SF_SMOKE
+
+    rows = q_agg_hll_mergeable(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_tol"] for r in rows)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = {
+        r["event_type"]: r["est"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct
