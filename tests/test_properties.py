@@ -149,3 +149,50 @@ def test_scd2_invariants_under_any_snapshot_sequence(spark, snaps):
         new_closed = {r for r in rows if not r[4]}
         assert closed_so_far <= new_closed
         closed_so_far = new_closed
+
+
+@given(
+    keys=st.lists(
+        st.integers(0, 10_000), min_size=1, max_size=30, unique=True
+    ),
+    n_parts=st.integers(1, 6),
+)
+@_settings
+def test_range_partitioned_rank_reproduces_global_rank(spark, keys, n_parts):
+    """q_assign_global_ids' algebra: for ANY key set and ANY partition
+    count, range-repartition → local row_number + per-partition offsets
+    must yield exactly the dense global ranking 1..n in key order —
+    boundary placement must never matter."""
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = df.withColumn(
+        "local_rn",
+        F.row_number().over(Window.partitionBy("pid").orderBy("doc_id")),
+    )
+    offsets = (
+        df.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    got = {
+        r["doc_id"]: r["offset"] + r["local_rn"]
+        for r in local.join(offsets, "pid").collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
