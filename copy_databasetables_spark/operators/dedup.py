@@ -1468,3 +1468,114 @@ def q_dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "implied_pairs"
         ),
     )
+
+
+#: nomination cap per (band, bucket) for the embedding-LSH skew guard —
+#: bounds candidate volume at buckets × cap² regardless of corpus size.
+_EMB_BUCKET_CAP = 40
+
+
+@register(
+    "q_dedup_embed_lsh_capped",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bits AS (SELECT vec_id, e, {_D_RHP_BITS} AS b FROM v),
+    keyed AS (
+      SELECT vec_id, e, band,
+             array_to_string(b[band * {_RHP_ROWS} + 1 :
+                               band * {_RHP_ROWS} + {_RHP_ROWS}], '') AS bucket
+      FROM (SELECT *, CAST(UNNEST(range({_RHP_BANDS})) AS INT) AS band
+            FROM bits)),
+    capped AS (
+      SELECT vec_id, band, bucket FROM (
+        SELECT vec_id, band, bucket,
+               row_number() OVER (PARTITION BY band, bucket
+                                  ORDER BY vec_id ASC) AS rn
+        FROM keyed)
+      WHERE rn <= {_EMB_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b,
+           round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+    FROM cand
+    JOIN v va ON va.vec_id = cand.vec_id_a
+    JOIN v vb ON vb.vec_id = cand.vec_id_b
+    WHERE list_cosine_similarity(va.e, vb.e) >= {_EMBED_TAU}
+    """,
+)
+def q_dedup_embed_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_embed_lsh with a per-(band, bucket) nomination cap — the
+    shipped answer to the MEASURED second-decade failure in SCALE.md:
+    with fixed 4×8 banding the 256-bucket space saturates at ~10⁵
+    vectors (bucket population ~n/256, candidate volume O(n²/2^bits))
+    and the plain variant filled the spill disk at 200k vectors. The
+    cap keeps only the first ``_EMB_BUCKET_CAP`` members per bucket
+    (deterministic: smallest vec_ids), bounding candidates at
+    buckets × cap² — a CONSTANT ceiling independent of corpus size —
+    at the cost of recall inside over-full buckets, exactly
+    q_dedup_minhash_capped's trade. At sf ≤ 0.1 the cap rarely binds,
+    so this op's hash gate also certifies the plain variant's pair
+    math. Production sizing note: the principled fix is wider buckets
+    (bits ~ log₂ n at index build); the cap is the runtime guard that
+    makes even a mis-sized index survivable."""
+    from pyspark.sql.window import Window
+
+    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        .withColumn("nrm", norm)
+        .withColumn("bits", F.expr(_RHP_BITS))
+    )
+    keyed = v.select(
+        "vec_id",
+        "e",
+        "nrm",
+        F.explode(F.sequence(F.lit(0), F.lit(_RHP_BANDS - 1))).alias("band"),
+        F.col("bits"),
+    ).select(
+        "vec_id",
+        "e",
+        "nrm",
+        "band",
+        F.expr(
+            f"array_join(slice(bits, band * {_RHP_ROWS} + 1, {_RHP_ROWS}), '')"
+        ).alias("bucket"),
+    )
+    wcap = Window.partitionBy("band", "bucket").orderBy(F.col("vec_id").asc())
+    capped = (
+        keyed.withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= _EMB_BUCKET_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("vec_id").alias("vec_id_a"), "band", "bucket",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = capped.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.bucket == b.bucket_b)
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select("vec_id_a", "vec_id_b", "ea", "eb", "na", "nb")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_raw") >= _EMBED_TAU)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
+    )

@@ -1164,3 +1164,26 @@ def test_hll_union_of_daily_sketches_is_lossless(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_capped_embed_lsh_is_subset_and_equal_when_cap_slack(spark):
+    """The nomination cap may only ever REMOVE pairs (subset of the
+    plain variant), and at smoke scale (bucket population ~2 ≪ cap=40)
+    it must not bind at all — byte-identical output to
+    q_dedup_embed_lsh."""
+    from copy_databasetables_spark.operators.dedup import (
+        q_dedup_embed_lsh,
+        q_dedup_embed_lsh_capped,
+    )
+    from tests.conftest import SF_SMOKE
+
+    plain = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+        for r in q_dedup_embed_lsh(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+        for r in q_dedup_embed_lsh_capped(spark, SF_SMOKE).collect()
+    }
+    assert capped <= plain
+    assert capped == plain

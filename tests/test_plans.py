@@ -428,3 +428,14 @@ def test_global_ids_avoid_corpus_single_partition(spark):
     assert "rangepartitioning" in final.lower()
     assert "ReusedExchange" in final
     assert final.count("Exchange SinglePartition") == 1
+
+
+def test_capped_embed_lsh_is_cartesian_free(spark):
+    """The skew-guarded embedding-LSH variant must keep the plain
+    variant's candidate shape — (band, bucket) equi-join only, no
+    CartesianProduct / BroadcastNestedLoopJoin — with the cap applied
+    as a per-bucket window BEFORE pairing."""
+    p = plan(all_queries()["q_dedup_embed_lsh_capped"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bucket" in p
