@@ -101,6 +101,7 @@ DRIVER_WINDOW: list[str] = [
     "q_assign_global_ids",
     "q_agg_hll_mergeable",
     "q_dedup_embed_lsh_capped",
+    "q_text_bm25_multi",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

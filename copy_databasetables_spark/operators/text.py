@@ -730,3 +730,117 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPN)
         .select("doc_id", "bm25", "n_terms_hit")
     )
+
+
+#: the fixed multi-query batch: (query_id, term) — literals shared by
+#: both engines; terms span common/rare so df and idf vary per query.
+_BM25_BATCH = (
+    (0, ("hash", "merge", "window")),
+    (1, ("table", "scan", "fast")),
+    (2, ("spark", "sort", "batch")),
+    (3, ("key", "value", "row")),
+    (4, ("slow", "line", "part")),
+)
+_BM25_BATCH_TOPN = 10
+
+_BM25_BATCH_SQL_ROWS = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_BATCH for t in terms
+)
+_BM25_BATCH_TERMS = sorted({t for _, terms in _BM25_BATCH for t in terms})
+_BM25_BATCH_IN = ", ".join(f"'{t}'" for t in _BM25_BATCH_TERMS)
+
+
+@register(
+    "q_text_bm25_multi",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_BATCH_SQL_ROWS}),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term IN ({_BM25_BATCH_IN})
+            GROUP BY doc_id, term),
+    qdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE term IN ({_BM25_BATCH_IN})
+            GROUP BY term),
+    scored AS (
+      SELECT q.query_id, qtf.doc_id,
+             SUM(ln((stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+                 * (qtf.tf * ({_BM25_K1} + 1.0))
+                 / (qtf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS s,
+             COUNT(*) AS n_terms_hit
+      FROM q
+      JOIN qtf ON qtf.term = q.term
+      JOIN dl USING (doc_id) CROSS JOIN stats
+      JOIN qdf ON qdf.term = q.term
+      GROUP BY q.query_id, qtf.doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, round(s, 6) AS bm25, n_terms_hit,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(s, 6) DESC, doc_id ASC)
+               AS rank_pos
+      FROM scored)
+    SELECT query_id, doc_id, bm25, n_terms_hit, rank_pos
+    FROM ranked WHERE rank_pos <= {_BM25_BATCH_TOPN}
+    """,
+)
+def q_text_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: a query TABLE (5 queries × 3 terms) ranked against
+    the corpus in ONE pass — the production retrieval shape, where
+    queries arrive in batches and the engine amortizes the corpus scan
+    across all of them instead of rescanning per query
+    (q_text_bm25 is the single-query special case).
+
+    Scale shape (100 TB): identical to q_text_bm25 up to the term
+    match — dl and per-(doc, matched-term) tf come from one token
+    scan, with the tf side pre-filtered to the UNION of all query
+    terms (|terms| · |docs| bounded). The query table (|Q| rows) and
+    df/stats broadcast onto the scored stream; fan-out to queries is
+    the term⋈query-table broadcast join, so adding a query adds join
+    fan-out only for ITS terms, never another corpus pass. The
+    per-query top-N is a rank window partitioned by query_id —
+    |queries| independent group-limits, not a global sort."""
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_BATCH for t in terms],
+        "query_id int, term string",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tok.where(F.col("term").isin(_BM25_BATCH_TERMS))
+    qtf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    qdf = qtok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_leg = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        qtf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(idf * tf_leg), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _BM25_BATCH_TOPN)
+        .select("query_id", "doc_id", "bm25", "n_terms_hit", "rank_pos")
+    )

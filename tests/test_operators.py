@@ -1187,3 +1187,29 @@ def test_capped_embed_lsh_is_subset_and_equal_when_cap_slack(spark):
     }
     assert capped <= plain
     assert capped == plain
+
+
+def test_bm25_batch_query0_matches_single_query_op(spark):
+    """_BM25_BATCH query 0 uses exactly q_text_bm25's terms, so the
+    batch op's query-0 ranking must equal the single-query op's top
+    rows (same scores, same order) up to the batch's smaller N."""
+    from copy_databasetables_spark.operators.text import (
+        _BM25_BATCH_TOPN,
+        q_text_bm25,
+        q_text_bm25_multi,
+    )
+    from tests.conftest import SF_SMOKE
+
+    single = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in q_text_bm25(spark, SF_SMOKE).collect()
+    ][:_BM25_BATCH_TOPN]
+    batch = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in sorted(
+            q_text_bm25_multi(spark, SF_SMOKE).collect(),
+            key=lambda r: r["rank_pos"],
+        )
+        if r["query_id"] == 0
+    ]
+    assert batch == single

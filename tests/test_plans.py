@@ -439,3 +439,12 @@ def test_capped_embed_lsh_is_cartesian_free(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "bucket" in p
+
+
+def test_bm25_multi_uses_window_group_limit(spark):
+    """The per-query top-N in batched BM25 must compile to
+    WindowGroupLimit (per-partition early pruning before the rank
+    window) — |queries| independent group-limits, never a global
+    sort of all scored (query, doc) rows."""
+    p = plan(all_queries()["q_text_bm25_multi"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p
