@@ -39,7 +39,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="source directory (parquet tables); not used with --delete",
     )
-    ap.add_argument("--target", required=True, help="target root directory")
+    ap.add_argument(
+        "--target",
+        default=None,
+        help="target root directory (required for every mode except "
+        "--profile)",
+    )
     ap.add_argument(
         "--tables",
         nargs="+",
@@ -101,7 +106,81 @@ def main(argv: list[str] | None = None) -> int:
         metavar="VALUE",
         help="key values to delete (with --delete)",
     )
+    ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="profile mode: per-column rows/nulls/approx-distinct/min/max "
+        "report for --tables at --source (no copy; --target unused)",
+    )
     args = ap.parse_args(argv)
+
+    # profile mode: read-only report, needs only --source (+ tables)
+    if args.profile:
+        if not args.source:
+            print("FAILED: --profile requires --source", file=sys.stderr)
+            return 2
+        if args.source.startswith("jdbc:"):
+            print(
+                "FAILED: --profile reads parquet table directories, not "
+                "jdbc: URLs",
+                file=sys.stderr,
+            )
+            return 2
+        if (
+            args.checksum
+            or args.partitions is not None
+            or args.incremental is not None
+            or args.delete is not None
+            or args.scd2 is not None
+        ):
+            print(
+                "FAILED: --profile takes only --source and --tables",
+                file=sys.stderr,
+            )
+            return 2
+        tables = args.tables if args.tables is not None else list(TABLES)
+        unknown = [t for t in tables if t not in TABLES]
+        if unknown:
+            print(f"FAILED: unknown table(s): {unknown}", file=sys.stderr)
+            return 2
+        from copy_databasetables_spark.copy.engine import profile_frame
+        from copy_databasetables_spark.io import load_table
+
+        spark = get_spark("copy-cli")
+        t0 = time.time()
+        for t in tables:
+            try:
+                rows = profile_frame(load_table(spark, args.source, t)).collect()
+            except Exception as err:
+                first_line = str(err).split("\n")[0]
+                print(
+                    f"FAILED: {type(err).__name__}: {first_line}",
+                    file=sys.stderr,
+                )
+                return 3
+            n_rows = rows[0]["n_rows"] if rows else 0
+            print(f"profile {t}: {n_rows} rows, {len(rows)} columns")
+            for r in rows:
+                nd = (
+                    f" ~distinct={r['n_distinct_approx']}"
+                    if r["n_distinct_approx"] is not None
+                    else ""
+                )
+                rng = (
+                    f" min={r['min_repr']} max={r['max_repr']}"
+                    if r["min_repr"] is not None
+                    else ""
+                )
+                print(
+                    f"  {r['column_name']} ({r['dtype']}): "
+                    f"non_null={r['n_non_null']}{nd}{rng}"
+                )
+        print(f"profiled {len(tables)} table(s) in {time.time() - t0:.1f}s")
+        return 0
+
+    if args.target is None:
+        print("FAILED: --target is required", file=sys.stderr)
+        return 2
 
     # SCD2 sync mode: one table, tracked columns, an effective date
     if args.scd2 or args.tracked or args.as_of:

@@ -582,3 +582,58 @@ def scd2_table(
     n_expect = dim.count()
     n = _staged_publish(spark, dim, target_path, n_expect, f"{table}: scd2")
     return CopyResult(table, target_path, n, True)
+
+
+def profile_frame(df: DataFrame) -> DataFrame:
+    """Generic per-column profile of ANY frame: row count and, per
+    column, non-null count, approximate distinct count, min/max (cast
+    to string so heterogeneous types stack in one report).
+
+    This is the CLI's profiling tool, so unlike the oracle-hashable
+    ``q_table_profile`` (exact distincts over four pinned columns) it
+    uses ``approx_count_distinct`` — exact multi-column distincts
+    compile to an Expand that multiplies the scan once per column,
+    which on a wide 100 TB table is |cols|× the I/O; HLL++ keeps the
+    whole report ONE single-pass aggregate. Complex-typed columns
+    (array/map/struct) take the non-null count only — ordering and
+    hashing them is type-specific noise a profile doesn't need."""
+    atomic = lambda f: not isinstance(  # noqa: E731
+        f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    )
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        if atomic(f):
+            aggs += [
+                F.approx_count_distinct(c).alias(f"{c}__nd"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+    row = df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    parts = []
+    for f in df.schema.fields:
+        c = f.name
+        parts.append(
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                (
+                    F.col(f"{c}__nd")
+                    if atomic(f)
+                    else F.lit(None).cast("bigint")
+                ).alias("n_distinct_approx"),
+                (
+                    F.col(f"{c}__min") if atomic(f) else F.lit(None).cast("string")
+                ).alias("min_repr"),
+                (
+                    F.col(f"{c}__max") if atomic(f) else F.lit(None).cast("string")
+                ).alias("max_repr"),
+            )
+        )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out

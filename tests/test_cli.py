@@ -146,3 +146,25 @@ def test_cli_scd2_mode(spark, capsys, tmp_path):
     rc = main(["--target", "/tmp/x", "--scd2", "k"])
     assert rc == 2
     assert "--tracked" in capsys.readouterr().err
+
+
+def test_cli_profile_mode(spark, capsys):
+    """--profile: read-only per-column report, no --target needed; the
+    complex-typed embedding column takes the count-only row."""
+    rc = main(["--profile", "--source", SF_SMOKE, "--tables", "region", "embeddings"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "profile region: 5 rows" in out
+    assert "r_regionkey (int): non_null=5 ~distinct=5 min=0 max=4" in out
+    assert "embedding (array<float>): non_null=" in out
+    assert "~distinct" not in out.split("embedding (array<float>)")[1].split("\n")[0]
+    assert "profiled 2 table(s)" in out
+
+
+def test_cli_profile_flag_misuse(spark, capsys):
+    assert main(["--profile", "--target", "/tmp/x"]) == 2
+    assert "requires --source" in capsys.readouterr().err
+    assert main(["--profile", "--source", SF_SMOKE, "--checksum"]) == 2
+    assert "only --source" in capsys.readouterr().err
+    assert main(["--source", SF_SMOKE, "--tables", "region"]) == 2
+    assert "--target is required" in capsys.readouterr().err
