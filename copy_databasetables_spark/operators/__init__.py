@@ -102,6 +102,7 @@ DRIVER_WINDOW: list[str] = [
     "q_agg_hll_mergeable",
     "q_dedup_embed_lsh_capped",
     "q_text_bm25_multi",
+    "q_graph_pagerank",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

