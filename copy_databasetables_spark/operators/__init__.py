@@ -79,7 +79,11 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_cluster_lsh",
     "q_dedup_substring",
     "q_dedup_survivor_lsh",
-    # late-r6 keys, also never driver-checked
+    # late-r6 keys, also never driver-checked. (The continuation
+    # session then appended its ten new keys after q_join_range_binned
+    # — with 29 never-checked keys leading, the 50-window still closes
+    # with the 12 stale-r1 keys + the first 9 stale-r2 keys; the rest
+    # of the r2/r4 backlog rolls to round 7.)
     "copy_table_scd2",
     "copy_table_evolve",
     "snk_zorder_write",
