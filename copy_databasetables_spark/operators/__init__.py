@@ -107,6 +107,8 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_embed_lsh_capped",
     "q_text_bm25_multi",
     "q_graph_pagerank",
+    "q_join_asof_tolerance",
+    "q_dedup_survivor_pagerank",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

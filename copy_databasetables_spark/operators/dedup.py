@@ -1657,6 +1657,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b")
         .localCheckpoint()
     )
+    return _pagerank_over_pairs(spark, pairs)
+
+
+def _pagerank_over_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Shared PageRank body: (doc_id_a, doc_id_b) pairs → (doc_id, deg,
+    pr). ``pairs`` should already be materialized (localCheckpoint) so
+    the ``_PR_ITERS``-deep plan re-reads it, not the LSH pipeline."""
     edges = pairs.select(
         F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
     ).unionByName(
@@ -1700,3 +1707,89 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("doc_id", "deg", F.round("r", 9).alias("pr"))
+
+
+def _pr_cte_suffix() -> str:
+    """The PR iteration CTEs, for appending to ``_cc_oracle_prefix``'s
+    chain (which already defines ``pairs`` and the SAME symmetric
+    ``edges``): deg → nv → r0..r{_PR_ITERS}."""
+    parts = [
+        """deg AS MATERIALIZED (SELECT s AS doc_id, COUNT(*) AS deg
+           FROM edges GROUP BY s),
+    nv AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT deg.doc_id, deg.deg,
+             (1.0 / CAST(nv.n AS DOUBLE)) AS r
+      FROM deg CROSS JOIN nv)""",
+    ]
+    for k in range(_PR_ITERS):
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+      SELECT v.doc_id, v.deg,
+             ((0.15 / CAST(nv.n AS DOUBLE))
+              + 0.85 * (CAST(sq.sq AS DOUBLE) / 1e9)) AS r
+      FROM deg v
+      JOIN (SELECT e.d AS doc_id,
+                   SUM(CAST(FLOOR((r.r / CAST(r.deg AS DOUBLE)) * 1e9 + 0.5)
+                            AS BIGINT)) AS sq
+            FROM edges e JOIN r{k} r ON r.doc_id = e.s
+            GROUP BY e.d) sq
+        ON sq.doc_id = v.doc_id
+      CROSS JOIN nv)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q_dedup_survivor_pagerank",
+    oracle=_cc_oracle_prefix(
+        pairs_cte=_LSH_PAIRS_CTE.format(
+            sig=_D_MINHASH_SIG, n_bands=_N_BANDS, rows=_ROWS_PER_BAND
+        )
+    )
+    + ",\n    "
+    + _pr_cte_suffix()
+    + f""",
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM comp)
+    SELECT s.doc_id, s.cluster_id, s.n_members, round(r.r, 9) AS pr,
+           ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                              ORDER BY round(r.r, 9) DESC, s.doc_id ASC) = 1
+             AS keep
+    FROM sized s JOIN r{_PR_ITERS} r ON r.doc_id = s.doc_id
+    """,
+)
+def q_dedup_survivor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based survivorship: within each near-dup cluster keep
+    the member with the highest PageRank in the pair graph — "the
+    version everything else duplicates" — an alternative to
+    q_dedup_survivor's length-quality pick that needs NO document
+    metadata, only the graph itself (useful when quality signals are
+    unavailable or gameable). Composition: the SAME materialized LSH
+    pair frame feeds both the CC labeling and the PageRank iterations,
+    so the LSH pipeline runs once; the survivor choice is one window
+    over the vertex-sized (label ⋈ rank) join — corpus never shuffles.
+
+    Cross-engine determinism is inherited from both parents: CC labels
+    are exact min-labels, ranks are bit-identical by quantized-sum
+    construction, and the keep flag breaks exact rank ties by min
+    doc_id."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+    )
+    clusters = _cluster_over_pairs(spark, pairs)
+    pr = _pagerank_over_pairs(spark, pairs).select("doc_id", "pr")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pr").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(pr, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_members", "pr", "keep")
+    )

@@ -531,3 +531,77 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+#: bounded-staleness window for the tolerance as-of: a signup older
+#: than this no longer "explains" the purchase.
+_ASOF_TOL_HOURS = 24
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    SELECT purchase_id, user_id, purchase_ts_us, signup_id, signup_ts_us
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+             s.event_id AS signup_id,
+             epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_ts_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY s.ts DESC NULLS LAST, s.event_id DESC NULLS LAST
+             ) AS rn
+      FROM events p
+      LEFT JOIN events s
+        ON s.user_id = p.user_id AND s.event_type = 'signup'
+       AND s.ts <= p.ts
+       AND s.ts >= p.ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+      WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas
+    ``merge_asof(tolerance=...)``): the latest signup at-or-before each
+    purchase counts only if it is within 24 h — older matches become
+    NULL, the semantics every feature-freshness join needs (a
+    day-old sensor reading must not silently fill today's row).
+
+    The tolerance is also the SCALE lever q_join_asof lacks: the plain
+    as-of's banded join pairs each purchase with the user's ENTIRE
+    signup history (unbounded per-key quadratic term for power users);
+    the two-sided band bounds candidates per purchase to one window's
+    worth — the same reasoning as q_join_interval's hour-bucket
+    equi-key, and at 100 TB the band predicate is what makes the
+    shuffle join's per-key work O(window), not O(history)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (
+        (s.s_user == p.user_id)
+        & (s.s_ts <= p.p_ts)
+        & (s.s_ts >= p.p_ts - F.expr(f"INTERVAL {_ASOF_TOL_HOURS} HOURS"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("s_ts").desc_nulls_last(), F.col("signup_id").desc_nulls_last()
+    )
+    return (
+        p.join(s, cond, "left")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            us("p_ts", "purchase_ts_us"),
+            "signup_id",
+            us("s_ts", "signup_ts_us"),
+        )
+    )

@@ -1230,3 +1230,64 @@ def test_pagerank_mass_conserved_and_positive(spark):
     assert abs(total - 1.0) < max(1e-6, n * 5e-9)
     floor = 0.15 / n
     assert all(r["pr"] >= floor - 1e-12 for r in rows)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """Tolerance semantics on a handcrafted timeline: a signup within
+    the window matches; a purchase whose ONLY prior signup is older
+    than the window gets NULL (never a stale fill — the
+    feature-freshness contract)."""
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-10 11:00:00", "signup"),   # 1h before → match
+            (2, 1, "2024-01-10 12:00:00", "purchase"),
+            (3, 2, "2024-01-01 09:00:00", "signup"),   # 9 days stale
+            (4, 2, "2024-01-10 12:00:00", "purchase"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+    )
+    s = ev.where("event_type = 'signup'").select(
+        F.col("event_id").alias("sid"),
+        F.col("user_id").alias("su"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (
+        (s.su == p.user_id)
+        & (s.s_ts <= p.p_ts)
+        & (s.s_ts >= p.p_ts - F.expr("INTERVAL 24 HOURS"))
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("s_ts").desc_nulls_last(), F.col("sid").desc_nulls_last()
+    )
+    out = {
+        r["pid"]: r["sid"]
+        for r in p.join(s, cond, "left")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert out == {2: 1, 4: None}
+
+
+def test_survivor_pagerank_one_keeper_with_max_rank(spark):
+    """Exactly one keep per cluster, and the keeper holds the cluster's
+    maximum (rounded) rank with min-doc_id tie-break."""
+    from collections import defaultdict
+
+    from copy_databasetables_spark.operators.dedup import q_dedup_survivor_pagerank
+    from tests.conftest import SF_SMOKE
+
+    rows = q_dedup_survivor_pagerank(spark, SF_SMOKE).collect()
+    assert rows
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-r["pr"], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(r["n_members"] == len(members) for r in members)
