@@ -51,6 +51,30 @@ NOTES = {
         "test_ivf_centroid_set_is_bounded proves the count is constant "
         "w.r.t. corpus rows)."
     ),
+    "q_text_bm25": (
+        "One token scan feeds both aggregates; the tf branch is "
+        "pre-filtered to the |Q| query terms (|Q|*|docs| bounded, never "
+        "|vocab|*|docs|); df and the corpus stats ride broadcasts; the "
+        "top-N is TakeOrderedAndProject "
+        "(tests/test_plans.py::test_bm25_topn_is_take_ordered), not a "
+        "global sort."
+    ),
+    "q_sim_hybrid": (
+        "Filtered ANN with PRE-filter semantics: the documents predicate "
+        "is pushed to the parquet scan (PushedFilters on n_chars/lang, "
+        "tests/test_plans.py::test_hybrid_predicate_pushed_to_documents_scan), "
+        "the metadata attach is a vec_id equi-join, and the only "
+        "nested-loop node is the bounded broadcast probe set x corpus "
+        "scoring join — identical to q_sim_topk's shape."
+    ),
+    "q_emb_kmeans": (
+        "Two unrolled Lloyd iterations: each is one broadcast-assign "
+        "pass (fixed-K centroid build side — O(K*dim) bytes at any "
+        "corpus size) plus one (cid,pos)-keyed partial aggregate whose "
+        "shuffle carries K*dim quantized partial sums. No driver data "
+        "path; iteration count is a plan constant "
+        "(tests/test_plans.py::test_kmeans_broadcasts_only_fixed_k_centroids)."
+    ),
 }
 
 #: Non-headline operators whose PLANS are the scale argument for a
