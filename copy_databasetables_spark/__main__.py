@@ -132,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
             or args.incremental is not None
             or args.delete is not None
             or args.scd2 is not None
+            or args.tracked is not None
+            or args.as_of is not None
+            or args.keys is not None
         ):
             print(
                 "FAILED: --profile takes only --source and --tables",

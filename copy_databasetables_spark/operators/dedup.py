@@ -799,9 +799,22 @@ _D_RHP_BITS = (
 )
 
 
-@register(
-    "q_dedup_embed_lsh",
-    oracle=f"""
+def _rhp_oracle(cap: int | None) -> str:
+    """Single source for BOTH embed-LSH oracles: the sign-bit banding
+    chain, optionally narrowed by a per-(band, bucket) nomination cap
+    (row_number ≤ cap, vec_id ascending) before candidate pairing."""
+    cap_cte, src = "", "keyed"
+    if cap is not None:
+        cap_cte = f"""capped AS (
+      SELECT vec_id, band, bucket FROM (
+        SELECT vec_id, band, bucket,
+               row_number() OVER (PARTITION BY band, bucket
+                                  ORDER BY vec_id ASC) AS rn
+        FROM keyed)
+      WHERE rn <= {cap}),
+    """
+        src = "capped"
+    return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     bits AS (SELECT vec_id, e, {_D_RHP_BITS} AS b FROM v),
     keyed AS (
@@ -810,9 +823,9 @@ _D_RHP_BITS = (
                                band * {_RHP_ROWS} + {_RHP_ROWS}], '') AS bucket
       FROM (SELECT *, CAST(UNNEST(range({_RHP_BANDS})) AS INT) AS band
             FROM bits)),
-    cand AS (
+    {cap_cte}cand AS (
       SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-      FROM keyed a JOIN keyed b
+      FROM {src} a JOIN {src} b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT vec_id_a, vec_id_b,
            round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
@@ -820,8 +833,73 @@ _D_RHP_BITS = (
     JOIN v va ON va.vec_id = cand.vec_id_a
     JOIN v vb ON vb.vec_id = cand.vec_id_b
     WHERE list_cosine_similarity(va.e, vb.e) >= {_EMBED_TAU}
-    """,
-)
+    """
+
+
+def _rhp_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sign-LSH banding: embeddings → (vec_id, e, nrm, band,
+    bucket) — one row per (vector, band)."""
+    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        .withColumn("nrm", norm)
+        .withColumn("bits", F.expr(_RHP_BITS))
+    )
+    return v.select(
+        "vec_id",
+        "e",
+        "nrm",
+        F.explode(F.sequence(F.lit(0), F.lit(_RHP_BANDS - 1))).alias("band"),
+        F.col("bits"),
+    ).select(
+        "vec_id",
+        "e",
+        "nrm",
+        "band",
+        F.expr(
+            f"array_join(slice(bits, band * {_RHP_ROWS} + 1, {_RHP_ROWS}), '')"
+        ).alias("bucket"),
+    )
+
+
+def _rhp_pairs(keyed: DataFrame) -> DataFrame:
+    """Shared candidate-pair + verify stage over a (possibly capped)
+    keyed frame: (band, bucket) equi-join, id-pair dedup BEFORE the
+    cosine (16-byte shuffle keys, not vectors), τ filter."""
+    a = keyed.select(
+        F.col("vec_id").alias("vec_id_a"), "band", "bucket",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.bucket == b.bucket_b)
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select("vec_id_a", "vec_id_b", "ea", "eb", "na", "nb")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_raw") >= _EMBED_TAU)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+
+@register("q_dedup_embed_lsh", oracle=_rhp_oracle(None))
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the SCALE
     path that q_dedup_embed's docstring promises (that op is the exact
@@ -843,59 +921,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection lands within float-rounding distance of exactly 0
     (P ≈ 1e-13 per projection — and the differential gate would catch
     it)."""
-    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    v = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-        )
-        .withColumn("nrm", norm)
-        .withColumn("bits", F.expr(_RHP_BITS))
-    )
-    keyed = v.select(
-        "vec_id",
-        "e",
-        "nrm",
-        F.explode(F.sequence(F.lit(0), F.lit(_RHP_BANDS - 1))).alias("band"),
-        F.col("bits"),
-    ).select(
-        "vec_id",
-        "e",
-        "nrm",
-        "band",
-        F.expr(
-            f"array_join(slice(bits, band * {_RHP_ROWS} + 1, {_RHP_ROWS}), '')"
-        ).alias("bucket"),
-    )
-    a = keyed.select(
-        F.col("vec_id").alias("vec_id_a"), "band", "bucket",
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = keyed.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(
-            b,
-            (a.band == b.band_b)
-            & (a.bucket == b.bucket_b)
-            & (F.col("vec_id_a") < F.col("vec_id_b")),
-        )
-        .select("vec_id_a", "vec_id_b", "ea", "eb", "na", "nb")
-        # a pair colliding in several bands verifies once; dedupe on the
-        # id pair so the shuffle key is 16 bytes, not the vectors
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
-        .where(F.col("cos_raw") >= _EMBED_TAU)
-        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
-    )
+    return _rhp_pairs(_rhp_keyed(spark, sf_dir))
 
 
 _BUCKET_CAP = 40  # max docs per (lang, band, bucket) before it's "boilerplate"
@@ -1027,15 +1053,25 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_over_pairs(spark, q_dedup_near(spark, sf_dir))
 
 
-def _cluster_over_pairs(spark: SparkSession, pair_df: DataFrame) -> DataFrame:
+def _cluster_over_pairs(
+    spark: SparkSession, pair_df: DataFrame, materialized: bool = False
+) -> DataFrame:
     """Shared CC body: (doc_id_a, doc_id_b) pairs → (doc_id, cluster_id,
     n_members). Checkpoints PAIRS (the smallest frame) once; the
     symmetric edge union is a narrow transform over it, so pair
     generation runs once and _min_label_propagate materializes edges
-    exactly once more in its partitioned form."""
+    exactly once more in its partitioned form. Pass
+    ``materialized=True`` when ``pair_df`` is ALREADY a checkpointed
+    (doc_id_a, doc_id_b) frame — re-checkpointing would double block
+    storage for nothing (q_dedup_survivor_pagerank shares one
+    materialized pair frame between CC and PageRank)."""
     from pyspark.sql.window import Window
 
-    pairs = pair_df.select("doc_id_a", "doc_id_b").localCheckpoint()
+    pairs = (
+        pair_df
+        if materialized
+        else pair_df.select("doc_id_a", "doc_id_b").localCheckpoint()
+    )
     n_edges = 2 * pairs.count()  # scalar: sizes the iterative parallelism
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -1475,36 +1511,7 @@ def q_dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_BUCKET_CAP = 40
 
 
-@register(
-    "q_dedup_embed_lsh_capped",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    bits AS (SELECT vec_id, e, {_D_RHP_BITS} AS b FROM v),
-    keyed AS (
-      SELECT vec_id, e, band,
-             array_to_string(b[band * {_RHP_ROWS} + 1 :
-                               band * {_RHP_ROWS} + {_RHP_ROWS}], '') AS bucket
-      FROM (SELECT *, CAST(UNNEST(range({_RHP_BANDS})) AS INT) AS band
-            FROM bits)),
-    capped AS (
-      SELECT vec_id, band, bucket FROM (
-        SELECT vec_id, band, bucket,
-               row_number() OVER (PARTITION BY band, bucket
-                                  ORDER BY vec_id ASC) AS rn
-        FROM keyed)
-      WHERE rn <= {_EMB_BUCKET_CAP}),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-      FROM capped a JOIN capped b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT vec_id_a, vec_id_b,
-           round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
-    FROM cand
-    JOIN v va ON va.vec_id = cand.vec_id_a
-    JOIN v vb ON vb.vec_id = cand.vec_id_b
-    WHERE list_cosine_similarity(va.e, vb.e) >= {_EMBED_TAU}
-    """,
-)
+@register("q_dedup_embed_lsh_capped", oracle=_rhp_oracle(_EMB_BUCKET_CAP))
 def q_dedup_embed_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_embed_lsh with a per-(band, bucket) nomination cap — the
     shipped answer to the MEASURED second-decade failure in SCALE.md:
@@ -1522,83 +1529,26 @@ def q_dedup_embed_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes even a mis-sized index survivable."""
     from pyspark.sql.window import Window
 
-    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    v = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-        )
-        .withColumn("nrm", norm)
-        .withColumn("bits", F.expr(_RHP_BITS))
-    )
-    keyed = v.select(
-        "vec_id",
-        "e",
-        "nrm",
-        F.explode(F.sequence(F.lit(0), F.lit(_RHP_BANDS - 1))).alias("band"),
-        F.col("bits"),
-    ).select(
-        "vec_id",
-        "e",
-        "nrm",
-        "band",
-        F.expr(
-            f"array_join(slice(bits, band * {_RHP_ROWS} + 1, {_RHP_ROWS}), '')"
-        ).alias("bucket"),
-    )
+    keyed = _rhp_keyed(spark, sf_dir)
     wcap = Window.partitionBy("band", "bucket").orderBy(F.col("vec_id").asc())
     capped = (
         keyed.withColumn("rn", F.row_number().over(wcap))
         .where(F.col("rn") <= _EMB_BUCKET_CAP)
         .drop("rn")
     )
-    a = capped.select(
-        F.col("vec_id").alias("vec_id_a"), "band", "bucket",
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = capped.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(
-            b,
-            (a.band == b.band_b)
-            & (a.bucket == b.bucket_b)
-            & (F.col("vec_id_a") < F.col("vec_id_b")),
-        )
-        .select("vec_id_a", "vec_id_b", "ea", "eb", "na", "nb")
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
-        .where(F.col("cos_raw") >= _EMBED_TAU)
-        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
-    )
+    return _rhp_pairs(capped)
 
 
 _PR_D = 0.85  # damping
 _PR_ITERS = 3  # unrolled iterations, identical in both engines
 
 
-def _pagerank_oracle() -> str:
-    """DuckDB CTE chain: the LSH pair graph → symmetric edges → degree
-    → ``_PR_ITERS`` unrolled PageRank rounds, every cross-vertex sum
-    carried as quantized int64 (FLOOR(contrib·10⁹+0.5)) so the rank
-    vector is bit-identical to Spark's at every iteration boundary —
-    the same determinism discipline as q_emb_kmeans' centroid means."""
+def _pr_cte_suffix() -> str:
+    """The PR iteration CTEs, for appending to ``_cc_oracle_prefix``'s
+    chain (which already defines ``pairs`` and the SAME symmetric
+    ``edges``): deg → nv → r0..r{_PR_ITERS}."""
     parts = [
-        _LSH_PAIRS_CTE.format(
-            sig=_D_MINHASH_SIG, n_bands=_N_BANDS, rows=_ROWS_PER_BAND
-        ),
-        """edges AS MATERIALIZED (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
-              UNION ALL
-              SELECT doc_id_b, doc_id_a FROM pairs),
-    deg AS MATERIALIZED (SELECT s AS doc_id, COUNT(*) AS deg
+        """deg AS MATERIALIZED (SELECT s AS doc_id, COUNT(*) AS deg
            FROM edges GROUP BY s),
     nv AS (SELECT COUNT(*) AS n FROM deg),
     r0 AS MATERIALIZED (
@@ -1621,6 +1571,23 @@ def _pagerank_oracle() -> str:
         ON sq.doc_id = v.doc_id
       CROSS JOIN nv)"""
         )
+    return ",\n    ".join(parts)
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB CTE chain for the standalone PageRank op: LSH pairs →
+    symmetric edges → the SHARED ``_pr_cte_suffix`` iteration chain
+    (single source for the PR SQL — q_dedup_survivor_pagerank appends
+    the same suffix to the CC prefix) → final select."""
+    parts = [
+        _LSH_PAIRS_CTE.format(
+            sig=_D_MINHASH_SIG, n_bands=_N_BANDS, rows=_ROWS_PER_BAND
+        ),
+        """edges AS MATERIALIZED (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_id_b, doc_id_a FROM pairs)""",
+        _pr_cte_suffix(),
+    ]
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -1709,37 +1676,6 @@ def _pagerank_over_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     return r.select("doc_id", "deg", F.round("r", 9).alias("pr"))
 
 
-def _pr_cte_suffix() -> str:
-    """The PR iteration CTEs, for appending to ``_cc_oracle_prefix``'s
-    chain (which already defines ``pairs`` and the SAME symmetric
-    ``edges``): deg → nv → r0..r{_PR_ITERS}."""
-    parts = [
-        """deg AS MATERIALIZED (SELECT s AS doc_id, COUNT(*) AS deg
-           FROM edges GROUP BY s),
-    nv AS (SELECT COUNT(*) AS n FROM deg),
-    r0 AS MATERIALIZED (
-      SELECT deg.doc_id, deg.deg,
-             (1.0 / CAST(nv.n AS DOUBLE)) AS r
-      FROM deg CROSS JOIN nv)""",
-    ]
-    for k in range(_PR_ITERS):
-        parts.append(
-            f"""r{k + 1} AS MATERIALIZED (
-      SELECT v.doc_id, v.deg,
-             ((0.15 / CAST(nv.n AS DOUBLE))
-              + 0.85 * (CAST(sq.sq AS DOUBLE) / 1e9)) AS r
-      FROM deg v
-      JOIN (SELECT e.d AS doc_id,
-                   SUM(CAST(FLOOR((r.r / CAST(r.deg AS DOUBLE)) * 1e9 + 0.5)
-                            AS BIGINT)) AS sq
-            FROM edges e JOIN r{k} r ON r.doc_id = e.s
-            GROUP BY e.d) sq
-        ON sq.doc_id = v.doc_id
-      CROSS JOIN nv)"""
-        )
-    return ",\n    ".join(parts)
-
-
 @register(
     "q_dedup_survivor_pagerank",
     oracle=_cc_oracle_prefix(
@@ -1783,7 +1719,7 @@ def q_dedup_survivor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b")
         .localCheckpoint()
     )
-    clusters = _cluster_over_pairs(spark, pairs)
+    clusters = _cluster_over_pairs(spark, pairs, materialized=True)
     pr = _pagerank_over_pairs(spark, pairs).select("doc_id", "pr")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("pr").desc(), F.col("doc_id").asc()

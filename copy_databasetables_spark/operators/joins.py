@@ -296,6 +296,45 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(k, cond).select("purchase_id", "click_id", "user_id")
 
 
+def _asof(spark: SparkSession, sf_dir: str, tolerance_hours: int | None):
+    """Shared as-of core: latest signup at-or-before each purchase per
+    user (left join), deterministic (ts desc, event_id desc) tie-break;
+    ``tolerance_hours`` adds the two-sided staleness band (None =
+    unbounded history, the plain as-of)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (s.s_user == p.user_id) & (s.s_ts <= p.p_ts)
+    if tolerance_hours is not None:
+        cond = cond & (
+            s.s_ts >= p.p_ts - F.expr(f"INTERVAL {tolerance_hours} HOURS")
+        )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("s_ts").desc_nulls_last(), F.col("signup_id").desc_nulls_last()
+    )
+    return (
+        p.join(s, cond, "left")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            us("p_ts", "purchase_ts_us"),
+            "signup_id",
+            us("s_ts", "signup_ts_us"),
+        )
+    )
+
+
+
 @register(
     "q_join_asof",
     oracle="""
@@ -322,33 +361,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls). Composition: banded join + per-purchase window row_number==1
     with a deterministic (ts, event_id) tie-break — the Spark-native asof
     plan; both sides stay hash-partitioned on user_id."""
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    s = ev.where(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"),
-        F.col("user_id").alias("s_user"),
-        F.col("ts").alias("s_ts"),
-    )
-    cond = (s.s_user == p.user_id) & (s.s_ts <= p.p_ts)
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("s_ts").desc_nulls_last(), F.col("signup_id").desc_nulls_last()
-    )
-    return (
-        p.join(s, cond, "left")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "purchase_id",
-            "user_id",
-            us("p_ts", "purchase_ts_us"),
-            "signup_id",
-            us("s_ts", "signup_ts_us"),
-        )
-    )
+    return _asof(spark, sf_dir, tolerance_hours=None)
 
 
 #: 7, not 8: the salt source l_linenumber takes values 1..7, so mod 7
@@ -574,34 +587,4 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth — the same reasoning as q_join_interval's hour-bucket
     equi-key, and at 100 TB the band predicate is what makes the
     shuffle join's per-key work O(window), not O(history)."""
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    s = ev.where(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"),
-        F.col("user_id").alias("s_user"),
-        F.col("ts").alias("s_ts"),
-    )
-    cond = (
-        (s.s_user == p.user_id)
-        & (s.s_ts <= p.p_ts)
-        & (s.s_ts >= p.p_ts - F.expr(f"INTERVAL {_ASOF_TOL_HOURS} HOURS"))
-    )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("s_ts").desc_nulls_last(), F.col("signup_id").desc_nulls_last()
-    )
-    return (
-        p.join(s, cond, "left")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "purchase_id",
-            "user_id",
-            us("p_ts", "purchase_ts_us"),
-            "signup_id",
-            us("s_ts", "signup_ts_us"),
-        )
-    )
+    return _asof(spark, sf_dir, tolerance_hours=_ASOF_TOL_HOURS)

@@ -638,6 +638,7 @@ _BM25_B = 0.75
 #: the fixed keyword query the gate scores — three mid-frequency corpus
 #: terms so tf AND df both vary across the candidate set.
 _BM25_QUERY = ("hash", "merge", "window")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 _BM25_TOPN = 20
 
 
@@ -652,10 +653,10 @@ _BM25_TOPN = 20
                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
               FROM dl),
     qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-            WHERE term IN ('hash', 'merge', 'window')
+            WHERE term IN ({_BM25_IN})
             GROUP BY doc_id, term),
     qdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
-            WHERE term IN ('hash', 'merge', 'window')
+            WHERE term IN ({_BM25_IN})
             GROUP BY term),
     scored AS (
       SELECT qtf.doc_id,

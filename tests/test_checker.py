@@ -4,11 +4,15 @@ rejects corrupted results instead of passing everything."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pandas as pd
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
 
 from check import canon, compare  # noqa: E402
 

@@ -166,5 +166,13 @@ def test_cli_profile_flag_misuse(spark, capsys):
     assert "requires --source" in capsys.readouterr().err
     assert main(["--profile", "--source", SF_SMOKE, "--checksum"]) == 2
     assert "only --source" in capsys.readouterr().err
+    # SCD2/delete companion flags must be rejected too, not silently
+    # ignored (code-review finding)
+    assert main(["--profile", "--source", SF_SMOKE, "--tracked", "c"]) == 2
+    assert "only --source" in capsys.readouterr().err
+    assert main(["--profile", "--source", SF_SMOKE, "--as-of", "2024-01-01"]) == 2
+    assert "only --source" in capsys.readouterr().err
+    assert main(["--profile", "--source", SF_SMOKE, "--keys", "1"]) == 2
+    assert "only --source" in capsys.readouterr().err
     assert main(["--source", SF_SMOKE, "--tables", "region"]) == 2
     assert "--target is required" in capsys.readouterr().err

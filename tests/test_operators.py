@@ -1232,44 +1232,43 @@ def test_pagerank_mass_conserved_and_positive(spark):
     assert all(r["pr"] >= floor - 1e-12 for r in rows)
 
 
-def test_asof_tolerance_nulls_stale_matches(spark):
-    """Tolerance semantics on a handcrafted timeline: a signup within
+def test_asof_tolerance_nulls_stale_matches(spark, tmp_path):
+    """Tolerance semantics on a handcrafted timeline, driven through
+    THE REAL OPERATOR (a crafted events.parquet dir fed to
+    q_join_asof_tolerance, not a re-implementation): a signup within
     the window matches; a purchase whose ONLY prior signup is older
     than the window gets NULL (never a stale fill — the
-    feature-freshness contract)."""
+    feature-freshness contract); an in-window tie still breaks to the
+    larger event_id."""
+    from copy_databasetables_spark.operators.joins import q_join_asof_tolerance
+
     ev = spark.createDataFrame(
         [
-            (1, 1, "2024-01-10 11:00:00", "signup"),   # 1h before → match
-            (2, 1, "2024-01-10 12:00:00", "purchase"),
-            (3, 2, "2024-01-01 09:00:00", "signup"),   # 9 days stale
-            (4, 2, "2024-01-10 12:00:00", "purchase"),
+            (1, 1, "2024-01-10 11:00:00", "signup", 0.0, "{}"),  # 1h → match
+            (2, 1, "2024-01-10 12:00:00", "purchase", 0.0, "{}"),
+            (3, 2, "2024-01-01 09:00:00", "signup", 0.0, "{}"),  # 9d stale
+            (4, 2, "2024-01-10 12:00:00", "purchase", 0.0, "{}"),
+            (5, 3, "2024-01-10 11:00:00", "signup", 0.0, "{}"),  # same-ts
+            (6, 3, "2024-01-10 11:00:00", "signup", 0.0, "{}"),  # tie → 6
+            (7, 3, "2024-01-10 12:00:00", "purchase", 0.0, "{}"),
         ],
-        "event_id long, user_id long, ts string, event_type string",
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double, props string",
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    p = ev.where("event_type = 'purchase'").select(
-        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
-    )
-    s = ev.where("event_type = 'signup'").select(
-        F.col("event_id").alias("sid"),
-        F.col("user_id").alias("su"),
-        F.col("ts").alias("s_ts"),
-    )
-    cond = (
-        (s.su == p.user_id)
-        & (s.s_ts <= p.p_ts)
-        & (s.s_ts >= p.p_ts - F.expr("INTERVAL 24 HOURS"))
-    )
-    w = Window.partitionBy("pid").orderBy(
-        F.col("s_ts").desc_nulls_last(), F.col("sid").desc_nulls_last()
-    )
+    # testdata layout is ONE FILE per table (the footer probe reads it
+    # directly), so lift Spark's part file out of its output directory
+    import glob
+    import shutil
+
+    stage = tmp_path / "stage"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    part = glob.glob(str(stage / "part-*.parquet"))[0]
+    shutil.copy(part, tmp_path / "events.parquet")
     out = {
-        r["pid"]: r["sid"]
-        for r in p.join(s, cond, "left")
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .collect()
+        r["purchase_id"]: r["signup_id"]
+        for r in q_join_asof_tolerance(spark, str(tmp_path)).collect()
     }
-    assert out == {2: 1, 4: None}
+    assert out == {2: 1, 4: None, 7: 6}
 
 
 def test_survivor_pagerank_one_keeper_with_max_rank(spark):
