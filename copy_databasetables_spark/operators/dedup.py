@@ -1630,11 +1630,26 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_over_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     """Shared PageRank body: (doc_id_a, doc_id_b) pairs → (doc_id, deg,
     pr). ``pairs`` should already be materialized (localCheckpoint) so
-    the ``_PR_ITERS``-deep plan re-reads it, not the LSH pipeline."""
-    edges = pairs.select(
-        F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
-    ).unionByName(
-        pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
+    the ``_PR_ITERS``-deep plan re-reads it, not the LSH pipeline.
+
+    Edges are explicitly repartitioned on the join key with the SAME
+    size-derived bound ``_min_label_propagate`` uses and lazily
+    checkpointed: without this, the ``_PR_ITERS``-deep stack of
+    edge ⋈ rank joins re-derives edge partitioning per stage and the
+    100× stress run OOMs a single heap-bound task (measured; the CC
+    path with bounded parts survives the same decade at 94 s)."""
+    n_edges = 2 * pairs.count()  # scalar: sizes the iterative parallelism
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(1, min(shuffle_parts, n_edges // 500_000 + 1))
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d")
+            )
+        )
+        .repartition(parts, "s")
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy(F.col("s").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("deg")
