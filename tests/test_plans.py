@@ -448,3 +448,14 @@ def test_bm25_multi_uses_window_group_limit(spark):
     sort of all scored (query, doc) rows."""
     p = plan(all_queries()["q_text_bm25_multi"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in p
+
+
+def test_pagerank_edges_are_materialized_and_bounded(spark):
+    """The PR iteration stack must join against CHECKPOINTED edges
+    (Scan ExistingRDD), never re-derive the LSH pipeline per round —
+    the bounded-partitioning + lazy-checkpoint shape that fixed the
+    measured 100× OOM (SCALE.md)."""
+    p = plan(all_queries()["q_graph_pagerank"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in final  # checkpointed edges feed the joins
+    assert "CartesianProduct" not in final
