@@ -109,6 +109,7 @@ DRIVER_WINDOW: list[str] = [
     "q_graph_pagerank",
     "q_join_asof_tolerance",
     "q_dedup_survivor_pagerank",
+    "q_agg_mode",
     # stalest: last attested in CORRECTNESS_r01.json
     "src_parquet_scan",
     "src_csv_json_roundtrip",

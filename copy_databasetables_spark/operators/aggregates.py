@@ -739,3 +739,42 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS modal_priority,
+           n AS modal_n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC,
+                                         o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group: the most frequent o_orderpriority
+    within each order status, ties broken by the lexicographically
+    smallest value (determinism). Spark has no MODE aggregate that
+    pins tie behavior, so this is the portable composition: count per
+    (group, value) — a two-phase partial aggregate whose shuffle
+    carries |groups|·|distinct values| partial counts — then one rank
+    window over that TINY aggregated frame (never the raw table)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("modal_n"),
+        )
+    )
