@@ -610,30 +610,35 @@ def profile_frame(df: DataFrame) -> DataFrame:
                 F.min(c).cast("string").alias(f"{c}__min"),
                 F.max(c).cast("string").alias(f"{c}__max"),
             ]
-    row = df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
-    parts = []
-    for f in df.schema.fields:
-        c = f.name
-        parts.append(
-            row.select(
-                F.lit(c).alias("column_name"),
-                F.lit(f.dataType.simpleString()).alias("dtype"),
-                F.col("n_rows"),
-                F.col(f"{c}__nn").alias("n_non_null"),
-                (
-                    F.col(f"{c}__nd")
-                    if atomic(f)
-                    else F.lit(None).cast("bigint")
-                ).alias("n_distinct_approx"),
-                (
-                    F.col(f"{c}__min") if atomic(f) else F.lit(None).cast("string")
-                ).alias("min_repr"),
-                (
-                    F.col(f"{c}__max") if atomic(f) else F.lit(None).cast("string")
-                ).alias("max_repr"),
-            )
+    # ONE job, ONE scan, ONE row back — then pivot to per-column report
+    # rows driver-side. The earlier per-column-union formulation embedded
+    # the aggregate subplan once per column and relied on ReuseExchange
+    # to keep the scan single (unpinned by any plan test — ADVICE.md r6);
+    # collecting the single aggregate row makes the one-scan property
+    # structural. The collected payload is one row of ~4·|cols| scalars,
+    # independent of table size.
+    row = df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs).collect()[0]
+    report = [
+        (
+            f.name,
+            f.dataType.simpleString(),
+            row["n_rows"],
+            row[f"{f.name}__nn"],
+            row[f"{f.name}__nd"] if atomic(f) else None,
+            row[f"{f.name}__min"] if atomic(f) else None,
+            row[f"{f.name}__max"] if atomic(f) else None,
         )
-    out = parts[0]
-    for d in parts[1:]:
-        out = out.unionByName(d)
-    return out
+        for f in df.schema.fields
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("column_name", T.StringType(), False),
+            T.StructField("dtype", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("n_non_null", T.LongType(), False),
+            T.StructField("n_distinct_approx", T.LongType(), True),
+            T.StructField("min_repr", T.StringType(), True),
+            T.StructField("max_repr", T.StringType(), True),
+        ]
+    )
+    return df.sparkSession.createDataFrame(report, schema)

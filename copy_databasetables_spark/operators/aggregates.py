@@ -717,9 +717,13 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    # count_distinct skips NULL days, matching the oracle's
+    # COUNT(DISTINCT CAST(ts AS DATE)) by construction — a bare group
+    # count would disagree by one if a null ts ever enters the data
+    # (the null-day group still feeds the sketch union, as it should).
     merged = daily.groupBy("event_type").agg(
         F.round(F.hll_sketch_estimate(F.hll_union_agg("sk"))).alias("est"),
-        F.count(F.lit(1)).alias("n_days"),
+        F.count_distinct("day").alias("n_days"),
     )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")

@@ -1539,7 +1539,11 @@ def q_dedup_embed_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rhp_pairs(capped)
 
 
-_PR_D = 0.85  # damping
+_PR_D = 0.85  # damping — single source for BOTH engines' literals
+#: stated as its own literal (not computed 1 - _PR_D) so the double is
+#: exactly the decimal 0.15 both engines parse; the assert pins the pair.
+_PR_ONE_MINUS_D = 0.15
+assert _PR_D + _PR_ONE_MINUS_D == 1.0
 _PR_ITERS = 3  # unrolled iterations, identical in both engines
 
 
@@ -1560,8 +1564,8 @@ def _pr_cte_suffix() -> str:
         parts.append(
             f"""r{k + 1} AS MATERIALIZED (
       SELECT v.doc_id, v.deg,
-             ((0.15 / CAST(nv.n AS DOUBLE))
-              + 0.85 * (CAST(sq.sq AS DOUBLE) / 1e9)) AS r
+             (({_PR_ONE_MINUS_D!r} / CAST(nv.n AS DOUBLE))
+              + {_PR_D!r} * (CAST(sq.sq AS DOUBLE) / 1e9)) AS r
       FROM deg v
       JOIN (SELECT e.d AS doc_id,
                    SUM(CAST(FLOOR((r.r / CAST(r.deg AS DOUBLE)) * 1e9 + 0.5)
@@ -1683,8 +1687,8 @@ def _pagerank_over_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 "doc_id",
                 "deg",
                 (
-                    (F.lit(0.15) / F.col("n").cast("double"))
-                    + F.lit(0.85) * (F.col("sq").cast("double") / F.lit(1e9))
+                    (F.lit(_PR_ONE_MINUS_D) / F.col("n").cast("double"))
+                    + F.lit(_PR_D) * (F.col("sq").cast("double") / F.lit(1e9))
                 ).alias("r"),
             )
         )

@@ -1263,19 +1263,42 @@ def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
     """One Lloyd assignment step: nearest centroid by squared L2, cid
     ascending as the total tie-break. The centroid side is a FIXED ≤K
     rows (broadcast); the distance is one zip_with fold per (vector,
-    centroid) in whole-stage codegen."""
+    centroid) in whole-stage codegen.
+
+    Emits BOTH the raw double ``d2`` (drives the argmin — gaps on this
+    data are ~1e-1, nine orders above fold-order ulp noise) and ``d2q``,
+    the int64 sum of PER-DIMENSION quantized terms
+    FLOOR((x−c)²·10⁶+0.5). Each per-dim term is a single IEEE op chain
+    over identical inputs in Spark and DuckDB — no summation happens
+    before the quantize — so both engines fold bit-identical integers
+    and the downstream inertia hash cannot flip at a FLOOR boundary
+    (the residual risk ADVICE.md r6 flagged in the quantize-after-sum
+    formulation, where the two engines' sum orders could differ by an
+    ulp exactly at a .5 boundary)."""
     d2 = F.aggregate(
         F.zip_with("e", "ce", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2q = F.aggregate(
+        F.zip_with(
+            "e",
+            "ce",
+            lambda x, c: F.floor((x - c) * (x - c) * _SCALE + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
         v.crossJoin(F.broadcast(cent))
         .withColumn("d2", d2)
+        .withColumn("d2q", d2q)
         .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
-        .select("vec_id", "cid", "d2")
+        .select("vec_id", "cid", "d2", "d2q")
     )
 
 
@@ -1311,18 +1334,19 @@ def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
       SELECT c0e.cid, c0e.pos, COALESCE(m1.mval, c0e.cval) AS cval
       FROM c0e LEFT JOIN m1 ON c0e.cid = m1.cid AND c0e.pos = m1.pos),
     d2t AS (SELECT ve.vec_id, c.cid,
-                   SUM((ve.x - c.cval) * (ve.x - c.cval)) AS d2
+                   SUM((ve.x - c.cval) * (ve.x - c.cval)) AS d2,
+                   SUM(CAST(FLOOR((ve.x - c.cval) * (ve.x - c.cval) * 1e6
+                                  + 0.5) AS BIGINT)) AS d2q
             FROM ve JOIN c1e c ON ve.pos = c.pos
             GROUP BY ve.vec_id, c.cid),
-    a2 AS (SELECT vec_id, cid, d2 FROM (
-             SELECT vec_id, cid, d2,
+    a2 AS (SELECT vec_id, cid, d2q FROM (
+             SELECT vec_id, cid, d2q,
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY d2 ASC, cid ASC) AS rn
              FROM d2t)
            WHERE rn = 1)
     SELECT cid, COUNT(*) AS n_assigned,
-           round(CAST(SUM(CAST(FLOOR(d2 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 1e6, 6) AS inertia
+           round(CAST(SUM(d2q) AS DOUBLE) / 1e6, 6) AS inertia
     FROM a2 GROUP BY cid
     """,
 )
@@ -1348,9 +1372,15 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition/summation order), so iteration-2 distances are computed
     against identical centroid doubles on both sides; assignment argmin
     gaps (~1e-1 on this data) sit nine orders above fold-order ulp
-    noise, and inertia is an exact int64 sum of quantized distances.
-    Empty clusters keep their previous centroid (COALESCE) — the
-    standard Lloyd fallback, applied identically in both engines."""
+    noise. Inertia sums PER-DIMENSION quantized terms (``d2q`` in
+    ``_km_assign``): each FLOOR((x−c)²·10⁶+0.5) is computed from
+    identical doubles with NO prior summation, so the int64 folds are
+    bit-identical in both engines — closing the quantize-after-sum
+    boundary case ADVICE.md r6 flagged (Spark's ordered zip_with fold
+    vs DuckDB's unordered group SUM could land an ulp apart exactly at
+    a FLOOR .5 boundary). Empty clusters keep their previous centroid
+    (COALESCE) — the standard Lloyd fallback, applied identically in
+    both engines."""
     v = _vecs(spark, sf_dir)
     c0 = _centroids(v).select("cid", "ce")
     c0_long = c0.select("cid", F.posexplode("ce").alias("pos", "cval"))
@@ -1377,9 +1407,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = _km_assign(v, c1)
     return a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.sum(_scaled(F.col("d2"))).cast("double") / float(_SCALE), 6).alias(
-            "inertia"
-        ),
+        F.round(F.sum("d2q").cast("double") / float(_SCALE), 6).alias("inertia"),
     )
 
 
