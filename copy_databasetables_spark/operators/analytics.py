@@ -340,6 +340,12 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # BOUNDED unpartitioned window: the frame is the per-HOUR count
+    # table (|hours| rows — constant in event volume, ~744/month), not
+    # the corpus; the trailing-stats recurrence genuinely needs global
+    # hour order. The WindowExec single-partition warning this emits is
+    # size-safe by construction; at 100 TB partition by source instead
+    # (per-feed anomaly streams), as the docstring notes.
     t = (
         Window.orderBy("hr")
         .rowsBetween(-_ANOM_TRAIL, -1)

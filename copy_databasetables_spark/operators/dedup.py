@@ -767,16 +767,19 @@ _RHP_ROWS = 8
 _RHP_DIM = 64
 
 
-def _rhp_matrix() -> list[list[float]]:
+def _rhp_matrix(n_rows: int = _RHP_BANDS * _RHP_ROWS, seed: int = 42) -> list[list[float]]:
     import numpy as np
 
-    rng = np.random.default_rng(42)
-    m = rng.integers(0, 2, size=(_RHP_BANDS * _RHP_ROWS, _RHP_DIM)) * 2 - 1
+    rng = np.random.default_rng(seed)
+    m = rng.integers(0, 2, size=(n_rows, _RHP_DIM)) * 2 - 1
     return [[float(x) for x in row] for row in m]
 
 
-def _rhp_sql_literal(fmt_row) -> str:
-    rows = [fmt_row([("1.0" if x > 0 else "-1.0") for x in row]) for row in _rhp_matrix()]
+def _rhp_sql_literal(fmt_row, matrix: list[list[float]] | None = None) -> str:
+    rows = [
+        fmt_row([("1.0" if x > 0 else "-1.0") for x in row])
+        for row in (matrix if matrix is not None else _rhp_matrix())
+    ]
     return ", ".join(rows)
 
 
@@ -869,29 +872,56 @@ def _rhp_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rhp_pairs(keyed: DataFrame) -> DataFrame:
     """Shared candidate-pair + verify stage over a (possibly capped)
-    keyed frame: (band, bucket) equi-join, id-pair dedup BEFORE the
-    cosine (16-byte shuffle keys, not vectors), τ filter."""
-    a = keyed.select(
-        F.col("vec_id").alias("vec_id_a"), "band", "bucket",
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
-    )
+    keyed frame: (band, bucket) equi-join over ID-ONLY rows, id-pair
+    dedup, THEN two equi-joins pull the vectors back in for the exact
+    cosine and τ filter.
+
+    The candidate join and its dedup shuffle carry 16-byte id pairs —
+    the r6 formulation selected both 64-dim vectors through the band
+    join and dragged ~1 KB/row through the dropDuplicates exchange,
+    which at the measured 100× decade (≈20M candidates) is ~20 GB of
+    shuffle for rows the dedup immediately collapses; re-joining the
+    two vector sides after the dedup shuffles the collapsed pair list
+    twice at 16 bytes/row plus one corpus-sized vector build side.
+    Measured at the 200k-vector decade (q_dedup_embed_lsh_scaled):
+    127 s → 24.9 s, alpha 0.83 → 0.44 (SCALE.md)."""
+    vecs = keyed.select("vec_id", "e", "nrm").dropDuplicates(["vec_id"])
+    a = keyed.select(F.col("vec_id").alias("vec_id_a"), "band", "bucket")
     b = keyed.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
+    cand = (
         a.join(
             b,
             (a.band == b.band_b)
             & (a.bucket == b.bucket_b)
             & (F.col("vec_id_a") < F.col("vec_id_b")),
         )
-        .select("vec_id_a", "vec_id_b", "ea", "eb", "na", "nb")
+        .select("vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_id_a"),
+                F.col("e").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_id_b"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_id_b",
+        )
         .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos_raw") >= _EMBED_TAU)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
@@ -920,8 +950,159 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' expressions; sign agreement across engines holds unless a
     projection lands within float-rounding distance of exactly 0
     (P ≈ 1e-13 per projection — and the differential gate would catch
-    it)."""
+    it).
+
+    CAVEAT (measured, SCALE.md): the FIXED 4×8 banding saturates — 256
+    buckets/band means bucket population grows n/256 and candidate
+    volume O(n²/2⁸); at 200k vectors the verify join filled the spill
+    disk and died. This op is kept as the fixed-width oracle twin;
+    production corpora should use ``q_dedup_embed_lsh_scaled`` (bucket
+    width grows ~log₂ n with the corpus — candidate density stays flat)
+    or ``q_dedup_embed_lsh_capped`` (hard per-bucket nomination cap)."""
     return _rhp_pairs(_rhp_keyed(spark, sf_dir))
+
+
+# --- corpus-scaled sign-LSH (q_dedup_embed_lsh_scaled) --------------------
+#
+# The principled fix for the measured saturation above: bits-per-band is
+# an INDEX-BUILD parameter that must grow with the corpus. Rule (both
+# engines compute it in-query from the same count):
+#
+#     w = clamp(ceil(log2(n)) - 6, 4, 16)
+#
+# -6 targets ~2^6 = 64 vectors per bucket: bucket population n/2^w stays
+# roughly constant as n grows, so candidate volume stays O(n·bands·64)
+# — linear — instead of O(n²/2^bits). SCALE.md's own arithmetic: 12 bits
+# at 200k vectors (this formula: ceil(17.6)-6 = 12 ✓). The clamp floor
+# keeps tiny corpora from degenerating to 1-bit buckets; the ceiling
+# bounds the hyperplane matrix (4 bands × 16 rows = 64 hyperplanes,
+# generated once as a deterministic literal in both engines).
+
+_RHP_SC_BANDS = 4
+_RHP_SC_WMAX = 16
+_RHP_SC_WMIN = 4
+_RHP_SC_LOG_OFF = 6  # targets ~2^6 vectors/bucket at any corpus size
+
+_RHP_SC_MATRIX = _rhp_matrix(_RHP_SC_BANDS * _RHP_SC_WMAX, seed=43)
+_RHP_SC_SPARK = (
+    "array("
+    + _rhp_sql_literal(lambda r: "array(" + ",".join(r) + ")", _RHP_SC_MATRIX)
+    + ")"
+)
+_RHP_SC_DUCK = (
+    "[" + _rhp_sql_literal(lambda r: "[" + ",".join(r) + "]", _RHP_SC_MATRIX) + "]"
+)
+_RHP_SC_BITS = (
+    f"transform({_RHP_SC_SPARK}, row -> "
+    "if(aggregate(zip_with(e, row, (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0D, 1, 0))"
+)
+_D_RHP_SC_BITS = (
+    f"list_transform({_RHP_SC_DUCK}, row -> "
+    "CASE WHEN list_dot_product(e, row) >= 0 THEN 1 ELSE 0 END)"
+)
+
+#: the width rule as SQL over a count column ``n`` — shared text so the
+#: two engines cannot drift. ceil(log2(n)) is cross-engine-safe for
+#: integer n: log2 of an exact power of two is exact in IEEE, and any
+#: other integer sits ≥2⁻ᵏ·ln2 away from an integer log — ~10⁶ ulps.
+_RHP_SC_W_SQL = (
+    f"CAST(LEAST(GREATEST(CEIL(LOG2(n)) - {_RHP_SC_LOG_OFF}, "
+    f"{_RHP_SC_WMIN}), {_RHP_SC_WMAX}) AS INT)"
+)
+
+
+def _rhp_scaled_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scaled sign-LSH banding: embeddings → (vec_id, e, nrm,
+    band, bucket) with bucket width w = clamp(⌈log₂ n⌉−6, 4, 16). The
+    width is computed IN-PLAN from a one-row count aggregate broadcast
+    against the corpus — no driver round-trip; each band's bits occupy a
+    fixed 16-slot stripe of the 64-bit sketch and the bucket key is the
+    stripe's w-prefix."""
+    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        .withColumn("nrm", norm)
+        .withColumn("bits", F.expr(_RHP_SC_BITS))
+    )
+    nn = v.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        v.crossJoin(F.broadcast(nn))
+        .withColumn("w", F.expr(_RHP_SC_W_SQL))
+        .select(
+            "vec_id",
+            "e",
+            "nrm",
+            F.explode(F.sequence(F.lit(0), F.lit(_RHP_SC_BANDS - 1))).alias("band"),
+            "bits",
+            "w",
+        )
+        .select(
+            "vec_id",
+            "e",
+            "nrm",
+            "band",
+            F.expr(
+                f"array_join(slice(bits, band * {_RHP_SC_WMAX} + 1, w), '')"
+            ).alias("bucket"),
+        )
+    )
+
+
+_RHP_SC_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    wd AS (SELECT {_RHP_SC_W_SQL} AS w
+           FROM (SELECT COUNT(*) AS n FROM v)),
+    bits AS (SELECT vec_id, e, {_D_RHP_SC_BITS} AS b FROM v),
+    keyed AS (
+      SELECT vec_id, e, band,
+             array_to_string(b[band * {_RHP_SC_WMAX} + 1 :
+                               band * {_RHP_SC_WMAX} + w], '') AS bucket
+      FROM (SELECT *, CAST(UNNEST(range({_RHP_SC_BANDS})) AS INT) AS band
+            FROM bits)
+      CROSS JOIN wd),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b,
+           round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+    FROM cand
+    JOIN v va ON va.vec_id = cand.vec_id_a
+    JOIN v vb ON vb.vec_id = cand.vec_id_b
+    WHERE list_cosine_similarity(va.e, vb.e) >= {_EMBED_TAU}
+    """
+
+
+@register("q_dedup_embed_lsh_scaled", oracle=_RHP_SC_ORACLE)
+def q_dedup_embed_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH with CORPUS-SCALED bucket
+    width — the production embedding-dedup path. q_dedup_embed_lsh's
+    fixed 4×8 banding measurably dies at 200k vectors (SCALE.md:
+    256 buckets/band saturate, candidate volume O(n²/2⁸), spill-disk
+    exhaustion); here bits-per-band is the index-build parameter it
+    should be, w = clamp(⌈log₂ n⌉−6, 4, 16), so bucket population
+    n/2^w — and with it candidate density — stays roughly CONSTANT as
+    the corpus grows. At the gate ladder the rule lands on w=4 (500
+    vectors) and w=5 (2000), exercising the dynamic width across SFs;
+    at the measured 200k-vector stress decade it gives the 12 bits
+    SCALE.md's arithmetic calls for. FAISS and production LSH systems
+    size hash width by corpus the same way.
+
+    Narrower-than-8 buckets at gate scale mean MORE collisions, so this
+    op's recall at small n is ≥ the fixed twin's; the exact-cosine
+    verify keeps precision exact at any width. The width computation is
+    one count aggregate broadcast into the plan (no driver round-trip),
+    and the hyperplane stripe layout (16 slots per band, w-prefix used)
+    keeps the bucket key a contiguous slice in both engines.
+    ``q_dedup_embed_lsh_capped`` remains the belt-and-braces runtime
+    guard for a mis-sized index; composing the cap over this keyed
+    frame is one WindowGroupLimit if both are ever wanted."""
+    return _rhp_pairs(_rhp_scaled_keyed(spark, sf_dir))
 
 
 _BUCKET_CAP = 40  # max docs per (lang, band, bucket) before it's "boilerplate"

@@ -201,10 +201,14 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep rows whose key hash lands under keep_pct_floor — deterministic
     balanced sampling with no RNG."""
     e = load_table(spark, sf_dir, "embeddings")
-    w = Window.partitionBy()
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    target = F.min("n").over(w)
-    return counts.select(
+    # the minority count is ONE scalar: broadcast a 1-row aggregate
+    # instead of an unpartitioned min() window — same value, no
+    # single-partition sort exchange (and no WindowExec warning noise
+    # masking real corpus-wide-window regressions in bench logs)
+    target_n = counts.agg(F.min("n").alias("target_n"))
+    target = F.col("target_n")
+    return counts.crossJoin(F.broadcast(target_n)).select(
         "label",
         "n",
         target.alias("target_n"),
@@ -577,15 +581,23 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
     )
-    w = Window.partitionBy()
     raw = F.pow(F.col("tokens").cast("double"), F.lit(_MIX_ALPHA))
-    return t.select(
+    # the two normalizers are scalars over the tiny per-source table:
+    # broadcast a 1-row aggregate instead of unpartitioned sum() windows
+    # — same values (int64 token sum is exact; the double pow-sum is
+    # inside the 4dp rounding argument above either way), no
+    # single-partition window exchange
+    totals = t.agg(
+        F.sum(raw).alias("raw_tot"),
+        F.sum("tokens").alias("tok_tot"),
+    )
+    return t.crossJoin(F.broadcast(totals)).select(
         "source",
         "tokens",
-        F.round(raw / F.sum(raw).over(w), 4).alias("weight"),
+        F.round(raw / F.col("raw_tot"), 4).alias("weight"),
         F.round(
-            (raw / F.sum(raw).over(w))
-            / (F.col("tokens").cast("double") / F.sum("tokens").over(w)),
+            (raw / F.col("raw_tot"))
+            / (F.col("tokens").cast("double") / F.col("tok_tot")),
             4,
         ).alias("upsample_factor"),
     )
@@ -840,6 +852,12 @@ def q_assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "local_rn",
         F.row_number().over(Window.partitionBy("pid").orderBy("doc_id")),
     )
+    # BOUNDED unpartitioned window: the prefix-sum frame is the
+    # per-partition count table (|pid| = shuffle-partition count, a
+    # config constant — never corpus rows), the canonical parallel
+    # range-id shape. Its WindowExec single-partition warning is
+    # size-safe by construction; the corpus itself never passes through
+    # an unpartitioned window (plan-pinned below).
     offsets = (
         d.groupBy("pid")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -509,6 +509,78 @@ def q_schema_introspect_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_introspect_indexes",
+    oracle="""
+    SELECT kind, detail FROM (VALUES
+      ('index', 'ix_status_date_c:o_orderstatus asc,o_orderdate desc'),
+      ('index', 'ix_price_c:o_totalprice desc'),
+      ('unique_index', 'ux_cust_key_c:o_custkey asc,o_orderkey asc'),
+      ('pk', 'o_orderkey')) AS t(kind, detail)
+    UNION ALL
+    SELECT 'row_count', CAST(COUNT(*) AS VARCHAR) FROM orders
+    """,
+)
+def q_schema_introspect_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMO-Scripter COMPOSITE-index parity (VERDICT r6 item 8): the
+    constraints twin proves single-column indexes survive the copy; this
+    key proves the two properties a composite index can silently lose —
+    COLUMN ORDER (ix(a,b) ≠ ix(b,a): only the former serves a prefix
+    seek on a) and per-column SORT DIRECTION (a DESC index serves
+    ORDER BY ... DESC scans; scripted ascending it still "exists" but
+    stops covering them). Build a Derby source holding ``orders`` with a
+    mixed-direction composite index, a single-column DESC index and a
+    composite unique index; schema-fidelity-copy it; report the TARGET
+    catalog's ordinal-ordered (column, direction) specs — hash-checked
+    against the literal expectation, so a copy that reorders or
+    re-sorts any index column goes red."""
+    from copy_databasetables_spark.sources.introspect import (
+        copy_table_jdbc_with_schema,
+        drop_table_if_exists,
+        execute_ddl,
+        introspect_jdbc_table,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcWriteSpec
+
+    src_url = _derby_url(sf_dir, "idx_src")
+    dst_url = _derby_url(sf_dir, "idx_dst")
+    drop_table_if_exists(spark, src_url, "orders_ix")
+    execute_ddl(spark, src_url, [
+        "CREATE TABLE orders_ix ("
+        " o_orderkey BIGINT NOT NULL,"
+        " o_custkey BIGINT,"
+        " o_orderstatus VARCHAR(1),"
+        " o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP,"
+        " CONSTRAINT pk_orders_ix PRIMARY KEY (o_orderkey))",
+        "CREATE INDEX ix_status_date ON orders_ix"
+        " (o_orderstatus, o_orderdate DESC)",
+        "CREATE INDEX ix_price ON orders_ix (o_totalprice DESC)",
+        "CREATE UNIQUE INDEX ux_cust_key ON orders_ix (o_custkey, o_orderkey)",
+    ])
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    JdbcWriteSpec(url=src_url, table="orders_ix", mode="append").save(orders)
+    copy_table_jdbc_with_schema(spark, src_url, dst_url, "orders_ix")
+
+    meta = introspect_jdbc_table(spark, dst_url, "orders_ix")
+    rows = [
+        (("unique_index" if ix.unique else "index"),
+         f"{ix.name.lower()}:{ix.spec()}")
+        for ix in meta.indexes
+    ]
+    rows += [("pk", c) for c in meta.pk_columns]
+    n = (
+        spark.read.format("jdbc")
+        .options(url=dst_url, dbtable="orders_ix")
+        .load()
+        .count()
+    )
+    rows.append(("row_count", str(n)))
+    return spark.createDataFrame(rows, "kind string, detail string")
+
+
+@register(
     "src_orc_roundtrip",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -459,3 +459,84 @@ def test_pagerank_edges_are_materialized_and_bounded(spark):
     final = p.split("== Initial Plan ==")[0]
     assert "ExistingRDD" in final  # checkpointed edges feed the joins
     assert "CartesianProduct" not in final
+
+
+def test_scaled_embed_lsh_is_cartesian_free_and_id_lean(spark):
+    """The corpus-scaled sign-LSH variant must keep the (band, bucket)
+    equi-join candidate shape (no CartesianProduct / BNL), and its
+    candidate dedup must run over ID-ONLY pair rows — the r7 fix that
+    took the 200k-vector decade from 127 s to 24.9 s was moving the two
+    64-dim vectors OUT of the dropDuplicates exchange, so the vectors
+    must re-enter the plan via joins AFTER the pair dedup, not ride
+    through it."""
+    df = all_queries()["q_dedup_embed_lsh_scaled"](spark, SF_SMOKE)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # the ONLY nested-loop join allowed is the broadcast of the 1-ROW
+    # count aggregate that computes the bucket width in-plan — a Cross
+    # build side of exactly one row, never a data×data pairing
+    import re
+
+    bnl = [ln for ln in p.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert bnl and all("Cross" in ln for ln in bnl), (
+        "every nested-loop join must be the 1-row width-count cross"
+    )
+    # candidate generation must be an equi join keyed on (band, bucket)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[.*bucket", p)
+    # the deduplicate operator's grouping must not carry embedding arrays
+    import re
+
+    dedup_lines = [
+        ln for ln in p.splitlines() if "Deduplicate" in ln or "HashAggregate" in ln
+    ]
+    pair_dedups = [ln for ln in dedup_lines if "vec_id_a" in ln and "vec_id_b" in ln]
+    assert pair_dedups, "expected an id-pair dedup stage in the plan"
+    assert not any(re.search(r"\be[ab]\b", ln) for ln in pair_dedups), (
+        "vector columns must not pass through the pair-dedup exchange"
+    )
+
+
+def test_scaled_embed_lsh_width_follows_corpus_size(spark):
+    """The bucket key's width must follow w = clamp(ceil(log2 n)-6, 4, 16):
+    4 chars at the 500-vector smoke corpus — and the rule must yield the
+    12 bits SCALE.md's arithmetic prescribes at the 200k-vector stress
+    decade."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.operators.dedup import (
+        _RHP_SC_WMAX,
+        _RHP_SC_WMIN,
+        _rhp_scaled_keyed,
+    )
+
+    keyed = _rhp_scaled_keyed(spark, SF_SMOKE)
+    widths = [
+        r["w"] for r in keyed.select(F.length("bucket").alias("w")).distinct().collect()
+    ]
+    assert widths == [4]  # 500 vectors -> ceil(log2 500)=9, 9-6=3 -> floor 4
+
+    rule = lambda n: min(max(math.ceil(math.log2(n)) - 6, _RHP_SC_WMIN), _RHP_SC_WMAX)  # noqa: E731
+    assert rule(200_000) == 12  # SCALE.md's own sizing arithmetic
+    assert rule(2_000_000_000) == 16  # ceiling binds at the extreme
+
+
+def test_survivor_broadcast_gate_falls_back_above_threshold(spark, monkeypatch):
+    """The other half of the size-driven proof: when the counted cluster
+    table exceeds the broadcast gate (threshold forced to 0 here), the
+    survivor quality join must compile WITHOUT the broadcast hint —
+    with auto-broadcast disabled too, a shuffle join. Together with
+    test_survivor_quality_join_broadcasts_cluster_side this pins that
+    the join strategy follows SIZE, not a hardcoded hint (VERDICT r6
+    item 2)."""
+    from copy_databasetables_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_SURVIVOR_BROADCAST_MAX_ROWS", 0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(all_queries()["q_dedup_survivor"](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

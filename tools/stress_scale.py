@@ -9,8 +9,13 @@ Blowup construction — "10× more data of the same shape", not "10× the
 same data":
 
 - ``documents``: 10 copies, doc_id remapped to copy*N+doc_id, and EVERY
-  token salted with a per-copy suffix. Token salting makes cross-copy
-  Jaccard exactly 0 while keeping each copy's pair graph an exact clone
+  token salted with a per-copy suffix — EXCEPT the BM25 query terms
+  (``text._BM25_QUERY``, 3 fixed tokens), which stay unsalted so
+  q_text_bm25's tf leg survives the blowup and gets an honest measured
+  alpha (the r6 harness salted them away: zero matches at 10×, a
+  meaningless "speedup"). Token salting makes cross-copy Jaccard ~0
+  (≤3 shared query tokens out of hundreds per doc — two orders below
+  any τ in use) while keeping each copy's pair graph an exact clone
   of the original — so true near-dup work scales exactly 10×. (Naively
   unioning identical copies would make every doc a 10-way exact dup and
   blow pair counts 100×, measuring a different problem.)
@@ -26,6 +31,9 @@ Usage:
     python tools/stress_scale.py --ops q_sim_ivf    # subset
     python tools/stress_scale.py --copies 100       # second decade:
                                                     # alpha from 1×→100×
+    python tools/stress_scale.py --ivf-ab           # search-leg A/B:
+                                                    # fixed K vs K=⌈√n⌉
+                                                    # on a PREBUILT index
 """
 
 from __future__ import annotations
@@ -44,7 +52,12 @@ from copy_databasetables_spark import get_spark  # noqa: E402
 from copy_databasetables_spark.io import TABLES, load_table, table_path  # noqa: E402
 from copy_databasetables_spark.operators import all_queries  # noqa: E402
 
-OPS = ["q_dedup_minhash", "q_dedup_cluster", "q_dedup_embed_lsh", "q_sim_ivf"]
+OPS = [
+    "q_dedup_minhash",
+    "q_dedup_cluster",
+    "q_dedup_embed_lsh_scaled",
+    "q_sim_ivf",
+]
 COPIES = 10  # overridden by --copies
 
 
@@ -52,15 +65,21 @@ def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> Non
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    from copy_databasetables_spark.operators.text import _BM25_QUERY
+
     docs = load_table(spark, src_dir, "documents")
     n_docs = docs.count()
     copies = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
+    keep = ", ".join(f"'{t}'" for t in _BM25_QUERY)
     blown_docs = (
         docs.crossJoin(F.broadcast(copies))
         .select(
             (F.col("copy").cast("long") * n_docs + F.col("doc_id")).alias("doc_id"),
             F.array_join(
-                F.expr("transform(split(text, ' '), t -> concat(t, '_', copy))"),
+                F.expr(
+                    "transform(split(text, ' '), "
+                    f"t -> if(t in ({keep}), t, concat(t, '_', copy)))"
+                ),
                 " ",
             ).alias("text"),
             "lang",
@@ -94,6 +113,104 @@ def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> Non
             os.symlink(table_path(src_dir, t), dst)
 
 
+def ivf_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
+    """Measure the IVF SEARCH leg against a PREBUILT index at fixed
+    K=32 vs K=⌈√n⌉ (VERDICT r6 item 6). The assignment — the index
+    BUILD, O(n·K) — runs once per K, unmeasured, and is written to
+    parquet exactly as a production index build would persist it; the
+    timed leg is a FIXED 32-probe query batch (query size, not a
+    corpus fraction) probing its own cell: fetch probe cells from the
+    index, join cell members, score, top-k. Expected separation: cell
+    population is n/K, so per-batch search work is O(batch·n/32) at
+    fixed K (alpha→1 in corpus size) vs O(batch·√n) at scaled K
+    (alpha→0.5)."""
+    import math as m
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from copy_databasetables_spark.operators.similarity import (
+        _IVF_K,
+        _IVF_MAX_CENTROIDS,
+        _centroids,
+        _cosine_pre,
+        _vecs,
+    )
+
+    v = _vecs(spark, sf_dir).persist()
+    n = v.count()
+    out = {"n_vectors": n}
+    for kname, k in [
+        ("fixed_k", _IVF_MAX_CENTROIDS),
+        ("sqrt_k", m.ceil(m.sqrt(n))),
+    ]:
+        c = _centroids(v, k)
+        aw = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_c").desc(), F.col("cid").asc()
+        )
+        idx_path = f"{out_base}/ivf_index_{kname}"
+        # index BUILD (unmeasured): assign every vector to its cell,
+        # persist — the amortized one-time cost this A/B factors out.
+        (
+            v.crossJoin(F.broadcast(c))
+            .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
+            .withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            index = spark.read.parquet(idx_path)
+            probes = (
+                v.where("vec_id % 50 = 0")
+                .select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("e").alias("pe"),
+                    F.col("nrm").alias("pn"),
+                )
+                .orderBy("probe_id")
+                .limit(32)
+            )
+            probe_cell = probes.join(
+                index.select(F.col("vec_id").alias("probe_id"), "cid"),
+                "probe_id",
+            )
+            members = index.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ncid")
+            ).join(
+                v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm"),
+                "neighbor_id",
+            )
+            w = Window.partitionBy("probe_id").orderBy(
+                F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+            )
+            (
+                F.broadcast(probe_cell)
+                .join(
+                    members,
+                    (F.col("ncid") == F.col("cid"))
+                    & (F.col("neighbor_id") != F.col("probe_id")),
+                )
+                .select(
+                    "probe_id",
+                    "neighbor_id",
+                    _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+                )
+                .withColumn("rank_pos", F.row_number().over(w))
+                .where(F.col("rank_pos") <= _IVF_K)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            best = min(best, time.perf_counter() - t0)
+        out[kname] = {"k": k, "search_sec": round(best, 3)}
+    v.unpersist()
+    return out
+
+
 def time_op(spark, name: str, sf_dir: str, runs: int = 2) -> float:
     q = all_queries()[name]
     best = float("inf")
@@ -111,6 +228,12 @@ def main() -> None:
     global COPIES
     ap.add_argument("--ops", nargs="*", default=OPS)
     ap.add_argument("--copies", type=int, default=COPIES)
+    ap.add_argument(
+        "--ivf-ab",
+        action="store_true",
+        help="instead of --ops timing, run the prebuilt-index IVF "
+        "search-leg A/B (fixed K vs K=sqrt(n)) at 1x and at --copies x",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stress-scale")
@@ -119,6 +242,27 @@ def main() -> None:
     )
     COPIES = args.copies
     build_blowup(spark, args.src, args.out, args.copies)
+
+    if args.ivf_ab:
+        ab = {
+            "src": args.src,
+            "copies": args.copies,
+            "1x": ivf_search_ab(spark, args.src, args.out),
+            f"{args.copies}x": ivf_search_ab(spark, args.out, args.out),
+        }
+        for kname in ("fixed_k", "sqrt_k"):
+            t1 = ab["1x"][kname]["search_sec"]
+            t10 = ab[f"{args.copies}x"][kname]["search_sec"]
+            alpha = round(math.log(t10 / t1) / math.log(args.copies), 2)
+            ab[f"alpha_{kname}"] = alpha
+            print(
+                f"ivf search {kname:8s} 1x={t1:8.3f}s "
+                f"{args.copies}x={t10:8.3f}s  alpha={alpha}",
+                file=sys.stderr,
+            )
+        print(json.dumps(ab))
+        return
+
     n1 = load_table(spark, args.src, "documents").count()
     n10 = load_table(spark, args.out, "documents").count()
 
