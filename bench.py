@@ -50,6 +50,10 @@ HEADLINE = [
     "q_dedup_embed_lsh",
     "q_dedup_cluster_lsh",
     "q_sim_ivf",
+    # r7: the corpus-scaled production paths benched beside their
+    # fixed-parameter twins (embed_lsh and ivf above)
+    "q_dedup_embed_lsh_scaled",
+    "q_sim_ivf_kscaled",
     # late r6: the PQ memory path (32x smaller resident index than
     # brute-force float vectors) and the bloom runtime-filter join
     "q_sim_pq",
