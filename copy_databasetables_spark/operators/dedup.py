@@ -1053,12 +1053,13 @@ def _rhp_scaled_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RHP_SC_ORACLE = f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+#: the scaled-width candidate chain (v → wd → bits → keyed → cand),
+#: shared by the pair oracle below and the CC/survivor compositions.
+_RHP_SC_CANDS = f"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     wd AS (SELECT {_RHP_SC_W_SQL} AS w
            FROM (SELECT COUNT(*) AS n FROM v)),
     bits AS (SELECT vec_id, e, {_D_RHP_SC_BITS} AS b FROM v),
-    keyed AS (
+    keyed AS MATERIALIZED (
       SELECT vec_id, e, band,
              array_to_string(b[band * {_RHP_SC_WMAX} + 1 :
                                band * {_RHP_SC_WMAX} + w], '') AS bucket
@@ -1068,7 +1069,10 @@ _RHP_SC_ORACLE = f"""
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
       FROM keyed a JOIN keyed b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+
+_RHP_SC_ORACLE = f"""
+    WITH {_RHP_SC_CANDS}
     SELECT vec_id_a, vec_id_b,
            round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
     FROM cand
@@ -1076,6 +1080,20 @@ _RHP_SC_ORACLE = f"""
     JOIN v vb ON vb.vec_id = cand.vec_id_b
     WHERE list_cosine_similarity(va.e, vb.e) >= {_EMBED_TAU}
     """
+
+#: the same chain extended to verified pairs(doc_id_a, doc_id_b) — the
+#: shape _cc_oracle_prefix composes over (vec ids double as doc ids:
+#: embeddings ⋈ documents is 1:1 by construction, TESTDATA.md).
+_RHP_SC_PAIRS_CTE = (
+    _RHP_SC_CANDS
+    + f""",
+    pairs AS MATERIALIZED (
+      SELECT vec_id_a AS doc_id_a, vec_id_b AS doc_id_b
+      FROM cand
+      JOIN v va ON va.vec_id = cand.vec_id_a
+      JOIN v vb ON vb.vec_id = cand.vec_id_b
+      WHERE list_cosine_similarity(va.e, vb.e) >= {_EMBED_TAU})"""
+)
 
 
 @register("q_dedup_embed_lsh_scaled", oracle=_RHP_SC_ORACLE)
@@ -1103,6 +1121,78 @@ def q_dedup_embed_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard for a mis-sized index; composing the cap over this keyed
     frame is one WindowGroupLimit if both are ever wanted."""
     return _rhp_pairs(_rhp_scaled_keyed(spark, sf_dir))
+
+
+@register(
+    "q_dedup_cluster_embed",
+    oracle=_cc_oracle_prefix(pairs_cte=_RHP_SC_PAIRS_CTE)
+    + """
+    SELECT doc_id AS vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM comp
+    """,
+)
+def q_dedup_cluster_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EMBEDDING near-dup graph — the
+    semantic-dedup cluster shape (SemDeDup-style: embedding cosine
+    catches paraphrases token-level Jaccard misses). Completes the
+    embedding side to parity with the token side's chain
+    (q_dedup_minhash → q_dedup_cluster_lsh): pairs come from the
+    corpus-scaled sign-LSH (q_dedup_embed_lsh_scaled, width ~log₂ n),
+    the CC iteration is the SAME bounded min-label + pointer-jump body
+    (_min_label_propagate), so the composition inherits both parents'
+    measured scale behavior (α 0.44 pair generation, α<0.7 CC family).
+    Determinism: the exact-cosine verify gate (τ with argmin gaps far
+    above ulp noise) makes the pair set — and therefore the exact
+    min-label fixpoint — identical in both engines."""
+    pairs = (
+        q_dedup_embed_lsh_scaled(spark, sf_dir)
+        .select(
+            F.col("vec_id_a").alias("doc_id_a"),
+            F.col("vec_id_b").alias("doc_id_b"),
+        )
+        .localCheckpoint()
+    )
+    return _cluster_over_pairs(spark, pairs, materialized=True).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "n_members"
+    )
+
+
+@register(
+    "q_dedup_survivor_embed",
+    oracle=_cc_oracle_prefix(pairs_cte=_RHP_SC_PAIRS_CTE)
+    + """,
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM comp)
+    SELECT s.doc_id, s.cluster_id, s.n_members,
+           ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                              ORDER BY d.n_chars DESC, s.doc_id ASC) = 1
+             AS keep
+    FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def q_dedup_survivor_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end SEMANTIC dedup decision: within each
+    embedding-similarity cluster keep the longest document (min doc_id
+    ties) — the cross-modal composition the multimodal join exists for
+    (vec_id = doc_id 1:1, TESTDATA.md), reusing the shared
+    quality-survivor body (_survivor_over_clusters) with its gated
+    cluster-side broadcast. This is the q_dedup_survivor_lsh twin with
+    the pair source swapped from token MinHash to corpus-scaled
+    sign-LSH: the full chain a SemDeDup-style pipeline ships (embed →
+    scaled-LSH candidates → exact-cosine verify → CC → quality pick)."""
+    pairs = (
+        q_dedup_embed_lsh_scaled(spark, sf_dir)
+        .select(
+            F.col("vec_id_a").alias("doc_id_a"),
+            F.col("vec_id_b").alias("doc_id_b"),
+        )
+        .localCheckpoint()
+    )
+    clusters = _cluster_over_pairs(spark, pairs, materialized=True)
+    return _survivor_over_clusters(spark, sf_dir, clusters)
 
 
 _BUCKET_CAP = 40  # max docs per (lang, band, bucket) before it's "boilerplate"

@@ -435,12 +435,30 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(v: DataFrame, c: DataFrame) -> DataFrame:
+    """The IVF index BUILD: every corpus vector coarse-quantizes to its
+    single nearest centroid (cosine, cid-ascending tie-break) — one
+    broadcast join + one per-vector argmin window. At 100 TB this runs
+    once and persists; q_sim_ivf_persisted exercises exactly that."""
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
 def _ivf_search(
     spark: SparkSession,
     sf_dir: str,
     nprobe: int,
     meta: DataFrame | None = None,
     max_centroids: int = _IVF_MAX_CENTROIDS,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF-Flat search core: corpus vectors coarse-quantize to
     their single nearest centroid (an inverted list is disjoint by
@@ -453,19 +471,16 @@ def _ivf_search(
     that pass a metadata predicate: when given, the inverted lists are
     PRE-filtered to qualifying members before scoring (hybrid search
     inside the index — q_sim_hybrid's semantics composed with the
-    bucketed scale path) and ``lang`` rides into the output."""
+    bucketed scale path) and ``lang`` rides into the output.
+
+    ``assign`` (optional) is a prebuilt (vec_id, cid) inverted-index
+    frame — the PERSISTED-index deployment path (q_sim_ivf_persisted)
+    passes the parquet read-back here so the build cost is visibly
+    amortizable; when omitted the assignment is computed in-plan."""
     v = _vecs(spark, sf_dir)
     c = _centroids(v, max_centroids)
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
-    )
-    assign = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    if assign is None:
+        assign = _ivf_assign(v, c)
     p = v.where(_PROBE_FILTER).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
@@ -621,6 +636,57 @@ def q_sim_ivf_kscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vecs(spark, sf_dir)
     k = math.ceil(math.sqrt(v.count()))
     return _ivf_search(spark, sf_dir, nprobe=1, max_centroids=k)
+
+
+@register(
+    "q_sim_ivf_persisted",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                           c.cid ASC) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
+    scored AS (
+      SELECT p.probe_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, nv.e) AS cos_raw,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_cosine_similarity(p.pe, nv.e) DESC,
+                                         n.vec_id ASC) AS rank_pos
+      FROM p
+      JOIN assign pa ON pa.vec_id = p.probe_id
+      JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
+      JOIN v nv      ON nv.vec_id = n.vec_id)
+    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_IVF_K}
+    """,
+)
+def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF DEPLOYMENT split made a checked op: BUILD the inverted
+    index (one coarse-quantization pass), PERSIST it to parquet exactly
+    as a production index build would, then SEARCH against the
+    read-back — so the amortize-the-build story the in-plan variants
+    argue in prose is an executed, hash-verified path. The search
+    reads (vec_id, cid) from storage: any query batch thereafter pays
+    only O(batch·n/K) search, never the O(n·K) assignment, and the
+    persisted index is partition-prunable by cell id if written
+    partitionBy(cid) at real scale. Values are identical to q_sim_ivf
+    by construction (same centroids, same deterministic argmin), which
+    the shared oracle pins — a persistence round-trip that corrupted
+    one assignment would hash-red."""
+    import os
+
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v)
+    path = f"/tmp/spark_graft_ivf_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    _ivf_assign(v, c).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    return _ivf_search(spark, sf_dir, nprobe=1, assign=index)
 
 
 _NPROBE = 2

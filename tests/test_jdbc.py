@@ -429,3 +429,36 @@ def test_copy_with_schema_scripts_defaults_and_identity(spark):
     }
     assert rows["d"][1] == "info"
     assert rows["d"][0] is not None and rows["d"][0] not in {rows["a"][0], rows["b"][0], rows["c"][0]}
+
+
+def test_introspect_composite_index_order_and_direction(spark):
+    """Composite indexes must introspect with ORDINAL column order and
+    per-column ASC/DESC, and script back preserving both — ix(a, b DESC)
+    scripted as ix(b, a) or all-ASC is a silently weaker index on the
+    copy (r7, schema_introspect_indexes' unit twin)."""
+    from copy_databasetables_spark.sources.introspect import (
+        introspect_jdbc_table,
+        script_indexes,
+    )
+
+    url = DERBY.format(n="meta_comp")
+    _exec(spark, url, [
+        "CREATE TABLE gadgets ("
+        " g_id BIGINT NOT NULL,"
+        " g_cat VARCHAR(10),"
+        " g_price DOUBLE,"
+        " CONSTRAINT pk_gadgets PRIMARY KEY (g_id))",
+        "CREATE INDEX ix_cat_price ON gadgets (g_cat, g_price DESC)",
+        "CREATE INDEX ix_price_cat ON gadgets (g_price, g_cat)",
+    ])
+    meta = introspect_jdbc_table(spark, url, "gadgets")
+    by_name = {ix.name.lower(): ix for ix in meta.indexes}
+    assert by_name["ix_cat_price"].columns == ["g_cat", "g_price"]
+    assert by_name["ix_cat_price"].descending == [False, True]
+    assert by_name["ix_cat_price"].spec() == "g_cat asc,g_price desc"
+    # same columns, opposite order: a distinct index that must stay so
+    assert by_name["ix_price_cat"].columns == ["g_price", "g_cat"]
+    assert by_name["ix_price_cat"].descending == [False, False]
+    ddl = "\n".join(script_indexes(meta, "gadgets2"))
+    assert "CREATE INDEX ix_cat_price_c ON gadgets2 (g_cat, g_price DESC)" in ddl
+    assert "CREATE INDEX ix_price_cat_c ON gadgets2 (g_price, g_cat)" in ddl

@@ -1290,3 +1290,40 @@ def test_survivor_pagerank_one_keeper_with_max_rank(spark):
         best = min(members, key=lambda r: (-r["pr"], r["doc_id"]))
         assert keepers[0]["doc_id"] == best["doc_id"]
         assert all(r["n_members"] == len(members) for r in members)
+
+
+def test_semantic_dedup_chain_is_consistent(spark):
+    """The r7 embedding-side chain: cluster membership must be exactly
+    the vertex set of the scaled-LSH pair graph, and the survivor twin
+    must keep exactly one member per cluster — the longest document
+    (vec_id = doc_id 1:1), min id on ties."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    pairs = qs["q_dedup_embed_lsh_scaled"](spark, sf).collect()
+    vertices = {r["vec_id_a"] for r in pairs} | {r["vec_id_b"] for r in pairs}
+    clusters = qs["q_dedup_cluster_embed"](spark, sf).collect()
+    assert {r["vec_id"] for r in clusters} == vertices
+    # both endpoints of every pair share a cluster label
+    label = {r["vec_id"]: r["cluster_id"] for r in clusters}
+    for p in pairs:
+        assert label[p["vec_id_a"]] == label[p["vec_id_b"]], p
+
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    rows = qs["q_dedup_survivor_embed"](spark, sf).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster, "no semantic clusters at sf0.001?"
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1, (cid, keeps)
+        best = min(members, key=lambda r: (-chars[r["doc_id"]], r["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
