@@ -581,6 +581,104 @@ def q_schema_introspect_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_introspect_triggers",
+    oracle="""
+    SELECT kind, detail FROM (VALUES
+      ('trigger', 'trg_audit_c:AFTER INSERT ROW NEW=N'),
+      ('items_rows', '25'),
+      ('audit_rows_after_copy', '2'),
+      ('live_audit_row', '9001|7'),
+      ('audit_rows_after_insert', '3')) AS t(kind, detail)
+    """,
+)
+def q_schema_introspect_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMO-Scripter TRIGGER parity (the upstream Scripter's Triggers
+    option [U]; Derby's SYS.SYSTRIGGERS stands in for sys.triggers):
+    build a source where an AFTER INSERT row trigger on ``items``
+    writes an audit row; schema-fidelity-copy BOTH tables; then prove
+    (a) the TARGET catalog scripts the trigger back (event, timing,
+    granularity, REFERENCING alias), (b) the copy reproduced the
+    source's STATE without replaying history — the copied audit table
+    has exactly the source's rows, NOT one new row per bulk-loaded
+    item, because triggers are applied after every load — and (c) the
+    copied trigger is LIVE: one post-copy insert into the target
+    produces exactly one new audit row with the triggered values."""
+    from copy_databasetables_spark.sources.introspect import (
+        copy_tables_jdbc_with_schema,
+        drop_table_if_exists,
+        drop_triggers_if_exist,
+        execute_ddl,
+        introspect_triggers,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec, JdbcWriteSpec
+
+    src_url = _derby_url(sf_dir, "trg_src")
+    dst_url = _derby_url(sf_dir, "trg_dst")
+    drop_triggers_if_exist(spark, src_url, "items_t")
+    drop_table_if_exists(spark, src_url, "audit_t")
+    drop_table_if_exists(spark, src_url, "items_t")
+    execute_ddl(spark, src_url, [
+        "CREATE TABLE items_t (i_id BIGINT NOT NULL, i_qty INTEGER,"
+        " CONSTRAINT pk_items_t PRIMARY KEY (i_id))",
+        "CREATE TABLE audit_t (a_item BIGINT, a_qty INTEGER)",
+        # seed audit history BEFORE the trigger exists so the copy can
+        # prove it moves state, not replayed events
+        "INSERT INTO audit_t VALUES (1, 1), (2, 2)",
+        "CREATE TRIGGER trg_audit AFTER INSERT ON items_t"
+        " REFERENCING NEW AS N FOR EACH ROW"
+        " INSERT INTO audit_t VALUES (N.i_id, N.i_qty)",
+    ])
+    items = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("i_id"),
+            F.col("n_regionkey").cast("int").alias("i_qty"),
+        )
+    )
+    # loading the SOURCE fires its trigger once per row — expected
+    # there; the copy must NOT fire it again on the target load.
+    execute_ddl(spark, src_url, ["DROP TRIGGER trg_audit"])
+    JdbcWriteSpec(url=src_url, table="items_t", mode="append").save(items)
+    execute_ddl(spark, src_url, [
+        "CREATE TRIGGER trg_audit AFTER INSERT ON items_t"
+        " REFERENCING NEW AS N FOR EACH ROW"
+        " INSERT INTO audit_t VALUES (N.i_id, N.i_qty)",
+    ])
+    copy_tables_jdbc_with_schema(spark, src_url, dst_url, ["audit_t", "items_t"])
+
+    trgs = introspect_triggers(spark, dst_url, "items_t")
+    rows = [
+        (
+            "trigger",
+            f"{t.name.lower()}:"
+            f"{'AFTER' if t.firing_time == 'A' else 'BEFORE'} "
+            f"{ {'I': 'INSERT', 'U': 'UPDATE', 'D': 'DELETE'}[t.event] } "
+            f"{'ROW' if t.row_level else 'STATEMENT'} "
+            f"NEW={t.new_referencing_name}",
+        )
+        for t in trgs
+    ]
+    n_items = JdbcReadSpec(url=dst_url, table="items_t").load(spark).count()
+    rows.append(("items_rows", str(n_items)))
+    n_audit = JdbcReadSpec(url=dst_url, table="audit_t").load(spark).count()
+    rows.append(("audit_rows_after_copy", str(n_audit)))
+    # live proof: the copied trigger fires on the target
+    execute_ddl(spark, dst_url, ["INSERT INTO items_t VALUES (9001, 7)"])
+    live = (
+        JdbcReadSpec(
+            url=dst_url,
+            query="SELECT a_item, a_qty FROM audit_t WHERE a_item = 9001",
+        )
+        .load(spark)
+        .collect()[0]
+    )
+    rows.append(("live_audit_row", f"{live['A_ITEM']}|{live['A_QTY']}"))
+    n_audit2 = JdbcReadSpec(url=dst_url, table="audit_t").load(spark).count()
+    rows.append(("audit_rows_after_insert", str(n_audit2)))
+    return spark.createDataFrame(rows, "kind string, detail string")
+
+
+@register(
     "src_orc_roundtrip",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

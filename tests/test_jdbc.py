@@ -462,3 +462,45 @@ def test_introspect_composite_index_order_and_direction(spark):
     ddl = "\n".join(script_indexes(meta, "gadgets2"))
     assert "CREATE INDEX ix_cat_price_c ON gadgets2 (g_cat, g_price DESC)" in ddl
     assert "CREATE INDEX ix_price_cat_c ON gadgets2 (g_price, g_cat)" in ddl
+
+
+def test_trigger_introspect_and_script_round_trip(spark):
+    """TriggerMeta: SYS.SYSTRIGGERS introspection captures event,
+    timing, granularity and REFERENCING alias; the scripted DDL
+    replays on a second database and the replayed trigger FIRES (r7,
+    schema_introspect_triggers' unit twin)."""
+    from copy_databasetables_spark.sources.introspect import (
+        drop_table_if_exists,
+        drop_triggers_if_exist,
+        execute_ddl,
+        introspect_triggers,
+        script_triggers,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec
+
+    src = DERBY.format(n="trig_unit_src")
+    dst = DERBY.format(n="trig_unit_dst")
+    for url in (src, dst):
+        drop_triggers_if_exist(spark, url, "tt")
+        drop_table_if_exists(spark, url, "tt_log")
+        drop_table_if_exists(spark, url, "tt")
+        execute_ddl(spark, url, [
+            "CREATE TABLE tt (t_id BIGINT NOT NULL)",
+            "CREATE TABLE tt_log (l_id BIGINT)",
+        ])
+    execute_ddl(spark, src, [
+        "CREATE TRIGGER trg_tt AFTER INSERT ON tt REFERENCING NEW AS NR"
+        " FOR EACH ROW INSERT INTO tt_log VALUES (NR.t_id)",
+    ])
+    (t,) = introspect_triggers(spark, src, "tt")
+    assert (t.event, t.firing_time, t.row_level) == ("I", "A", True)
+    assert t.new_referencing_name == "NR" and t.old_referencing_name is None
+    ddl = script_triggers([t])
+    assert ddl == [
+        "CREATE TRIGGER trg_tt_c AFTER INSERT ON tt REFERENCING NEW AS NR "
+        'FOR EACH ROW INSERT INTO "APP"."TT_LOG" VALUES (NR.t_id)'
+    ]
+    execute_ddl(spark, dst, ddl)
+    execute_ddl(spark, dst, ["INSERT INTO tt VALUES (77)"])
+    logged = JdbcReadSpec(url=dst, table="tt_log").load(spark).collect()
+    assert [r["L_ID"] for r in logged] == [77]
