@@ -8,7 +8,8 @@ copy options), re-expressed over Spark:
 
     # database→database (the reference's native shape): both endpoints
     # jdbc: URLs — schema-fidelity copy (DDL/PK/indexes/defaults/
-    # identity/FKs scripted and applied, rows bulk-loaded in between)
+    # identity/FKs/triggers scripted and applied, rows bulk-loaded in
+    # between)
     python -m copy_databasetables_spark \
         --source jdbc:derby:/tmp/src --target "jdbc:derby:/tmp/dst;create=true" \
         --tables dept emp
@@ -289,7 +290,9 @@ def main(argv: list[str] | None = None) -> int:
     # JDBC→JDBC mode: both endpoints are jdbc: URLs — the reference's
     # native shape (database to database). Tables are copied with full
     # schema fidelity: scripted DDL (types, NOT NULL, PK, defaults,
-    # identity), bulk load, secondary indexes, then FKs after all loads.
+    # identity), bulk load, secondary indexes, then FKs and triggers
+    # after all loads (triggers last: the copy must reproduce state,
+    # never replay per-row trigger actions during the load).
     if (args.source or "").startswith("jdbc:") or (args.target or "").startswith("jdbc:"):
         if not (args.source.startswith("jdbc:") and args.target.startswith("jdbc:")):
             print("FAILED: --source and --target must both be jdbc: URLs", file=sys.stderr)

@@ -61,8 +61,8 @@ _loaded = False
 #: "Next round" item 4): lead with the keys NEW this round (never
 #: driver-checked), then ALL 38 keys whose last driver attestation is
 #: CORRECTNESS_r02.json (the stalest cohort — scalar funcs, setops
-#: intersect/except, and the §2.10/§2.11 originals), then the first 5
-#: (alphabetical) of the 45 r4-era keys; the remaining 40 r4 keys roll
+#: intersect/except, and the §2.10/§2.11 originals), then the first 3
+#: (alphabetical) of the 45 r4-era keys; the remaining 42 r4 keys roll
 #: to round 8. Keys NOT listed keep registration order after these;
 #: keys already driver-checked in any prior round sort last.
 DRIVER_WINDOW: list[str] = [
@@ -74,6 +74,8 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_survivor_embed",
     "q_sim_ivf_persisted",
     "schema_introspect_triggers",
+    "q_agg_kll_mergeable",
+    "q_agg_theta_overlap",
     # stalest cohort: last attested in CORRECTNESS_r02.json (all 38)
     "q_dedup_exact",
     "q_dedup_near",
@@ -113,12 +115,10 @@ DRIVER_WINDOW: list[str] = [
     "q_higher_order",
     "q_json_funcs",
     "q_map_funcs",
-    # next-stalest: first 5 of the 45 keys last attested in r4
+    # next-stalest: first 3 of the 45 keys last attested in r4
     "copy_table_bucketed",
     "copy_table_compact",
     "copy_table_incremental",
-    "copy_table_merge",
-    "q_agg_bool",
 ]
 
 def _prior_driver_green() -> set[str]:

@@ -745,6 +745,147 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KLL verdict band on NORMALIZED RANK (the error KLL actually bounds —
+#: value-space error depends on the local density, rank error doesn't).
+#: DataSketches k=200 gives ~1.65% rank error at 99% confidence; 0.05 is
+#: ~3× that, so a correctly functioning sketch fails with vanishing
+#: probability even though KLL compaction is randomized per run.
+_KLL_RANK_TOL = 0.05
+
+
+@register(
+    "q_agg_kll_mergeable",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_median,
+           COUNT(*) AS n_events,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-PERCENTILE rollup — q_agg_hll_mergeable's design for
+    quantiles: a daily job reduces each (event_type, day) to one
+    fixed-size DataSketches KLL sketch; the reporting query merges
+    ~days×types sketches (``kll_merge_agg_double``) and reads any
+    quantile WITHOUT re-scanning raw events — the same pre-aggregated
+    sketch table answers p50/p95/p99 over any day range at O(sketch
+    table) cost. At 100 TB this replaces a full-corpus sort-based
+    percentile per report with a metadata-sized merge.
+
+    Sketch bytes and the KLL estimate are randomized (compaction coin
+    flips), so the hash-checkable output is the EXACT median plus an
+    in-query verdict that the merged estimate's exact normalized rank
+    lands within ±0.05 of 0.5 — rank is what KLL bounds (~1.65% at
+    k=200), so the band is ~3σ; the oracle emits TRUE from the exact
+    side, the same pattern as the HLL verdicts."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("double")
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("v").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("sk"), F.lit(0.5)
+        ).alias("est_median")
+    )
+    return (
+        ev.join(F.broadcast(merged), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("v", 0.5), 4).alias("exact_median"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.abs(
+                    F.avg(
+                        F.when(F.col("v") <= F.col("est_median"), 1.0).otherwise(
+                            0.0
+                        )
+                    )
+                    - 0.5
+                )
+                <= _KLL_RANK_TOL
+            ).alias("within_tol"),
+        )
+    )
+
+
+#: Theta-intersection verdict band: theta sketches are EXACT below the
+#: default nominal entries (4096) — the regime every gate SF sits in —
+#: and ~1.6% rsd above it; intersection error grows with the
+#: union/intersection ratio, so the band is generous (10% + floor).
+_THETA_TOL = 0.10
+
+
+@register(
+    "q_agg_theta_overlap",
+    oracle="""
+    WITH ue AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS exact_overlap,
+           TRUE AS within_tol
+    FROM ue a JOIN ue b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_agg_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based SET-OVERLAP estimation — the corpus-comparison tool
+    at 100 TB: one theta sketch per corpus slice (fixed bytes each),
+    then ``theta_intersection`` estimates |A∩B| distinct members for
+    ANY pair WITHOUT joining the underlying data — estimating
+    train∩benchmark user (or n-gram) overlap between two 100 TB
+    corpora becomes an exchange of kilobyte sketches instead of a
+    cross-corpus shuffle. Theta extends the HLL design (union-only)
+    with intersection/difference algebra.
+
+    The hash-checkable output is the EXACT pairwise overlap (one
+    distinct-pair self-join — affordable at gate scale, the quantity
+    the sketch replaces at real scale) plus the verdict that the
+    sketch estimate lands within 10% (floor 5): theta hashing is
+    deterministic, and below the default 4096 nominal entries — every
+    gate SF — the sketch is EXACT, so the verdict is stable."""
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("th"))
+    est = (
+        th.select(F.col("event_type").alias("type_a"), F.col("th").alias("tha"))
+        .join(
+            th.select(F.col("event_type").alias("type_b"), F.col("th").alias("thb")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection("tha", "thb")
+            ).alias("est_overlap"),
+        )
+    )
+    ue = ev.select("event_type", "user_id").distinct()
+    exact = (
+        ue.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            ue.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b")),
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return exact.join(F.broadcast(est), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("est_overlap").cast("double") - F.col("exact_overlap"))
+            <= F.greatest(
+                F.lit(5.0), F.lit(_THETA_TOL) * F.col("exact_overlap").cast("double")
+            )
+        ).alias("within_tol"),
+    )
+
+
 @register(
     "q_agg_mode",
     oracle="""

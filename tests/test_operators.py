@@ -1327,3 +1327,46 @@ def test_semantic_dedup_chain_is_consistent(spark):
         assert len(keeps) == 1, (cid, keeps)
         best = min(members, key=lambda r: (-chars[r["doc_id"]], r["doc_id"]))
         assert keeps[0]["doc_id"] == best["doc_id"]
+
+
+def test_kll_merged_sketch_preserves_count_and_rank(spark):
+    """The mergeable-percentile design: the merged daily KLL sketches
+    must carry the FULL corpus weight (get_n equals the exact per-group
+    row count — merge drops nothing), and the op's rank verdict must be
+    TRUE for every group."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.aggregates import q_agg_kll_mergeable
+    from tests.conftest import SF_SMOKE
+
+    rows = q_agg_kll_mergeable(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_tol"] for r in rows)
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "v", F.col("value").cast("double")
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("v").alias("sk")
+    )
+    merged_n = {
+        r["event_type"]: r["n"]
+        for r in daily.groupBy("event_type")
+        .agg(F.kll_sketch_get_n_double(F.kll_merge_agg_double("sk")).alias("n"))
+        .collect()
+    }
+    exact_n = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert merged_n == exact_n
+
+
+def test_theta_intersection_exact_below_nominal_entries(spark):
+    """Below the default 4096 nominal entries a theta sketch holds every
+    hashed key, so the intersection ESTIMATE must equal the exact
+    overlap exactly — the regime every gate SF sits in (and the reason
+    the op's verdict band can never flap there)."""
+    from copy_databasetables_spark.operators.aggregates import q_agg_theta_overlap
+    from tests.conftest import SF_SMOKE
+
+    rows = q_agg_theta_overlap(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_tol"] for r in rows)
