@@ -797,10 +797,15 @@ def q_agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("v", 0.5), 4).alias("exact_median"),
             F.count(F.lit(1)).alias("n_events"),
             (
+                # rank indicator over NON-NULL values only (avg skips the
+                # NULL branch): the sketch and F.percentile both ignore
+                # NULL v, so scoring a NULL as "above median" would skew
+                # the measured rank by the null fraction and flip the
+                # verdict red on perfectly healthy sketches
                 F.abs(
                     F.avg(
-                        F.when(F.col("v") <= F.col("est_median"), 1.0).otherwise(
-                            0.0
+                        F.when(F.col("v") <= F.col("est_median"), 1.0).when(
+                            F.col("v").isNotNull(), 0.0
                         )
                     )
                     - 0.5

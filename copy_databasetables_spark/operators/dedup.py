@@ -839,11 +839,15 @@ def _rhp_oracle(cap: int | None) -> str:
     """
 
 
-def _rhp_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared sign-LSH banding: embeddings → (vec_id, e, nrm, band,
-    bucket) — one row per (vector, band)."""
+def _rhp_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (vec_id, e, nrm) base frame both banding variants sketch
+    over — also the pair-verify stage's vector side: a clean NARROW
+    scan, so callers never have to reconstruct per-vector rows by
+    dedup-shuffling a band-exploded frame (the r7 review finding:
+    that dedup pushed bands × ~1 KB vector rows through an exchange
+    the second scan avoids entirely)."""
     norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    v = (
+    return (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
@@ -851,8 +855,13 @@ def _rhp_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
         )
         .withColumn("nrm", norm)
-        .withColumn("bits", F.expr(_RHP_BITS))
     )
+
+
+def _rhp_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sign-LSH banding: embeddings → (vec_id, e, nrm, band,
+    bucket) — one row per (vector, band)."""
+    v = _rhp_vecs(spark, sf_dir).withColumn("bits", F.expr(_RHP_BITS))
     return v.select(
         "vec_id",
         "e",
@@ -870,11 +879,12 @@ def _rhp_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rhp_pairs(keyed: DataFrame) -> DataFrame:
+def _rhp_pairs(keyed: DataFrame, vecs: DataFrame) -> DataFrame:
     """Shared candidate-pair + verify stage over a (possibly capped)
     keyed frame: (band, bucket) equi-join over ID-ONLY rows, id-pair
-    dedup, THEN two equi-joins pull the vectors back in for the exact
-    cosine and τ filter.
+    dedup, THEN two equi-joins against ``vecs`` (the _rhp_vecs base
+    scan — a superset of keyed's vectors is fine, the cand ids filter
+    it) pull the vectors back in for the exact cosine and τ filter.
 
     The candidate join and its dedup shuffle carry 16-byte id pairs —
     the r6 formulation selected both 64-dim vectors through the band
@@ -885,7 +895,6 @@ def _rhp_pairs(keyed: DataFrame) -> DataFrame:
     twice at 16 bytes/row plus one corpus-sized vector build side.
     Measured at the 200k-vector decade (q_dedup_embed_lsh_scaled):
     127 s → 24.9 s, alpha 0.83 → 0.44 (SCALE.md)."""
-    vecs = keyed.select("vec_id", "e", "nrm").dropDuplicates(["vec_id"])
     a = keyed.select(F.col("vec_id").alias("vec_id_a"), "band", "bucket")
     b = keyed.select(
         F.col("vec_id").alias("vec_id_b"),
@@ -959,7 +968,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     production corpora should use ``q_dedup_embed_lsh_scaled`` (bucket
     width grows ~log₂ n with the corpus — candidate density stays flat)
     or ``q_dedup_embed_lsh_capped`` (hard per-bucket nomination cap)."""
-    return _rhp_pairs(_rhp_keyed(spark, sf_dir))
+    return _rhp_pairs(_rhp_keyed(spark, sf_dir), _rhp_vecs(spark, sf_dir))
 
 
 # --- corpus-scaled sign-LSH (q_dedup_embed_lsh_scaled) --------------------
@@ -1018,17 +1027,7 @@ def _rhp_scaled_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus — no driver round-trip; each band's bits occupy a
     fixed 16-slot stripe of the 64-bit sketch and the bucket key is the
     stripe's w-prefix."""
-    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    v = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-        )
-        .withColumn("nrm", norm)
-        .withColumn("bits", F.expr(_RHP_SC_BITS))
-    )
+    v = _rhp_vecs(spark, sf_dir).withColumn("bits", F.expr(_RHP_SC_BITS))
     nn = v.agg(F.count(F.lit(1)).alias("n"))
     return (
         v.crossJoin(F.broadcast(nn))
@@ -1120,7 +1119,22 @@ def q_dedup_embed_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_dedup_embed_lsh_capped`` remains the belt-and-braces runtime
     guard for a mis-sized index; composing the cap over this keyed
     frame is one WindowGroupLimit if both are ever wanted."""
-    return _rhp_pairs(_rhp_scaled_keyed(spark, sf_dir))
+    return _rhp_pairs(_rhp_scaled_keyed(spark, sf_dir), _rhp_vecs(spark, sf_dir))
+
+
+def _scaled_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scaled-LSH pair graph as a checkpointed (doc_id_a, doc_id_b)
+    frame — the single pair source both semantic-dedup compositions
+    iterate over (vec ids double as doc ids: embeddings ⋈ documents is
+    1:1 by construction, TESTDATA.md)."""
+    return (
+        q_dedup_embed_lsh_scaled(spark, sf_dir)
+        .select(
+            F.col("vec_id_a").alias("doc_id_a"),
+            F.col("vec_id_b").alias("doc_id_b"),
+        )
+        .localCheckpoint()
+    )
 
 
 @register(
@@ -1145,14 +1159,7 @@ def q_dedup_cluster_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the exact-cosine verify gate (τ with argmin gaps far
     above ulp noise) makes the pair set — and therefore the exact
     min-label fixpoint — identical in both engines."""
-    pairs = (
-        q_dedup_embed_lsh_scaled(spark, sf_dir)
-        .select(
-            F.col("vec_id_a").alias("doc_id_a"),
-            F.col("vec_id_b").alias("doc_id_b"),
-        )
-        .localCheckpoint()
-    )
+    pairs = _scaled_pair_frame(spark, sf_dir)
     return _cluster_over_pairs(spark, pairs, materialized=True).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "n_members"
     )
@@ -1183,14 +1190,7 @@ def q_dedup_survivor_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair source swapped from token MinHash to corpus-scaled
     sign-LSH: the full chain a SemDeDup-style pipeline ships (embed →
     scaled-LSH candidates → exact-cosine verify → CC → quality pick)."""
-    pairs = (
-        q_dedup_embed_lsh_scaled(spark, sf_dir)
-        .select(
-            F.col("vec_id_a").alias("doc_id_a"),
-            F.col("vec_id_b").alias("doc_id_b"),
-        )
-        .localCheckpoint()
-    )
+    pairs = _scaled_pair_frame(spark, sf_dir)
     clusters = _cluster_over_pairs(spark, pairs, materialized=True)
     return _survivor_over_clusters(spark, sf_dir, clusters)
 
@@ -1807,7 +1807,9 @@ def q_dedup_embed_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _EMB_BUCKET_CAP)
         .drop("rn")
     )
-    return _rhp_pairs(capped)
+    # vector side = the UNCAPPED base scan (superset of capped's ids —
+    # the cand-id joins filter it); never rebuilt from the capped frame
+    return _rhp_pairs(capped, _rhp_vecs(spark, sf_dir))
 
 
 _PR_D = 0.85  # damping — single source for BOTH engines' literals

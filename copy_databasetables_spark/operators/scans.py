@@ -635,8 +635,11 @@ def q_schema_introspect_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").cast("int").alias("i_qty"),
         )
     )
-    # loading the SOURCE fires its trigger once per row — expected
-    # there; the copy must NOT fire it again on the target load.
+    # drop the trigger around the SOURCE seed load so it does NOT
+    # append one audit row per seeded item: the audit table must hold
+    # exactly the 2-row history the oracle pins, making any per-row
+    # replay during the TARGET bulk load (the bug the trigger-last
+    # ordering prevents) visible as a count mismatch.
     execute_ddl(spark, src_url, ["DROP TRIGGER trg_audit"])
     JdbcWriteSpec(url=src_url, table="items_t", mode="append").save(items)
     execute_ddl(spark, src_url, [

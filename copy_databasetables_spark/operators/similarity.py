@@ -539,11 +539,15 @@ def _ivf_search(
     )
 
 
-@register(
-    "q_sim_ivf",
-    oracle=f"""
+def _ivf_oracle(c_cte: str) -> str:
+    """Single source for every nprobe=1 IVF-search oracle: the
+    assign/probe/score SQL is identical across the fixed-K, K=⌈√n⌉ and
+    persisted variants — only the centroid CTE differs, so only it is
+    a parameter (the _RHP_SC_CANDS move; edits to the search-leg SQL
+    can no longer drift one variant's gate)."""
+    return f"""
     WITH v AS ({_V_SQL}),
-    c AS ({_C_SQL}),
+    c AS ({c_cte}),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
@@ -565,8 +569,20 @@ def _ivf_search(
       JOIN v nv      ON nv.vec_id = n.vec_id)
     SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_IVF_K}
-    """,
-)
+    """
+
+
+#: K = ⌈√n⌉ centroid CTE (the kscaled variant's only oracle delta).
+_KSCALED_C_SQL = f"""SELECT cid, ce FROM (
+            SELECT vec_id AS cid, e AS ce,
+                   row_number() OVER (ORDER BY vec_id ASC) AS rn
+            FROM v WHERE {_CENTROID_FILTER})
+          CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kk
+                      FROM v)
+          WHERE rn <= kk"""
+
+
+@register("q_sim_ivf", oracle=_ivf_oracle(_C_SQL))
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN, nprobe=1: coarse-quantize every vector to its
     nearest of a FIXED ``_IVF_MAX_CENTROIDS`` deterministic centroids
@@ -579,40 +595,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, nprobe=1)
 
 
-@register(
-    "q_sim_ivf_kscaled",
-    oracle=f"""
-    WITH v AS ({_V_SQL}),
-    c AS (SELECT cid, ce FROM (
-            SELECT vec_id AS cid, e AS ce,
-                   row_number() OVER (ORDER BY vec_id ASC) AS rn
-            FROM v WHERE {_CENTROID_FILTER})
-          CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kk
-                      FROM v)
-          WHERE rn <= kk),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
-                                           c.cid ASC) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1),
-    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
-    scored AS (
-      SELECT p.probe_id, n.vec_id AS neighbor_id,
-             list_cosine_similarity(p.pe, nv.e) AS cos_raw,
-             row_number() OVER (PARTITION BY p.probe_id
-                                ORDER BY list_cosine_similarity(p.pe, nv.e) DESC,
-                                         n.vec_id ASC) AS rank_pos
-      FROM p
-      JOIN assign pa ON pa.vec_id = p.probe_id
-      JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
-      JOIN v nv      ON nv.vec_id = n.vec_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
-    FROM scored WHERE rank_pos <= {_IVF_K}
-    """,
-)
+@register("q_sim_ivf_kscaled", oracle=_ivf_oracle(_KSCALED_C_SQL))
 def q_sim_ivf_kscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_sim_ivf with the documented K-growth knob actually turned:
     K = ⌈√n⌉ centroids instead of the fixed 32. With K ~ √n the
@@ -638,34 +621,7 @@ def q_sim_ivf_kscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, nprobe=1, max_centroids=k)
 
 
-@register(
-    "q_sim_ivf_persisted",
-    oracle=f"""
-    WITH v AS ({_V_SQL}),
-    c AS ({_C_SQL}),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
-                                           c.cid ASC) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1),
-    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
-    scored AS (
-      SELECT p.probe_id, n.vec_id AS neighbor_id,
-             list_cosine_similarity(p.pe, nv.e) AS cos_raw,
-             row_number() OVER (PARTITION BY p.probe_id
-                                ORDER BY list_cosine_similarity(p.pe, nv.e) DESC,
-                                         n.vec_id ASC) AS rank_pos
-      FROM p
-      JOIN assign pa ON pa.vec_id = p.probe_id
-      JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
-      JOIN v nv      ON nv.vec_id = n.vec_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
-    FROM scored WHERE rank_pos <= {_IVF_K}
-    """,
-)
+@register("q_sim_ivf_persisted", oracle=_ivf_oracle(_C_SQL))
 def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF DEPLOYMENT split made a checked op: BUILD the inverted
     index (one coarse-quantization pass), PERSIST it to parquet exactly
@@ -683,7 +639,14 @@ def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vecs(spark, sf_dir)
     c = _centroids(v)
-    path = f"/tmp/spark_graft_ivf_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    # per-process path (the _derby_url convention): two concurrent runs
+    # at the same SF must not race one shared index directory — an
+    # overwrite mid-read in the other process would surface as a
+    # FileNotFound or a partial index
+    path = (
+        "/tmp/spark_graft_ivf_index/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
     _ivf_assign(v, c).write.mode("overwrite").parquet(path)
     index = spark.read.parquet(path)
     return _ivf_search(spark, sf_dir, nprobe=1, assign=index)

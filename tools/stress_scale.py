@@ -134,6 +134,7 @@ def ivf_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
         _IVF_MAX_CENTROIDS,
         _centroids,
         _cosine_pre,
+        _ivf_assign,
         _vecs,
     )
 
@@ -144,22 +145,12 @@ def ivf_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
         ("fixed_k", _IVF_MAX_CENTROIDS),
         ("sqrt_k", m.ceil(m.sqrt(n))),
     ]:
-        c = _centroids(v, k)
-        aw = Window.partitionBy("vec_id").orderBy(
-            F.col("cos_c").desc(), F.col("cid").asc()
-        )
         idx_path = f"{out_base}/ivf_index_{kname}"
-        # index BUILD (unmeasured): assign every vector to its cell,
-        # persist — the amortized one-time cost this A/B factors out.
-        (
-            v.crossJoin(F.broadcast(c))
-            .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
-            .withColumn("rn", F.row_number().over(aw))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid")
-            .write.mode("overwrite")
-            .parquet(idx_path)
-        )
+        # index BUILD (unmeasured): the production _ivf_assign body —
+        # NOT a local re-implementation, so the A/B always measures the
+        # index q_sim_ivf* actually build — persisted, the amortized
+        # one-time cost this A/B factors out.
+        _ivf_assign(v, _centroids(v, k)).write.mode("overwrite").parquet(idx_path)
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
