@@ -894,7 +894,8 @@ def _rhp_pairs(keyed: DataFrame, vecs: DataFrame) -> DataFrame:
     two vector sides after the dedup shuffles the collapsed pair list
     twice at 16 bytes/row plus one corpus-sized vector build side.
     Measured at the 200k-vector decade (q_dedup_embed_lsh_scaled):
-    127 s → 24.9 s, alpha 0.83 → 0.44 (SCALE.md)."""
+    127 s → 24.9 s (id-lean dedup) → 17.8 s (vector side from the
+    _rhp_vecs scan), alpha 0.83 → 0.44 (SCALE.md)."""
     a = keyed.select(F.col("vec_id").alias("vec_id_a"), "band", "bucket")
     b = keyed.select(
         F.col("vec_id").alias("vec_id_b"),
