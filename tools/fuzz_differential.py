@@ -1,0 +1,458 @@
+"""Seeded differential query fuzzer — generated plans, two engines, one AST.
+
+The fixed oracle registry (tools/check.py) proves 192 hand-written
+queries agree between Spark and DuckDB; this tool probes the space
+BETWEEN those points. Each seed deterministically generates a small
+query AST (scan → filter → project / group-agg / join-agg / top-k) and
+emits BOTH executions from the same tree:
+
+  * a PySpark DataFrame plan (``GenQuery.build``), and
+  * the equivalent ANSI SQL run by DuckDB (``GenQuery.sql``),
+
+then compares them with the exact comparator the correctness gate uses
+(``check.compare``: column names + order-insensitive canonical multiset).
+A divergence is either an engine-semantics trap (null ordering, count
+distinct, date truncation...) or a generator bug — both worth knowing.
+
+Cross-engine exactness rules (the same discipline the registry uses):
+
+  * double SUMs go through the repo's cents idiom
+    ``FLOOR(x * 100 + 0.5) :: BIGINT`` — identical IEEE arithmetic on
+    both sides, associative bigint accumulation after it;
+  * DuckDB ``SUM(BIGINT)`` returns HUGEINT (which ``.df()`` would
+    silently float) — every generated SUM is wrapped in
+    ``CAST(... AS BIGINT)``;
+  * ORDER BY is only ever used under LIMIT, always over ALL projected
+    columns with explicit ``ASC NULLS FIRST`` on both engines (Spark's
+    default; DuckDB's is NULLS LAST), making the sorted tuple sequence
+    unique and the LIMIT-k multiset deterministic;
+  * numeric/timestamp literals are DuckDB-sampled quantiles of the
+    actual column at the target SF, so predicates stay selective at any
+    scale factor while remaining deterministic per (seed, sf).
+
+Usage:
+    python tools/fuzz_differential.py                 # seeds 0..49 at sf0.001
+    python tools/fuzz_differential.py --seeds 200 --sf sf0.01
+    python tools/fuzz_differential.py --seed-list 7 13 42 --show
+
+Scale note (100 TB): the generated plans are ordinary declarative
+DataFrame queries — filters and projections push into the parquet scan,
+aggregates are two-phase, joins are FK equi-joins Catalyst is free to
+broadcast. The fuzzer exercises the same code paths the operator
+library rides; nothing here collects more than the bounded (≤ limit or
+≤ group-count) result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from copy_databasetables_spark.io import load_table  # noqa: E402
+
+# ---------------------------------------------------------------- metadata
+
+#: Typed column inventory (FIXTURES.md schemas). "lowcard" strings are
+#: safe for sampled equality/IN predicates and group keys; high-card
+#: strings (names) are only probed with LIKE.
+META = {
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "doubles": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "lowcard": ["l_returnflag", "l_linestatus"],
+        "likeable": ["l_returnflag"],
+        "ts": ["l_shipdate"],
+    },
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "doubles": ["o_totalprice"],
+        "lowcard": ["o_orderstatus", "o_orderpriority"],
+        "likeable": ["o_orderpriority"],
+        "ts": ["o_orderdate"],
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "doubles": ["c_acctbal"],
+        "lowcard": ["c_mktsegment"],
+        "likeable": ["c_name"],
+        "ts": [],
+    },
+    "part": {
+        "ints": ["p_partkey", "p_size"],
+        "doubles": ["p_retailprice"],
+        "lowcard": ["p_brand"],
+        "likeable": ["p_type", "p_name"],
+        "ts": [],
+    },
+    "supplier": {
+        "ints": ["s_suppkey", "s_nationkey"],
+        "doubles": ["s_acctbal"],
+        "lowcard": [],
+        "likeable": ["s_name"],
+        "ts": [],
+    },
+}
+
+#: FK equi-join pairs (fact, dim, fact_key, dim_key).
+JOINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
+_NUM_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+_QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+class Expr:
+    """One projected/compared expression, emitted for both engines."""
+
+    def __init__(self, col, sql: str):
+        self.col = col  # pyspark Column
+        self.sql = sql  # DuckDB SQL text
+
+
+class GenQuery:
+    def __init__(self, seed: int, shape: str, table: str, sql: str, builder):
+        self.seed = seed
+        self.shape = shape
+        self.table = table
+        self.sql = sql
+        self._builder = builder
+
+    def build(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        return self._builder(spark, sf_dir)
+
+
+class Gen:
+    """Deterministic query generator: one instance per (sf_dir, duckdb con).
+
+    Literal sampling runs tiny DuckDB aggregates once per (table, col)
+    and caches them, so a 200-seed sweep issues a handful of scans.
+    """
+
+    def __init__(self, con, sf_dir: str):
+        self.con = con
+        self.sf_dir = sf_dir
+        self._lit_cache: dict[tuple[str, str, float], object] = {}
+        self._distinct_cache: dict[tuple[str, str], list] = {}
+
+    # ----------------------------------------------------------- sampling
+
+    def _quantile(self, table: str, col: str, q: float):
+        key = (table, col, q)
+        if key not in self._lit_cache:
+            (v,) = self.con.execute(
+                f"SELECT quantile_cont({col}, {q}) FROM {table}"
+            ).fetchone()
+            self._lit_cache[key] = v
+        return self._lit_cache[key]
+
+    def _distinct(self, table: str, col: str) -> list:
+        key = (table, col)
+        if key not in self._distinct_cache:
+            rows = self.con.execute(
+                f"SELECT DISTINCT {col} FROM {table} WHERE {col} IS NOT NULL "
+                f"ORDER BY {col} LIMIT 40"
+            ).fetchall()
+            self._distinct_cache[key] = [r[0] for r in rows]
+        return self._distinct_cache[key]
+
+    # --------------------------------------------------------- predicates
+
+    def _pred_atom(self, rng: random.Random, table: str) -> Expr:
+        m = META[table]
+        kind = rng.choice(["num", "num", "str", "mod", "ts"] if m["ts"] else
+                          ["num", "num", "str", "mod"])
+        if kind == "num":
+            col = rng.choice(m["doubles"] + m["ints"])
+            op = rng.choice(_NUM_OPS)
+            v = self._quantile(table, col, rng.choice(_QUANTILES))
+            if col in m["ints"]:
+                v = int(v)
+                lit_sql = str(v)
+            else:
+                v = float(v)
+                lit_sql = repr(v)
+            c = F.col(col)
+            ops = {
+                "<": c < v, "<=": c <= v, ">": c > v,
+                ">=": c >= v, "=": c == v, "<>": c != v,
+            }
+            return Expr(ops[op], f"{col} {op} {lit_sql}")
+        if kind == "mod":
+            col = rng.choice(m["ints"])
+            k = rng.randint(2, 9)
+            r = rng.randrange(k)
+            return Expr(F.col(col) % k == r, f"{col} % {k} = {r}")
+        if kind == "ts":
+            col = rng.choice(m["ts"])
+            op = rng.choice(["<", ">="])
+            v = self._quantile(table, col, rng.choice(_QUANTILES))
+            iso = v.isoformat(sep=" ")
+            c = F.col(col)
+            cond = c < F.lit(iso).cast("timestamp") if op == "<" else (
+                c >= F.lit(iso).cast("timestamp"))
+            return Expr(cond, f"{col} {op} TIMESTAMP '{iso}'")
+        # string predicate
+        if m["lowcard"] and rng.random() < 0.7:
+            col = rng.choice(m["lowcard"])
+            vals = self._distinct(table, col)
+            if vals:
+                pick = rng.sample(vals, k=min(len(vals), rng.randint(1, 3)))
+                in_sql = ", ".join("'" + v.replace("'", "''") + "'" for v in pick)
+                return Expr(F.col(col).isin(pick), f"{col} IN ({in_sql})")
+        col = rng.choice(m["likeable"])
+        pat = "%" + "".join(rng.choice("aeionrst") for _ in range(rng.randint(1, 2))) + "%"
+        return Expr(F.col(col).like(pat), f"{col} LIKE '{pat}'")
+
+    def _predicate(self, rng: random.Random, table: str) -> Expr:
+        # Bias toward single atoms and OR-combination: stacked ANDs of
+        # quantile predicates go near-empty at small SFs, and an empty
+        # result only exercises the schema comparison.
+        n = 1 if rng.random() < 0.5 else rng.randint(2, 3)
+        atoms = [self._pred_atom(rng, table) for _ in range(n)]
+        expr = atoms[0]
+        for nxt in atoms[1:]:
+            if rng.random() < 0.35:
+                expr = Expr(expr.col & nxt.col, f"({expr.sql}) AND ({nxt.sql})")
+            else:
+                expr = Expr(expr.col | nxt.col, f"({expr.sql}) OR ({nxt.sql})")
+        return expr
+
+    # --------------------------------------------------------- aggregates
+
+    def _aggs(self, rng: random.Random, tables: list[str], n: int) -> list[Expr]:
+        out = [Expr(F.count(F.lit(1)).cast("bigint").alias("agg0"),
+                    "CAST(COUNT(*) AS BIGINT) AS agg0")]
+        for i in range(1, n):
+            table = rng.choice(tables)
+            m = META[table]
+            kind = rng.choice(["sum_int", "cents", "minmax", "cdist"])
+            name = f"agg{i}"
+            if kind == "sum_int":
+                col = rng.choice(m["ints"])
+                out.append(Expr(
+                    F.sum(col).cast("bigint").alias(name),
+                    f"CAST(SUM({col}) AS BIGINT) AS {name}"))
+            elif kind == "cents":
+                col = rng.choice(m["doubles"])
+                out.append(Expr(
+                    F.sum(F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint"))
+                    .cast("bigint").alias(name),
+                    f"CAST(SUM(CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+                    f" AS {name}"))
+            elif kind == "minmax":
+                col = rng.choice(m["ints"] + m["doubles"] + m["lowcard"] + m["ts"])
+                fn = rng.choice(["min", "max"])
+                out.append(Expr(
+                    getattr(F, fn)(col).alias(name), f"{fn.upper()}({col}) AS {name}"))
+            else:
+                col = rng.choice(m["ints"] + m["lowcard"])
+                out.append(Expr(
+                    F.count_distinct(F.col(col)).cast("bigint").alias(name),
+                    f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS {name}"))
+        return out
+
+    def _group_keys(self, rng: random.Random, table: str, n: int) -> list[Expr]:
+        m, keys, used = META[table], [], set()
+        for i in range(n):
+            name = f"k{i}"
+            kind = rng.choice(
+                ["str", "mod", "ts"] if m["ts"] and m["lowcard"]
+                else (["str", "mod"] if m["lowcard"] else ["mod"]))
+            if kind == "str":
+                col = rng.choice(m["lowcard"])
+                if col in used:
+                    kind = "mod"
+                else:
+                    used.add(col)
+                    keys.append(Expr(F.col(col).alias(name), f"{col} AS {name}"))
+                    continue
+            if kind == "ts":
+                col = rng.choice(m["ts"])
+                keys.append(Expr(
+                    F.date_trunc("month", F.col(col)).alias(name),
+                    f"date_trunc('month', {col}) AS {name}"))
+                continue
+            col = rng.choice(m["ints"])
+            k = rng.randint(2, 12)
+            keys.append(Expr((F.col(col) % k).alias(name), f"{col} % {k} AS {name}"))
+        return keys
+
+    # ------------------------------------------------------------- shapes
+
+    def generate(self, seed: int) -> GenQuery:
+        rng = random.Random(seed)
+        shape = rng.choice(["filter_topk", "group_agg", "join_agg", "join_topk"])
+        if shape == "filter_topk":
+            return self._gen_filter_topk(rng, seed)
+        if shape == "group_agg":
+            return self._gen_group_agg(rng, seed)
+        if shape == "join_agg":
+            return self._gen_join_agg(rng, seed)
+        return self._gen_join_topk(rng, seed)
+
+    def _topk_tail(self, colnames: list[str], k: int) -> str:
+        order = ", ".join(f"{c} ASC NULLS FIRST" for c in colnames)
+        return f" ORDER BY {order} LIMIT {k}"
+
+    def _spark_topk(self, df: DataFrame, colnames: list[str], k: int) -> DataFrame:
+        return df.orderBy(*[F.col(c).asc_nulls_first() for c in colnames]).limit(k)
+
+    def _gen_filter_topk(self, rng: random.Random, seed: int) -> GenQuery:
+        table = rng.choice(list(META))
+        m = META[table]
+        pred = self._predicate(rng, table)
+        pool = m["ints"] + m["doubles"] + m["lowcard"] + m["ts"]
+        cols = rng.sample(pool, k=min(len(pool), rng.randint(2, 4)))
+        k = rng.choice([10, 25, 100])
+        sql = (f"SELECT {', '.join(cols)} FROM {table} WHERE {pred.sql}"
+               + self._topk_tail(cols, k))
+
+        def build(spark, sf_dir, table=table, pred=pred, cols=cols, k=k):
+            df = load_table(spark, sf_dir, table).where(pred.col).select(*cols)
+            return self._spark_topk(df, cols, k)
+
+        return GenQuery(seed, "filter_topk", table, sql, build)
+
+    def _gen_group_agg(self, rng: random.Random, seed: int) -> GenQuery:
+        table = rng.choice(list(META))
+        pred = self._predicate(rng, table)
+        keys = self._group_keys(rng, table, rng.randint(1, 2))
+        aggs = self._aggs(rng, [table], rng.randint(2, 4))
+        having = rng.random() < 0.4
+        key_sql = ", ".join(e.sql for e in keys)
+        key_names = ", ".join(f"k{i}" for i in range(len(keys)))
+        agg_sql = ", ".join(e.sql for e in aggs)
+        sql = (f"SELECT {key_sql}, {agg_sql} FROM {table} WHERE {pred.sql} "
+               f"GROUP BY {key_names}")
+        if having:
+            sql += " HAVING CAST(COUNT(*) AS BIGINT) > 2"
+
+        def build(spark, sf_dir, table=table, pred=pred, keys=keys, aggs=aggs,
+                  having=having):
+            df = (load_table(spark, sf_dir, table).where(pred.col)
+                  .groupBy(*[e.col for e in keys]).agg(*[e.col for e in aggs]))
+            if having:
+                df = df.where(F.col("agg0") > 2)
+            return df
+
+        return GenQuery(seed, "group_agg", table, sql, build)
+
+    def _join_base(self, rng: random.Random):
+        fact, dim, fk, dk = rng.choice(JOINS)
+        fpred = self._predicate(rng, fact)
+        dpred = self._predicate(rng, dim)
+        join_sql = (f"(SELECT * FROM {fact} WHERE {fpred.sql}) f "
+                    f"JOIN (SELECT * FROM {dim} WHERE {dpred.sql}) d "
+                    f"ON f.{fk} = d.{dk}")
+        return fact, dim, fk, dk, fpred, dpred, join_sql
+
+    def _gen_join_agg(self, rng: random.Random, seed: int) -> GenQuery:
+        fact, dim, fk, dk, fpred, dpred, join_sql = self._join_base(rng)
+        keys = self._group_keys(rng, dim, 1)
+        aggs = self._aggs(rng, [fact], rng.randint(2, 3))
+        sql = (f"SELECT {keys[0].sql}, {', '.join(e.sql for e in aggs)} "
+               f"FROM {join_sql} GROUP BY k0")
+
+        def build(spark, sf_dir, fact=fact, dim=dim, fk=fk, dk=dk,
+                  fpred=fpred, dpred=dpred, keys=keys, aggs=aggs):
+            f_df = load_table(spark, sf_dir, fact).where(fpred.col)
+            d_df = load_table(spark, sf_dir, dim).where(dpred.col)
+            return (f_df.join(d_df, f_df[fk] == d_df[dk], "inner")
+                    .groupBy(keys[0].col).agg(*[e.col for e in aggs]))
+
+        return GenQuery(seed, "join_agg", f"{fact}*{dim}", sql, build)
+
+    def _gen_join_topk(self, rng: random.Random, seed: int) -> GenQuery:
+        fact, dim, fk, dk, fpred, dpred, join_sql = self._join_base(rng)
+        fm, dm = META[fact], META[dim]
+        fcols = rng.sample(fm["ints"] + fm["doubles"],
+                           k=min(3, rng.randint(2, 3)))
+        dpool = [c for c in dm["ints"] + dm["lowcard"] if c != dk]
+        dcols = rng.sample(dpool, k=min(len(dpool), rng.randint(1, 2)))
+        cols = fcols + dcols
+        k = rng.choice([10, 50])
+        sel = ", ".join(f"f.{c}" for c in fcols) + ", " + ", ".join(
+            f"d.{c}" for c in dcols)
+        sql = f"SELECT {sel} FROM {join_sql}" + self._topk_tail(cols, k)
+
+        def build(spark, sf_dir, fact=fact, dim=dim, fk=fk, dk=dk,
+                  fpred=fpred, dpred=dpred, fcols=fcols, dcols=dcols,
+                  cols=cols, k=k):
+            f_df = load_table(spark, sf_dir, fact).where(fpred.col)
+            d_df = load_table(spark, sf_dir, dim).where(dpred.col)
+            j = f_df.join(d_df, f_df[fk] == d_df[dk], "inner").select(
+                *[f_df[c] for c in fcols], *[d_df[c] for c in dcols])
+            return self._spark_topk(j, cols, k)
+
+        return GenQuery(seed, "join_topk", f"{fact}*{dim}", sql, build)
+
+
+# ------------------------------------------------------------------ driver
+
+
+def run_seed(gen: Gen, q: GenQuery, spark, con, show: bool = False) -> list[str]:
+    """Run one generated query on both engines; return problem list."""
+    import check
+
+    sdf = q.build(spark, gen.sf_dir).toPandas()
+    ddf = con.execute(q.sql).df()
+    problems = check.compare(sdf, ddf)
+    if show or problems:
+        print(f"  shape={q.shape} table={q.table} rows={len(sdf)}")
+        print(f"  sql: {q.sql}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="sf0.001")
+    ap.add_argument("--seeds", type=int, default=50,
+                    help="run seeds 0..N-1 (default 50)")
+    ap.add_argument("--seed-list", type=int, nargs="*", default=None)
+    ap.add_argument("--show", action="store_true")
+    args = ap.parse_args()
+
+    import check
+    from copy_databasetables_spark import get_spark
+
+    sf_dir = f"/root/testdata/{args.sf}"
+    con = check.duck_connect(sf_dir)
+    spark = get_spark("fuzz", shuffle_partitions=8)
+    gen = Gen(con, sf_dir)
+
+    seeds = args.seed_list if args.seed_list is not None else range(args.seeds)
+    passed, failed = 0, []
+    for seed in seeds:
+        q = gen.generate(seed)
+        try:
+            problems = run_seed(gen, q, spark, con, show=args.show)
+        except Exception as e:  # generator or engine raise = a failure too
+            problems = [f"raised: {e!r}"]
+            print(f"  sql: {q.sql}")
+        if problems:
+            failed.append(seed)
+            print(f"FAIL seed={seed}")
+            for p in problems:
+                print(f"  {p}")
+        else:
+            passed += 1
+    print(f"\n{passed} passed, {len(failed)} failed"
+          + (f" (failed seeds: {failed})" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
