@@ -27,10 +27,10 @@ import fuzz_differential as fz  # noqa: E402
 
 from tests.conftest import SF_SMOKE
 
-#: One pinned band of seeds; spans all four shapes (verified by the
-#: shape-coverage test below, so a generator change that collapses the
-#: mix is caught rather than silently narrowing the gate).
-SEEDS = list(range(24))
+#: One pinned band of seeds; spans every generator shape (verified by
+#: the shape-coverage test below, so a generator change that collapses
+#: the mix is caught rather than silently narrowing the gate).
+SEEDS = list(range(28))
 
 
 @pytest.fixture(scope="module")
@@ -45,7 +45,7 @@ def test_pinned_seed_band_spans_all_shapes(spark, fuzz_ctx):
     # spark fixture needed: AST construction builds pyspark Columns.
     gen, _ = fuzz_ctx
     shapes = {gen.generate(s).shape for s in SEEDS}
-    assert shapes == {"filter_topk", "group_agg", "join_agg", "join_topk"}
+    assert shapes == set(fz.Gen.SHAPES)
 
 
 @pytest.mark.parametrize("seed", SEEDS)

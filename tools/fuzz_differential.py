@@ -110,6 +110,16 @@ JOINS = [
     ("orders", "customer", "o_custkey", "c_custkey"),
 ]
 
+#: Unique-row tiebreak columns per table (PKs), for deterministic
+#: within-partition window ordering.
+PK = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+
 _NUM_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 _QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9]
 
@@ -290,18 +300,69 @@ class Gen:
             keys.append(Expr((F.col(col) % k).alias(name), f"{col} % {k} AS {name}"))
         return keys
 
+    # ----------------------------------------------------- scalar exprs
+
+    def _scalar_expr(self, rng: random.Random, table: str, name: str) -> Expr:
+        """One computed projection column — the scalar-function surface
+        (string ops, date parts, integer arithmetic, CASE) where engine
+        semantics most often quietly diverge. Only constructs with
+        identical cross-engine semantics on THIS data are generated:
+        integer div/mod operands are non-negative (Spark `div` truncates
+        toward zero, DuckDB `//` floors — equal only for non-negatives),
+        SUBSTR is 1-based in both, both LENGTHs count chars."""
+        m = META[table]
+        kinds = ["upper", "substr", "length", "arith", "case", "coalesce"]
+        if m["ts"]:
+            kinds.append("datepart")
+        kind = rng.choice(kinds)
+        if kind == "datepart":
+            col = rng.choice(m["ts"])
+            part = rng.choice(["year", "month", "day"])
+            return Expr(
+                getattr(F, part)(col).cast("bigint").alias(name),
+                f"CAST(EXTRACT({part.upper()} FROM {col}) AS BIGINT) AS {name}")
+        strpool = m["lowcard"] + m["likeable"]
+        if kind == "upper":
+            col = rng.choice(strpool)
+            fn = rng.choice([("upper", F.upper), ("lower", F.lower)])
+            return Expr(fn[1](col).alias(name), f"{fn[0].upper()}({col}) AS {name}")
+        if kind == "substr":
+            col = rng.choice(strpool)
+            pos, ln = rng.randint(1, 3), rng.randint(1, 4)
+            return Expr(F.substring(col, pos, ln).alias(name),
+                        f"SUBSTR({col}, {pos}, {ln}) AS {name}")
+        if kind == "length":
+            col = rng.choice(strpool)
+            return Expr(F.length(col).cast("bigint").alias(name),
+                        f"CAST(LENGTH({col}) AS BIGINT) AS {name}")
+        if kind == "arith":
+            a, b = rng.choice(m["ints"]), rng.choice(m["ints"])
+            d, k = rng.randint(2, 13), rng.randint(2, 7)
+            return Expr(
+                (F.expr(f"{a} div {d}") + F.col(b) % k).cast("bigint").alias(name),
+                f"CAST({a} // {d} + {b} % {k} AS BIGINT) AS {name}")
+        if kind == "case":
+            col = rng.choice(m["doubles"])
+            v = self._quantile(table, col, rng.choice(_QUANTILES))
+            return Expr(
+                F.when(F.col(col) > float(v), F.lit("hi"))
+                .when(F.col(col) > float(v) / 2, F.lit("mid"))
+                .otherwise(F.lit("lo")).alias(name),
+                f"CASE WHEN {col} > {v!r} THEN 'hi' "
+                f"WHEN {col} > {v / 2!r} THEN 'mid' ELSE 'lo' END AS {name}")
+        col = rng.choice(strpool)
+        return Expr(F.coalesce(F.col(col), F.lit("<none>")).alias(name),
+                    f"COALESCE({col}, '<none>') AS {name}")
+
     # ------------------------------------------------------------- shapes
+
+    SHAPES = ["filter_topk", "group_agg", "join_agg", "join_topk",
+              "scalar_topk", "setop", "window_rank"]
 
     def generate(self, seed: int) -> GenQuery:
         rng = random.Random(seed)
-        shape = rng.choice(["filter_topk", "group_agg", "join_agg", "join_topk"])
-        if shape == "filter_topk":
-            return self._gen_filter_topk(rng, seed)
-        if shape == "group_agg":
-            return self._gen_group_agg(rng, seed)
-        if shape == "join_agg":
-            return self._gen_join_agg(rng, seed)
-        return self._gen_join_topk(rng, seed)
+        shape = rng.choice(self.SHAPES)
+        return getattr(self, f"_gen_{shape}")(rng, seed)
 
     def _topk_tail(self, colnames: list[str], k: int) -> str:
         order = ", ".join(f"{c} ASC NULLS FIRST" for c in colnames)
@@ -349,6 +410,89 @@ class Gen:
             return df
 
         return GenQuery(seed, "group_agg", table, sql, build)
+
+    def _gen_scalar_topk(self, rng: random.Random, seed: int) -> GenQuery:
+        """Computed projections over a filtered scan: the scalar-function
+        differential surface."""
+        table = rng.choice(list(META))
+        pred = self._predicate(rng, table)
+        nexpr = rng.randint(2, 4)
+        exprs = [self._scalar_expr(rng, table, f"c{i}") for i in range(nexpr)]
+        names = [f"c{i}" for i in range(nexpr)]
+        k = rng.choice([10, 25, 100])
+        sql = (f"SELECT {', '.join(e.sql for e in exprs)} FROM {table} "
+               f"WHERE {pred.sql}" + self._topk_tail(names, k))
+
+        def build(spark, sf_dir, table=table, pred=pred, exprs=exprs,
+                  names=names, k=k):
+            df = (load_table(spark, sf_dir, table).where(pred.col)
+                  .select(*[e.col for e in exprs]))
+            return self._spark_topk(df, names, k)
+
+        return GenQuery(seed, "scalar_topk", table, sql, build)
+
+    def _gen_setop(self, rng: random.Random, seed: int) -> GenQuery:
+        """UNION ALL / EXCEPT ALL / INTERSECT ALL of two predicate slices
+        of one table — bag semantics must agree row-for-row."""
+        table = rng.choice(list(META))
+        m = META[table]
+        p1 = self._predicate(rng, table)
+        p2 = self._predicate(rng, table)
+        pool = m["ints"] + m["lowcard"]
+        cols = rng.sample(pool, k=min(len(pool), rng.randint(2, 3)))
+        op = rng.choice(["UNION ALL", "EXCEPT ALL", "INTERSECT ALL"])
+        k = rng.choice([25, 100])
+        sel = ", ".join(cols)
+        sql = (f"SELECT * FROM (SELECT {sel} FROM {table} WHERE {p1.sql} "
+               f"{op} SELECT {sel} FROM {table} WHERE {p2.sql})"
+               + self._topk_tail(cols, k))
+
+        def build(spark, sf_dir, table=table, p1=p1, p2=p2, cols=cols,
+                  op=op, k=k):
+            t = load_table(spark, sf_dir, table)
+            a = t.where(p1.col).select(*cols)
+            b = t.where(p2.col).select(*cols)
+            if op == "UNION ALL":
+                df = a.unionByName(b)
+            elif op == "EXCEPT ALL":
+                df = a.exceptAll(b)
+            else:
+                df = a.intersectAll(b)
+            return self._spark_topk(df, cols, k)
+
+        return GenQuery(seed, "setop", table, sql, build)
+
+    def _gen_window_rank(self, rng: random.Random, seed: int) -> GenQuery:
+        """ROW_NUMBER/RANK/DENSE_RANK per group with a full-tuple (PK
+        tiebroken) ORDER — deterministic in both engines — filtered to
+        the top-m rows per partition."""
+        from pyspark.sql import Window
+
+        table = rng.choice([t for t in META if META[t]["lowcard"]])
+        m = META[table]
+        part = rng.choice(m["lowcard"])
+        order_col = rng.choice(m["ints"] + m["doubles"])
+        fn_name, fn = rng.choice(
+            [("row_number", F.row_number), ("rank", F.rank),
+             ("dense_rank", F.dense_rank)])
+        top_m = rng.randint(2, 5)
+        order_cols = [order_col] + [c for c in PK[table] if c != order_col]
+        out_cols = [part] + order_cols
+        order_sql = ", ".join(f"{c} ASC NULLS FIRST" for c in order_cols)
+        sel = ", ".join(out_cols)
+        sql = (f"SELECT * FROM (SELECT {sel}, CAST({fn_name.upper()}() OVER "
+               f"(PARTITION BY {part} ORDER BY {order_sql}) AS BIGINT) AS rn "
+               f"FROM {table}) WHERE rn <= {top_m}")
+
+        def build(spark, sf_dir, table=table, part=part, fn=fn,
+                  order_cols=order_cols, out_cols=out_cols, top_m=top_m):
+            w = Window.partitionBy(part).orderBy(
+                *[F.col(c).asc_nulls_first() for c in order_cols])
+            return (load_table(spark, sf_dir, table)
+                    .select(*out_cols, fn().over(w).cast("bigint").alias("rn"))
+                    .where(F.col("rn") <= top_m))
+
+        return GenQuery(seed, "window_rank", table, sql, build)
 
     def _join_base(self, rng: random.Random):
         fact, dim, fk, dk = rng.choice(JOINS)
