@@ -176,14 +176,28 @@ def events_ts_kind(path: str) -> str:
     surfaces it under nanosAsLong, which Spark needs because it has no
     nanosecond timestamp type) — or for a raw int64 nanos column;
     ``"timestamp"`` for µs/ms TIMESTAMP columns Spark reads natively.
-    Footer-only read, cached per (path, mtime)."""
+    Footer-only read, cached per (path, mtime). The path may be either
+    a single parquet FILE (the driver testdata layout) or a
+    Spark-written parquet DIRECTORY (the production layout — e.g. the
+    stress harness's blown-up events); for a directory the footer of
+    any one part file is authoritative, since one write produced all
+    parts with one schema."""
     key = f"{path}:{os.path.getmtime(path)}"
     kind = _TS_KIND_CACHE.get(key)
     if kind is None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.read_schema(path).field("ts").type
+        footer_path = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if not parts:
+                raise FileNotFoundError(f"no parquet part files under {path}")
+            footer_path = os.path.join(path, parts[0])
+        t = pq.read_schema(footer_path).field("ts").type
         is_nanos = pa.types.is_timestamp(t) and t.unit == "ns"
         kind = "long" if (pa.types.is_integer(t) or is_nanos) else "timestamp"
         _TS_KIND_CACHE[key] = kind

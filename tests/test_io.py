@@ -166,6 +166,23 @@ def test_loader_branch_handles_both_ts_encodings(spark, tmp_path):
     assert got_ns == want, got_ns
 
 
+def test_events_loader_handles_directory_parquet(spark, tmp_path):
+    """events.parquet as a Spark-written DIRECTORY (the production
+    layout, and what the stress harness's blowup emits) must load
+    identically to the single-file layout: the footer sniff picks a
+    part file instead of trying to open the directory (r7 fix — the
+    events blowup previously crashed the loader)."""
+    src = load_table(spark, SF_SMOKE, "events").limit(50)
+    d = str(tmp_path / "evdir")
+    src.write.parquet(f"{d}/events.parquet")
+    assert events_ts_kind(f"{d}/events.parquet") == "timestamp"
+    reread = load_table(spark, d, "events")
+    assert reread.count() == 50
+    assert [f.name for f in reread.schema.fields] == [
+        f.name for f in src.schema.fields
+    ]
+
+
 def test_loaded_events_in_documented_range(spark):
     """Loaded-data drift guard: the events table spans January 2024
     (TESTDATA.md). If a regeneration changes the ts physical encoding

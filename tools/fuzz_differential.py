@@ -100,6 +100,27 @@ META = {
         "likeable": ["s_name"],
         "ts": [],
     },
+    # events.ts may be physically TIMESTAMP(NANOS) (io.py's encoding
+    # branch): Spark reads it floor-truncated to µs while DuckDB keeps
+    # ns. Second-aligned comparison literals are floor-consistent under
+    # both encodings (floor_us(x) OP T ⟺ x OP T for aligned T), but
+    # MIN/MAX would surface the raw ns digits — ts_exact=False keeps
+    # ts out of the minmax agg pool for this table only.
+    "events": {
+        "ints": ["event_id", "user_id"],
+        "doubles": ["value"],
+        "lowcard": ["event_type"],
+        "likeable": ["props"],
+        "ts": ["ts"],
+        "ts_exact": False,
+    },
+    "documents": {
+        "ints": ["doc_id", "n_chars"],
+        "doubles": [],
+        "lowcard": ["lang", "source"],
+        "likeable": ["text"],
+        "ts": [],
+    },
 }
 
 #: FK equi-join pairs (fact, dim, fact_key, dim_key).
@@ -118,6 +139,8 @@ PK = {
     "customer": ["c_custkey"],
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
 }
 
 _NUM_OPS = ["<", "<=", ">", ">=", "=", "<>"]
@@ -209,7 +232,10 @@ class Gen:
             col = rng.choice(m["ts"])
             op = rng.choice(["<", ">="])
             v = self._quantile(table, col, rng.choice(_QUANTILES))
-            iso = v.isoformat(sep=" ")
+            # Second-aligned literal: floor-consistent even when the
+            # physical encoding is ns on one side and µs on the other
+            # (see the events META note).
+            iso = v.isoformat(sep=" ")[:19]
             c = F.col(col)
             cond = c < F.lit(iso).cast("timestamp") if op == "<" else (
                 c >= F.lit(iso).cast("timestamp"))
@@ -249,6 +275,8 @@ class Gen:
             table = rng.choice(tables)
             m = META[table]
             kind = rng.choice(["sum_int", "cents", "minmax", "cdist"])
+            if kind == "cents" and not m["doubles"]:
+                kind = "sum_int"
             name = f"agg{i}"
             if kind == "sum_int":
                 col = rng.choice(m["ints"])
@@ -263,7 +291,8 @@ class Gen:
                     f"CAST(SUM(CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)) AS BIGINT)"
                     f" AS {name}"))
             elif kind == "minmax":
-                col = rng.choice(m["ints"] + m["doubles"] + m["lowcard"] + m["ts"])
+                ts_pool = m["ts"] if m.get("ts_exact", True) else []
+                col = rng.choice(m["ints"] + m["doubles"] + m["lowcard"] + ts_pool)
                 fn = rng.choice(["min", "max"])
                 out.append(Expr(
                     getattr(F, fn)(col).alias(name), f"{fn.upper()}({col}) AS {name}"))
@@ -311,7 +340,9 @@ class Gen:
         toward zero, DuckDB `//` floors — equal only for non-negatives),
         SUBSTR is 1-based in both, both LENGTHs count chars."""
         m = META[table]
-        kinds = ["upper", "substr", "length", "arith", "case", "coalesce"]
+        kinds = ["upper", "substr", "length", "arith", "coalesce"]
+        if m["doubles"]:
+            kinds.append("case")
         if m["ts"]:
             kinds.append("datepart")
         kind = rng.choice(kinds)

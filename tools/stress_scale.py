@@ -105,8 +105,28 @@ def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> Non
     )
     blown_emb.coalesce(4).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
+    # events: copies with DISJOINT user-id spans — |distinct users|,
+    # the theta-sketch member count, and the per-user session graph all
+    # scale exactly ×copies (each copy's sessions are clones, never
+    # cross-copy merged); ts and value are untouched so the day
+    # partitioning (KLL rollup groups) and the value distribution
+    # (quantile targets) keep their shape while per-group row counts
+    # scale ×copies.
+    ev = load_table(spark, src_dir, "events")
+    n_ev = ev.count()
+    max_uid = ev.agg(F.max("user_id")).first()[0] + 1
+    blown_ev = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("copy").cast("long") * n_ev + F.col("event_id")).alias("event_id"),
+        "ts",
+        (F.col("copy").cast("long") * max_uid + F.col("user_id")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    blown_ev.coalesce(4).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
