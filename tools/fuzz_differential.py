@@ -280,9 +280,20 @@ class Gen:
             name = f"agg{i}"
             if kind == "sum_int":
                 col = rng.choice(m["ints"])
-                out.append(Expr(
-                    F.sum(col).cast("bigint").alias(name),
-                    f"CAST(SUM({col}) AS BIGINT) AS {name}"))
+                if rng.random() < 0.25:
+                    # Null-skipping SUM over injected nulls; an all-null
+                    # group must yield NULL (not 0) in both engines.
+                    k, r = rng.randint(2, 9), 0
+                    r = rng.randrange(k)
+                    out.append(Expr(
+                        F.sum(F.nullif(F.col(col) % k, F.lit(r)))
+                        .cast("bigint").alias(name),
+                        f"CAST(SUM(NULLIF({col} % {k}, {r})) AS BIGINT)"
+                        f" AS {name}"))
+                else:
+                    out.append(Expr(
+                        F.sum(col).cast("bigint").alias(name),
+                        f"CAST(SUM({col}) AS BIGINT) AS {name}"))
             elif kind == "cents":
                 col = rng.choice(m["doubles"])
                 out.append(Expr(
@@ -298,9 +309,20 @@ class Gen:
                     getattr(F, fn)(col).alias(name), f"{fn.upper()}({col}) AS {name}"))
             else:
                 col = rng.choice(m["ints"] + m["lowcard"])
-                out.append(Expr(
-                    F.count_distinct(F.col(col)).cast("bigint").alias(name),
-                    f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS {name}"))
+                if col in m["ints"] and rng.random() < 0.25:
+                    # COUNT(DISTINCT) must ignore injected nulls in
+                    # both engines.
+                    k = rng.randint(2, 9)
+                    r = rng.randrange(k)
+                    out.append(Expr(
+                        F.count_distinct(F.nullif(F.col(col) % k, F.lit(r)))
+                        .cast("bigint").alias(name),
+                        f"CAST(COUNT(DISTINCT NULLIF({col} % {k}, {r}))"
+                        f" AS BIGINT) AS {name}"))
+                else:
+                    out.append(Expr(
+                        F.count_distinct(F.col(col)).cast("bigint").alias(name),
+                        f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS {name}"))
         return out
 
     def _group_keys(self, rng: random.Random, table: str, n: int) -> list[Expr]:
@@ -316,7 +338,20 @@ class Gen:
                     kind = "mod"
                 else:
                     used.add(col)
-                    keys.append(Expr(F.col(col).alias(name), f"{col} AS {name}"))
+                    # The testdata is null-free, so ~1/3 of string keys
+                    # inject a NULL group via NULLIF on a sampled value
+                    # — probing null-group semantics (GROUP BY NULL is
+                    # one group in both engines) the raw data never
+                    # exercises.
+                    vals = self._distinct(table, col)
+                    if vals and rng.random() < 0.35:
+                        v = rng.choice(vals).replace("'", "''")
+                        keys.append(Expr(
+                            F.nullif(F.col(col), F.lit(v)).alias(name),
+                            f"NULLIF({col}, '{v}') AS {name}"))
+                    else:
+                        keys.append(Expr(F.col(col).alias(name),
+                                         f"{col} AS {name}"))
                     continue
             if kind == "ts":
                 col = rng.choice(m["ts"])
@@ -326,7 +361,16 @@ class Gen:
                 continue
             col = rng.choice(m["ints"])
             k = rng.randint(2, 12)
-            keys.append(Expr((F.col(col) % k).alias(name), f"{col} % {k} AS {name}"))
+            if rng.random() < 0.25:
+                r = rng.randrange(k)
+                # NULL int key: count/sum skip it, the group still
+                # exists — both engines must agree on both effects.
+                keys.append(Expr(
+                    F.nullif(F.col(col) % k, F.lit(r)).alias(name),
+                    f"NULLIF({col} % {k}, {r}) AS {name}"))
+            else:
+                keys.append(Expr((F.col(col) % k).alias(name),
+                                 f"{col} % {k} AS {name}"))
         return keys
 
     # ----------------------------------------------------- scalar exprs
@@ -382,6 +426,15 @@ class Gen:
                 f"CASE WHEN {col} > {v!r} THEN 'hi' "
                 f"WHEN {col} > {v / 2!r} THEN 'mid' ELSE 'lo' END AS {name}")
         col = rng.choice(strpool)
+        if col in m["lowcard"] and rng.random() < 0.4:
+            # NULLIF instead of COALESCE: emits real NULLs that then
+            # flow through the NULLS FIRST top-k order — null-ordering
+            # coverage the null-free testdata can't provide.
+            vals = self._distinct(table, col)
+            if vals:
+                v = rng.choice(vals).replace("'", "''")
+                return Expr(F.nullif(F.col(col), F.lit(v)).alias(name),
+                            f"NULLIF({col}, '{v}') AS {name}")
         return Expr(F.coalesce(F.col(col), F.lit("<none>")).alias(name),
                     f"COALESCE({col}, '<none>') AS {name}")
 
