@@ -54,3 +54,26 @@ def test_generated_query_agrees_across_engines(spark, fuzz_ctx, seed):
     q = gen.generate(seed)
     problems = fz.run_seed(gen, q, spark, con)
     assert problems == [], f"seed={seed} sql={q.sql}\n" + "\n".join(problems)
+
+
+def test_fuzz_harness_detects_a_real_divergence(spark, fuzz_ctx):
+    """Meta-test (tests/test_checker.py's philosophy applied to the
+    fuzz path): a deliberately divergent AST — Spark sorts ASC, the
+    SQL says DESC, under a LIMIT over distinct keys — MUST fail, or
+    the 0-failure sweeps prove nothing."""
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.io import load_table
+
+    gen, con = fuzz_ctx
+    sql = ("SELECT c_custkey FROM customer "
+           "ORDER BY c_custkey DESC NULLS FIRST LIMIT 5")
+
+    def build(spark_, sf_dir):
+        return (load_table(spark_, sf_dir, "customer")
+                .select("c_custkey")
+                .orderBy(F.col("c_custkey").asc_nulls_first())
+                .limit(5))
+
+    bad = fz.GenQuery(-1, "meta", "customer", sql, build)
+    assert fz.run_seed(gen, bad, spark, con) != []
