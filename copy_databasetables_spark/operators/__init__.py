@@ -67,6 +67,8 @@ _loaded = False
 #: keys already driver-checked in any prior round sort last.
 DRIVER_WINDOW: list[str] = [
     # new in round 7, never driver-checked
+    "q_text_strip_spans",
+    "q_corpus_drift",
     "q_dedup_embed_lsh_scaled",
     "q_sim_ivf_kscaled",
     "schema_introspect_indexes",

@@ -881,3 +881,149 @@ def q_assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rn")).alias("global_id"),
         )
     )
+
+
+def drift_report(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Generic two-snapshot drift report over (doc_id, source, n_chars)
+    frames: per source, document counts, added/removed ids, the L1
+    distance between length histograms, and mean lengths.
+
+    Cross-engine-exact by construction: the length bucket is
+    ``length(bin(n_chars)) - 1`` = floor(log2) computed on the binary
+    STRING — integer-exact in both engines, no float log boundary; the
+    L1 drift sums |bigint - bigint|; means are ROUND(bigint/bigint, 2)
+    (one double division of identical integers on each side).
+
+    Scale (100 TB): two scans; added/removed are doc_id anti-joins
+    (one shuffle each — at real scale the id sets would ride a bloom
+    prune, q_join_bloom_prune's pattern); histograms are per-(source,
+    bucket) partial aggregates — wire rows ≈ |sources|×64 buckets,
+    metadata-sized; the final per-source join is over |sources| rows."""
+    def hist(df):
+        return df.groupBy(
+            "source",
+            (F.length(F.bin(F.col("n_chars"))) - 1).alias("bkt"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    ha = hist(a).withColumnRenamed("cnt", "ca")
+    hb = hist(b).withColumnRenamed("cnt", "cb")
+    l1 = (
+        ha.join(hb, ["source", "bkt"], "full")
+        .select(
+            "source",
+            F.abs(
+                F.coalesce(F.col("ca"), F.lit(0))
+                - F.coalesce(F.col("cb"), F.lit(0))
+            ).alias("d"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d").alias("l1_len_drift"))
+    )
+    stats_a = a.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_a"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 2).alias("mean_nchars_a"),
+    )
+    stats_b = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_b"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 2).alias("mean_nchars_b"),
+    )
+    added = (
+        b.join(a.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("added"))
+    )
+    removed = (
+        a.join(b.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("removed"))
+    )
+    return (
+        stats_a.join(stats_b, "source", "full")
+        .join(added, "source", "left")
+        .join(removed, "source", "left")
+        .join(l1, "source", "left")
+        .select(
+            "source",
+            F.coalesce("docs_a", F.lit(0)).cast("bigint").alias("docs_a"),
+            F.coalesce("docs_b", F.lit(0)).cast("bigint").alias("docs_b"),
+            F.coalesce("added", F.lit(0)).cast("bigint").alias("added"),
+            F.coalesce("removed", F.lit(0)).cast("bigint").alias("removed"),
+            F.coalesce("l1_len_drift", F.lit(0)).cast("bigint").alias("l1_len_drift"),
+            "mean_nchars_a",
+            "mean_nchars_b",
+        )
+    )
+
+
+#: Deterministic day-2 snapshot for the checked drift op: every 7th doc
+#: deleted, every 5th re-ingested as a "new" doc (remapped id, +37
+#: chars — a length-distribution shift the histogram must see).
+_DRIFT_NEW_OFFSET = 1_000_000_000
+_DRIFT_LEN_SHIFT = 37
+
+
+@register(
+    "q_corpus_drift",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, source, n_chars FROM documents),
+    b AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + {_DRIFT_NEW_OFFSET}, source,
+             n_chars + {_DRIFT_LEN_SHIFT}
+      FROM documents WHERE doc_id % 5 = 0),
+    ha AS (SELECT source, length(bin(n_chars)) - 1 AS bkt, COUNT(*) AS ca
+           FROM a GROUP BY source, bkt),
+    hb AS (SELECT source, length(bin(n_chars)) - 1 AS bkt, COUNT(*) AS cb
+           FROM b GROUP BY source, bkt),
+    l1 AS (SELECT source,
+                  SUM(ABS(COALESCE(ca, 0) - COALESCE(cb, 0))) AS l1_len_drift
+           FROM ha FULL JOIN hb USING (source, bkt) GROUP BY source),
+    sa AS (SELECT source, COUNT(*) AS docs_a,
+                  ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 2) AS mean_nchars_a
+           FROM a GROUP BY source),
+    sb AS (SELECT source, COUNT(*) AS docs_b,
+                  ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 2) AS mean_nchars_b
+           FROM b GROUP BY source),
+    ad AS (SELECT source, COUNT(*) AS added FROM b
+           WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.doc_id = b.doc_id)
+           GROUP BY source),
+    rm AS (SELECT source, COUNT(*) AS removed FROM a
+           WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.doc_id = a.doc_id)
+           GROUP BY source)
+    SELECT source,
+           COALESCE(docs_a, 0)::BIGINT AS docs_a,
+           COALESCE(docs_b, 0)::BIGINT AS docs_b,
+           COALESCE(added, 0)::BIGINT AS added,
+           COALESCE(removed, 0)::BIGINT AS removed,
+           COALESCE(l1_len_drift, 0)::BIGINT AS l1_len_drift,
+           mean_nchars_a, mean_nchars_b
+    FROM sa FULL JOIN sb USING (source)
+         LEFT JOIN ad USING (source) LEFT JOIN rm USING (source)
+         LEFT JOIN l1 USING (source)
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus drift monitoring — the daily
+    data-quality readout a 100 TB ingest pipeline runs BEFORE training
+    on a refreshed corpus: per source, how many documents appeared /
+    disappeared, and whether the length DISTRIBUTION moved (L1 distance
+    between floor-log2 length histograms — a cheap, exact
+    total-variation proxy that catches a scraper suddenly emitting
+    truncated pages even when row counts look flat).
+
+    The checked op derives snapshot B from A deterministically (7th doc
+    deleted, 5th re-ingested with a remapped id and +37 chars) so both
+    engines see the same pair; ``drift_report`` itself is generic over
+    any two (doc_id, source, n_chars) frames — q_copy_diff answers
+    WHICH rows changed, this answers whether the corpus SHAPE moved."""
+    cols = ["doc_id", "source", "n_chars"]
+    a = load_table(spark, sf_dir, "documents").select(*cols)
+    b = a.where(F.col("doc_id") % 7 != 0).unionByName(
+        a.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + F.lit(_DRIFT_NEW_OFFSET)).alias("doc_id"),
+            "source",
+            (F.col("n_chars") + F.lit(_DRIFT_LEN_SHIFT)).alias("n_chars"),
+        )
+    )
+    return drift_report(a, b)

@@ -845,3 +845,125 @@ def q_text_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_pos") <= _BM25_BATCH_TOPN)
         .select("query_id", "doc_id", "bm25", "n_terms_hit", "rank_pos")
     )
+
+
+#: Span width shared with q_dedup_substring (dedup._SUBSTR_K) — the
+#: detection and removal halves must agree on what a "span" is.
+_STRIP_K = 8
+
+
+@register(
+    "q_text_strip_spans",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    spans AS MATERIALIZED (
+      SELECT doc_id, i,
+             {_D_H.format(x=f"array_to_string(list_slice(tok, i, i + {_STRIP_K} - 1), ' ')")} AS h
+      FROM t, UNNEST(range(1, GREATEST(n - {_STRIP_K} + 2, 1))) AS u(i)),
+    dup AS (SELECT h FROM spans GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 1),
+    cov AS (SELECT DISTINCT s.doc_id, s.i + o.j AS pos
+            FROM spans s JOIN dup USING (h),
+                 UNNEST(range(0, {_STRIP_K})) AS o(j)),
+    toks AS (SELECT doc_id, tok[u.pos] AS tk, u.pos AS pos
+             FROM t, UNNEST(range(1, n + 1)) AS u(pos)),
+    kept AS (SELECT k.doc_id, k.pos, k.tk FROM toks k
+             WHERE NOT EXISTS (SELECT 1 FROM cov c
+                               WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tk, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n::BIGINT AS n_tokens,
+           (t.n - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+           COALESCE(a.cleaned, '') AS cleaned_text
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_text_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL — the action half of exact-substring
+    dedup (Lee et al. 2022): q_dedup_substring DETECTS cross-document
+    duplicated K-token spans; this op actually rebuilds every document
+    with all such spans cut, returning the cleaned text plus
+    removed-token accounting. The conservative cut-all-occurrences
+    policy is the decontamination flavor (no occurrence survives);
+    keep-one-canonical is a composition with the survivor pattern
+    (q_dedup_survivor) over the span's (min doc_id, min pos) owner.
+
+    Spark shape at 100 TB — O(total tokens) rows end to end, nothing
+    quadratic:
+      1. one Generate per doc → (pos, token) and (i, span-hash) rows,
+         the same row volume as tokenization;
+      2. span-hash groupBy with partial aggregation → dup spans
+         (unbounded, corpus-dependent: NO broadcast hint, the equi-join
+         back shuffles on the 60-bit hash);
+      3. covered positions = explode(sequence(i, i+K-1)) + distinct —
+         keyed (doc_id, pos), ≤ K× span rows;
+      4. left_anti join tokens⟂covered on (doc_id, pos), then one
+         per-doc groupBy whose collect_list is bounded by the document
+         length — the same per-doc bound tokenization already pays.
+    The rebuild sorts (pos, token) structs in-plan (array_sort) so the
+    output text is position-exact, not collection-order-dependent."""
+    tok = "split(text, ' ')"
+    span_str = f"array_join(slice({tok}, i, {_STRIP_K}), ' ')"
+    spans_expr = (
+        f"case when size({tok}) >= {_STRIP_K} then "
+        f"transform(sequence(1, size({tok}) - {_STRIP_K} + 1), "
+        f"i -> struct(i as i, {_H.format(x=span_str)} as h)) "
+        "else array() end"
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.expr(f"{tok}").alias("tok"),
+            F.expr(spans_expr).alias("spans"),
+        )
+        .persist()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("tok").alias("pos0", "tk")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tk")
+    spans = base.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h")
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    covered = (
+        spans.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_STRIP_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)"),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        base.select("doc_id", F.size("tok").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

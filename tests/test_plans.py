@@ -540,3 +540,34 @@ def test_survivor_broadcast_gate_falls_back_above_threshold(spark, monkeypatch):
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_strip_spans_is_explode_join_shaped(spark):
+    """q_text_strip_spans (the REMOVAL half of q_dedup_substring) must
+    keep the same discipline as the detection half: explode → hash
+    groupBy → equi-joins, never a doc×doc self-join and never a Python
+    worker; with the broadcast threshold disabled no broadcast hint may
+    linger (the dup-hash and covered-position sides are
+    corpus-dependent, so strategy must stay size/conf-driven)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(all_queries()["q_text_strip_spans"](spark, SF_SMOKE))
+        final = p.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+        assert "BroadcastHashJoin" not in final
+        assert "PythonUDF" not in final and "ArrowEvalPython" not in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_corpus_drift_histogram_legs_are_metadata_sized(spark):
+    """q_corpus_drift's plan: no cartesian/NLJ anywhere and no Python;
+    the histogram legs partially aggregate before their shuffles
+    (wire rows ≈ |sources|×64 buckets, not the corpus)."""
+    p = plan(all_queries()["q_corpus_drift"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "PythonUDF" not in final and "ArrowEvalPython" not in final
+    assert "HashAggregate" in final
