@@ -71,6 +71,10 @@ HEADLINE = [
     "q_decontaminate",
     "q_pipeline_e2e",
     "copy_table_partitioned",
+    # late r7: the span-removal half of exact-substring dedup — the
+    # corpus REWRITE op (explode → hash join → position-exact rebuild),
+    # benched from day one
+    "q_text_strip_spans",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
