@@ -121,6 +121,19 @@ META = {
         "likeable": ["text"],
         "ts": [],
     },
+    # join-only: no string columns at all (the embedding array itself
+    # is never projected — float[] canonicalization is engine-specific
+    # noise a differential doesn't need), so per-table shapes skip it;
+    # it participates as the dim side of documents⋈embeddings, the 1:1
+    # id-space join the LLM-pipeline ops actually run.
+    "embeddings": {
+        "ints": ["vec_id", "label"],
+        "doubles": [],
+        "lowcard": [],
+        "likeable": [],
+        "ts": [],
+        "join_only": True,
+    },
 }
 
 #: FK equi-join pairs (fact, dim, fact_key, dim_key).
@@ -129,7 +142,12 @@ JOINS = [
     ("lineitem", "part", "l_partkey", "p_partkey"),
     ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
     ("orders", "customer", "o_custkey", "c_custkey"),
+    ("documents", "embeddings", "doc_id", "vec_id"),
 ]
+
+#: Tables eligible for the single-table shapes (join-only tables are
+#: reachable solely through JOINS).
+SCAN_TABLES = [t for t in META if not META[t].get("join_only")]
 
 #: Unique-row tiebreak columns per table (PKs), for deterministic
 #: within-partition window ordering.
@@ -205,8 +223,12 @@ class Gen:
 
     def _pred_atom(self, rng: random.Random, table: str) -> Expr:
         m = META[table]
-        kind = rng.choice(["num", "num", "str", "mod", "ts"] if m["ts"] else
-                          ["num", "num", "str", "mod"])
+        kinds = ["num", "num", "mod"]
+        if m["lowcard"] or m["likeable"]:
+            kinds.append("str")
+        if m["ts"]:
+            kinds.append("ts")
+        kind = rng.choice(kinds)
         if kind == "num":
             col = rng.choice(m["doubles"] + m["ints"])
             op = rng.choice(_NUM_OPS)
@@ -456,7 +478,7 @@ class Gen:
         return df.orderBy(*[F.col(c).asc_nulls_first() for c in colnames]).limit(k)
 
     def _gen_filter_topk(self, rng: random.Random, seed: int) -> GenQuery:
-        table = rng.choice(list(META))
+        table = rng.choice(SCAN_TABLES)
         m = META[table]
         pred = self._predicate(rng, table)
         pool = m["ints"] + m["doubles"] + m["lowcard"] + m["ts"]
@@ -472,7 +494,7 @@ class Gen:
         return GenQuery(seed, "filter_topk", table, sql, build)
 
     def _gen_group_agg(self, rng: random.Random, seed: int) -> GenQuery:
-        table = rng.choice(list(META))
+        table = rng.choice(SCAN_TABLES)
         pred = self._predicate(rng, table)
         keys = self._group_keys(rng, table, rng.randint(1, 2))
         aggs = self._aggs(rng, [table], rng.randint(2, 4))
@@ -498,7 +520,7 @@ class Gen:
     def _gen_scalar_topk(self, rng: random.Random, seed: int) -> GenQuery:
         """Computed projections over a filtered scan: the scalar-function
         differential surface."""
-        table = rng.choice(list(META))
+        table = rng.choice(SCAN_TABLES)
         pred = self._predicate(rng, table)
         nexpr = rng.randint(2, 4)
         exprs = [self._scalar_expr(rng, table, f"c{i}") for i in range(nexpr)]
@@ -518,7 +540,7 @@ class Gen:
     def _gen_setop(self, rng: random.Random, seed: int) -> GenQuery:
         """UNION ALL / EXCEPT ALL / INTERSECT ALL of two predicate slices
         of one table — bag semantics must agree row-for-row."""
-        table = rng.choice(list(META))
+        table = rng.choice(SCAN_TABLES)
         m = META[table]
         p1 = self._predicate(rng, table)
         p2 = self._predicate(rng, table)
@@ -552,7 +574,7 @@ class Gen:
         the top-m rows per partition."""
         from pyspark.sql import Window
 
-        table = rng.choice([t for t in META if META[t]["lowcard"]])
+        table = rng.choice([t for t in SCAN_TABLES if META[t]["lowcard"]])
         m = META[table]
         part = rng.choice(m["lowcard"])
         order_col = rng.choice(m["ints"] + m["doubles"])
@@ -606,8 +628,8 @@ class Gen:
     def _gen_join_topk(self, rng: random.Random, seed: int) -> GenQuery:
         fact, dim, fk, dk, fpred, dpred, join_sql = self._join_base(rng)
         fm, dm = META[fact], META[dim]
-        fcols = rng.sample(fm["ints"] + fm["doubles"],
-                           k=min(3, rng.randint(2, 3)))
+        fpool = fm["ints"] + fm["doubles"]
+        fcols = rng.sample(fpool, k=min(len(fpool), rng.randint(2, 3)))
         dpool = [c for c in dm["ints"] + dm["lowcard"] if c != dk]
         dcols = rng.sample(dpool, k=min(len(dpool), rng.randint(1, 2)))
         cols = fcols + dcols
@@ -664,12 +686,14 @@ def main() -> int:
     seeds = args.seed_list if args.seed_list is not None else range(args.seeds)
     passed, failed = 0, []
     for seed in seeds:
-        q = gen.generate(seed)
+        q = None
         try:
+            q = gen.generate(seed)
             problems = run_seed(gen, q, spark, con, show=args.show)
         except Exception as e:  # generator or engine raise = a failure too
             problems = [f"raised: {e!r}"]
-            print(f"  sql: {q.sql}")
+            if q is not None:
+                print(f"  sql: {q.sql}")
         if problems:
             failed.append(seed)
             print(f"FAIL seed={seed}")
