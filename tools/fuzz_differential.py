@@ -1,6 +1,6 @@
 """Seeded differential query fuzzer — generated plans, two engines, one AST.
 
-The fixed oracle registry (tools/check.py) proves 192 hand-written
+The fixed oracle registry (tools/check.py) proves the ~194 hand-written
 queries agree between Spark and DuckDB; this tool probes the space
 BETWEEN those points. Each seed deterministically generates a small
 query AST (scan → filter → project / group-agg / join-agg / top-k) and
