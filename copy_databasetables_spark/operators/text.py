@@ -967,3 +967,154 @@ def q_text_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+#: Cascade rule thresholds (integer-exact: every rule is an integer
+#: inequality or a set membership — no float division crosses engines).
+_CASC_LANG_OK = ("en", "de", "fr", "es")
+_CASC_MIN_TOK = 20
+_CASC_REP_DEN = 8  # repetition: max token freq >= n_tok / 8
+_CASC_LEN_LO = 3   # mean token length < 3  ⟺  sum_len < 3·n_tok
+_CASC_LEN_HI = 8   # mean token length > 8  ⟺  sum_len > 8·n_tok
+
+
+@register(
+    "q_quality_cascade",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n_tok,
+             list_aggregate(list_transform(string_split(text, ' '),
+                                           x -> length(x)), 'sum') AS sum_len
+      FROM documents),
+    mf AS (SELECT doc_id, MAX(c) AS maxf
+           FROM (SELECT doc_id, tk, COUNT(*) AS c
+                 FROM (SELECT doc_id, UNNEST(tok) AS tk FROM t)
+                 GROUP BY doc_id, tk)
+           GROUP BY doc_id),
+    flags AS (
+      SELECT t.doc_id,
+             (lang NOT IN ('en', 'de', 'fr', 'es')) AS f_lang,
+             (n_tok < {_CASC_MIN_TOK}) AS f_short,
+             (maxf * {_CASC_REP_DEN} >= n_tok) AS f_rep,
+             (sum_len < {_CASC_LEN_LO} * n_tok
+              OR sum_len > {_CASC_LEN_HI} * n_tok) AS f_len
+      FROM t JOIN mf ON mf.doc_id = t.doc_id),
+    attributed AS (
+      SELECT doc_id, f_lang, f_short, f_rep, f_len,
+             CASE WHEN f_lang THEN 'lang'
+                  WHEN f_short THEN 'too_short'
+                  WHEN f_rep THEN 'repetition'
+                  WHEN f_len THEN 'tok_len'
+                  ELSE 'SURVIVORS' END AS first_rule
+      FROM flags)
+    SELECT r.rule,
+           COALESCE(fk.first_kills, 0)::BIGINT AS first_kills,
+           CASE r.rule
+             WHEN 'lang' THEN (SELECT COUNT(*) FROM attributed WHERE f_lang)
+             WHEN 'too_short' THEN (SELECT COUNT(*) FROM attributed WHERE f_short)
+             WHEN 'repetition' THEN (SELECT COUNT(*) FROM attributed WHERE f_rep)
+             WHEN 'tok_len' THEN (SELECT COUNT(*) FROM attributed WHERE f_len)
+             ELSE COALESCE(fk.first_kills, 0)
+           END::BIGINT AS total_flagged
+    FROM (VALUES ('lang'), ('too_short'), ('repetition'),
+                 ('tok_len'), ('SURVIVORS')) AS r(rule)
+    LEFT JOIN (SELECT first_rule, COUNT(*) AS first_kills
+               FROM attributed GROUP BY first_rule) AS fk
+      ON fk.first_rule = r.rule
+    """,
+)
+def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter CASCADE report — the Gopher/FineWeb-style rule
+    pipeline readout: every document is evaluated against an ordered
+    rule list (language allowlist → too-short → repetition →
+    token-length band) and attributed to the FIRST rule that kills it,
+    alongside each rule's order-independent total flag count. The
+    first-kill column is what cascade tuning reads (a rule's marginal
+    contribution given everything before it); the total column is its
+    standalone strength — the pair tells you which rules to reorder or
+    drop. Every rule is an integer inequality or set membership, so
+    both engines agree bit-for-bit with no float thresholds.
+
+    Scale (100 TB): one corpus scan computes n_tok/sum_len in codegen
+    (higher-order aggregate, zero shuffle); the repetition rule's
+    max-token-frequency is the wordcount shape — explode with partial
+    aggregation on (doc_id, token), then a per-doc max — the only
+    shuffle; the report itself is 5 rows."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("split(text, ' ')").alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "tok",
+            F.size("tok").alias("n_tok"),
+            F.expr(
+                "aggregate(transform(tok, x -> length(x)), 0L, (a, x) -> a + x)"
+            ).alias("sum_len"),
+        )
+    )
+    maxf = (
+        t.select("doc_id", F.explode("tok").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxf"))
+    )
+    flags = t.join(maxf, "doc_id").select(
+        "doc_id",
+        (~F.col("lang").isin(*_CASC_LANG_OK)).alias("f_lang"),
+        (F.col("n_tok") < _CASC_MIN_TOK).alias("f_short"),
+        (F.col("maxf") * _CASC_REP_DEN >= F.col("n_tok")).alias("f_rep"),
+        (
+            (F.col("sum_len") < _CASC_LEN_LO * F.col("n_tok"))
+            | (F.col("sum_len") > _CASC_LEN_HI * F.col("n_tok"))
+        ).alias("f_len"),
+    )
+    attributed = flags.select(
+        "f_lang",
+        "f_short",
+        "f_rep",
+        "f_len",
+        F.when(F.col("f_lang"), "lang")
+        .when(F.col("f_short"), "too_short")
+        .when(F.col("f_rep"), "repetition")
+        .when(F.col("f_len"), "tok_len")
+        .otherwise("SURVIVORS")
+        .alias("first_rule"),
+    )
+    sums = F.broadcast(
+        attributed.agg(
+            F.sum(F.col("f_lang").cast("long")).alias("t_lang"),
+            F.sum(F.col("f_short").cast("long")).alias("t_short"),
+            F.sum(F.col("f_rep").cast("long")).alias("t_rep"),
+            F.sum(F.col("f_len").cast("long")).alias("t_len"),
+        )
+    )
+    rules = spark.createDataFrame(
+        [("lang",), ("too_short",), ("repetition",), ("tok_len",), ("SURVIVORS",)],
+        "rule string",
+    )
+    first = attributed.groupBy("first_rule").agg(
+        F.count(F.lit(1)).alias("first_kills")
+    )
+    return (
+        rules.join(first, rules.rule == first.first_rule, "left")
+        .crossJoin(sums)
+        .select(
+            "rule",
+            F.coalesce("first_kills", F.lit(0)).cast("bigint").alias("first_kills"),
+            F.when(F.col("rule") == "lang", F.col("t_lang"))
+            .when(F.col("rule") == "too_short", F.col("t_short"))
+            .when(F.col("rule") == "repetition", F.col("t_rep"))
+            .when(F.col("rule") == "tok_len", F.col("t_len"))
+            .otherwise(F.coalesce("first_kills", F.lit(0)))
+            .cast("bigint")
+            .alias("total_flagged"),
+        )
+    )
