@@ -1370,3 +1370,71 @@ def test_theta_intersection_exact_below_nominal_entries(spark):
 
     rows = q_agg_theta_overlap(spark, SF_SMOKE).collect()
     assert rows and all(r["within_tol"] for r in rows)
+
+
+def test_strip_spans_handcrafted_semantics(spark, tmp_path):
+    """Pin q_text_strip_spans semantics on a handcrafted corpus,
+    independent of the synthetic testdata: two docs share one 8-token
+    span (both lose exactly those 8 positions, order preserved around
+    the cut), a third all-unique doc is untouched, and a doc shorter
+    than the span width can never be cut."""
+    import os
+
+    from copy_databasetables_spark.operators.text import q_text_strip_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        (1, f"a1 a2 {shared} a3 a4", "en", "src0", 0),
+        (2, f"b1 {shared} b2 b3 b4 b5", "en", "src0", 0),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "src0", 0),
+        (4, "tiny doc", "en", "src0", 0),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r for r in q_text_strip_spans(spark, d).collect()
+    }
+    assert got[1]["n_removed"] == 8 and got[1]["cleaned_text"] == "a1 a2 a3 a4"
+    assert got[2]["n_removed"] == 8 and got[2]["cleaned_text"] == "b1 b2 b3 b4 b5"
+    assert got[3]["n_removed"] == 0 and got[3]["cleaned_text"].startswith("u1 u2")
+    assert got[4]["n_removed"] == 0 and got[4]["cleaned_text"] == "tiny doc"
+
+
+def test_quality_cascade_first_kill_partitions_the_corpus(spark):
+    """Cascade invariants on the real corpus: first-kill counts sum to
+    the doc count (attribution is a partition), each rule's first-kill
+    is ≤ its order-independent total, and survivors are flagged by no
+    rule (their two counts coincide by construction)."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.text import q_quality_cascade
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["rule"]: r for r in q_quality_cascade(spark, SF_SMOKE).collect()}
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["first_kills"] for r in rows.values()) == n_docs
+    for rule, r in rows.items():
+        if rule != "SURVIVORS":
+            assert r["first_kills"] <= r["total_flagged"], rule
+    assert rows["SURVIVORS"]["first_kills"] == rows["SURVIVORS"]["total_flagged"]
+
+
+def test_corpus_drift_identical_snapshots_report_zero(spark):
+    """drift_report(a, a) must be the all-zero fixed point: no adds, no
+    removals, zero L1 histogram distance, identical means — the
+    property monitoring alerts key on."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators.pipeline import drift_report
+    from tests.conftest import SF_SMOKE
+
+    a = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    for r in drift_report(a, a).collect():
+        assert r["added"] == 0 and r["removed"] == 0, r
+        assert r["l1_len_drift"] == 0, r
+        assert r["docs_a"] == r["docs_b"], r
+        assert r["mean_nchars_a"] == r["mean_nchars_b"], r
