@@ -22,6 +22,7 @@ exit code is non-zero if any copy fails verification.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -113,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
         help="profile mode: per-column rows/nulls/approx-distinct/min/max "
         "report for --tables at --source (no copy; --target unused)",
     )
+    ap.add_argument(
+        "--verify-only",
+        dest="verify_only",
+        action="store_true",
+        help="re-verify a PRIOR copy without copying: compare row counts "
+        "(and, with --checksum, order-insensitive content checksums) "
+        "between --source tables and the copies at --target; exit 1 on "
+        "any mismatch",
+    )
     args = ap.parse_args(argv)
 
     # profile mode: read-only report, needs only --source (+ tables)
@@ -186,6 +196,81 @@ def main(argv: list[str] | None = None) -> int:
         print("FAILED: --target is required", file=sys.stderr)
         return 2
 
+    # verify-only mode: the upstream verification step decoupled from the
+    # copy — audit an EXISTING target against the source (incident
+    # re-checks, scheduled integrity sweeps) without moving a byte
+    if args.verify_only:
+        if not args.source:
+            print("FAILED: --verify-only requires --source", file=sys.stderr)
+            return 2
+        if args.source.startswith("jdbc:") or args.target.startswith("jdbc:"):
+            print(
+                "FAILED: --verify-only compares parquet table directories, "
+                "not jdbc: URLs",
+                file=sys.stderr,
+            )
+            return 2
+        if (
+            args.partitions is not None
+            or args.incremental is not None
+            or args.delete is not None
+            or args.scd2 is not None
+            or args.tracked is not None
+            or args.as_of is not None
+            or args.keys is not None
+        ):
+            print(
+                "FAILED: --verify-only takes only --source/--target/--tables/"
+                "--checksum",
+                file=sys.stderr,
+            )
+            return 2
+        tables = args.tables if args.tables is not None else list(TABLES)
+        unknown = [t for t in tables if t not in TABLES]
+        if unknown:
+            print(f"FAILED: unknown table(s): {unknown}", file=sys.stderr)
+            return 2
+        from copy_databasetables_spark.copy.engine import content_checksum
+        from copy_databasetables_spark.io import load_table
+
+        spark = get_spark("copy-cli")
+        t0 = time.time()
+        mismatched = []
+        for t in tables:
+            try:
+                src = load_table(spark, args.source, t)
+                dst = spark.read.parquet(os.path.join(args.target, t))
+            except Exception as err:
+                first_line = str(err).split("\n")[0]
+                print(
+                    f"FAILED: {type(err).__name__}: {first_line}",
+                    file=sys.stderr,
+                )
+                return 3
+            n_src, n_dst = src.count(), dst.count()
+            problems = []
+            if n_src != n_dst:
+                problems.append(f"rows {n_src} != {n_dst}")
+            elif args.checksum:
+                # column order must not matter: checksum over the
+                # source's column order on both sides
+                if content_checksum(src) != content_checksum(
+                    dst.select(*src.columns)
+                ):
+                    problems.append("content checksum mismatch")
+            if problems:
+                mismatched.append(t)
+                print(f"MISMATCH {t}: {'; '.join(problems)}")
+            else:
+                mode = "rows+checksum" if args.checksum else "rows"
+                print(f"verified {t}: {n_src} rows ({mode})")
+        status = "FAILED" if mismatched else "OK"
+        print(
+            f"{status}: verified {len(tables)} table(s), "
+            f"{len(mismatched)} mismatched in {time.time() - t0:.1f}s"
+        )
+        return 1 if mismatched else 0
+
     # SCD2 sync mode: one table, tracked columns, an effective date
     if args.scd2 or args.tracked or args.as_of:
         if not (args.scd2 and args.tracked and args.as_of):
@@ -209,8 +294,6 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        import os
-
         from copy_databasetables_spark.copy.engine import scd2_table
 
         spark = get_spark("copy-cli")
@@ -333,8 +416,6 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.incremental:
-            import os
-
             from copy_databasetables_spark.copy.engine import copy_table_incremental
 
             # the high-water-mark key is table-specific — one table per run

@@ -176,3 +176,56 @@ def test_cli_profile_flag_misuse(spark, capsys):
     assert "only --source" in capsys.readouterr().err
     assert main(["--source", SF_SMOKE, "--tables", "region"]) == 2
     assert "--target is required" in capsys.readouterr().err
+
+
+def test_cli_verify_only_ok_and_mismatch(spark, capsys, tmp_path):
+    """--verify-only: audit an existing copy without copying. A fresh
+    copy verifies clean (exit 0, rows+checksum); after a target row
+    goes missing the same invocation reports the table and exits 1."""
+    import glob
+    import os
+
+    import duckdb
+
+    tgt = str(tmp_path / "vo")
+    assert main(["--source", SF_SMOKE, "--target", tgt,
+                 "--tables", "region", "nation"]) == 0
+    capsys.readouterr()
+
+    rc = main(["--verify-only", "--checksum", "--source", SF_SMOKE,
+               "--target", tgt, "--tables", "region", "nation"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "verified region: 5 rows (rows+checksum)" in out
+    assert "OK: verified 2 table(s), 0 mismatched" in out
+
+    # drop one region row in place (and the Hadoop .crc sidecars, which
+    # would otherwise fail the local-FS checksum read before the count)
+    parts = glob.glob(f"{tgt}/region/part*.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet({parts!r}) LIMIT 4) "
+        f"TO '{tgt}/short.parquet'"
+    )
+    for p in parts + glob.glob(f"{tgt}/region/.*.crc"):
+        os.remove(p)
+    os.rename(f"{tgt}/short.parquet", parts[0])
+
+    rc = main(["--verify-only", "--source", SF_SMOKE, "--target", tgt,
+               "--tables", "region", "nation"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "MISMATCH region: rows 5 != 4" in out
+    assert "verified nation: 25 rows (rows)" in out
+    assert "FAILED: verified 2 table(s), 1 mismatched" in out
+
+
+def test_cli_verify_only_flag_misuse(spark, capsys):
+    assert main(["--verify-only", "--target", "/tmp/x"]) == 2
+    assert "requires --source" in capsys.readouterr().err
+    assert main(["--verify-only", "--source", SF_SMOKE, "--target", "/tmp/x",
+                 "--incremental", "k"]) == 2
+    assert "takes only" in capsys.readouterr().err
+    assert main(["--verify-only", "--source", "jdbc:derby:/tmp/d",
+                 "--target", "/tmp/x"]) == 2
+    assert "parquet table directories" in capsys.readouterr().err
