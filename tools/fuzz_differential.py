@@ -569,33 +569,59 @@ class Gen:
         return GenQuery(seed, "setop", table, sql, build)
 
     def _gen_window_rank(self, rng: random.Random, seed: int) -> GenQuery:
-        """ROW_NUMBER/RANK/DENSE_RANK per group with a full-tuple (PK
-        tiebroken) ORDER — deterministic in both engines — filtered to
-        the top-m rows per partition."""
+        """ROW_NUMBER/RANK/DENSE_RANK — or a running SUM over an
+        explicit ROWS UNBOUNDED PRECEDING frame — per group with a
+        full-tuple (PK tiebroken) ORDER, deterministic in both engines;
+        rank variants filter to the top-m rows per partition, the
+        running sum keeps rows bounded via the same rn filter (two
+        window functions over ONE window definition). The summed column
+        is an integer and the result CASTs to BIGINT on both sides
+        (DuckDB SUM(BIGINT) is HUGEINT)."""
         from pyspark.sql import Window
 
         table = rng.choice([t for t in SCAN_TABLES if META[t]["lowcard"]])
         m = META[table]
         part = rng.choice(m["lowcard"])
         order_col = rng.choice(m["ints"] + m["doubles"])
-        fn_name, fn = rng.choice(
-            [("row_number", F.row_number), ("rank", F.rank),
-             ("dense_rank", F.dense_rank)])
+        fn_name = rng.choice(["row_number", "rank", "dense_rank", "runsum"])
         top_m = rng.randint(2, 5)
         order_cols = [order_col] + [c for c in PK[table] if c != order_col]
         out_cols = [part] + order_cols
         order_sql = ", ".join(f"{c} ASC NULLS FIRST" for c in order_cols)
         sel = ", ".join(out_cols)
-        sql = (f"SELECT * FROM (SELECT {sel}, CAST({fn_name.upper()}() OVER "
-               f"(PARTITION BY {part} ORDER BY {order_sql}) AS BIGINT) AS rn "
-               f"FROM {table}) WHERE rn <= {top_m}")
+        over = f"OVER (PARTITION BY {part} ORDER BY {order_sql})"
+        if fn_name == "runsum":
+            sum_col = rng.choice(m["ints"])
+            frame_over = over[:-1] + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            sql = (f"SELECT * EXCLUDE (rn) FROM (SELECT {sel}, "
+                   f"CAST(SUM({sum_col}) {frame_over} AS BIGINT) AS rsum, "
+                   f"CAST(ROW_NUMBER() {over} AS BIGINT) AS rn "
+                   f"FROM {table}) WHERE rn <= {top_m}")
+        else:
+            sum_col = None
+            sql = (f"SELECT * FROM (SELECT {sel}, CAST({fn_name.upper()}() "
+                   f"{over} AS BIGINT) AS rn "
+                   f"FROM {table}) WHERE rn <= {top_m}")
 
-        def build(spark, sf_dir, table=table, part=part, fn=fn,
-                  order_cols=order_cols, out_cols=out_cols, top_m=top_m):
+        def build(spark, sf_dir, table=table, part=part, fn_name=fn_name,
+                  sum_col=sum_col, order_cols=order_cols, out_cols=out_cols,
+                  top_m=top_m):
             w = Window.partitionBy(part).orderBy(
                 *[F.col(c).asc_nulls_first() for c in order_cols])
-            return (load_table(spark, sf_dir, table)
-                    .select(*out_cols, fn().over(w).cast("bigint").alias("rn"))
+            d = load_table(spark, sf_dir, table)
+            if fn_name == "runsum":
+                frame = w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)
+                return (d.select(
+                            *out_cols,
+                            F.sum(sum_col).over(frame).cast("bigint")
+                            .alias("rsum"),
+                            F.row_number().over(w).cast("bigint").alias("rn"))
+                        .where(F.col("rn") <= top_m)
+                        .drop("rn"))
+            fn = getattr(F, fn_name)
+            return (d.select(*out_cols,
+                             fn().over(w).cast("bigint").alias("rn"))
                     .where(F.col("rn") <= top_m))
 
         return GenQuery(seed, "window_rank", table, sql, build)
