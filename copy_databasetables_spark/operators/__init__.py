@@ -67,6 +67,7 @@ _loaded = False
 #: keys already driver-checked in any prior round sort last.
 DRIVER_WINDOW: list[str] = [
     # new in round 7, never driver-checked
+    "q_text_strip_spans_keep1",
     "q_quality_cascade",
     "q_text_strip_spans",
     "q_corpus_drift",

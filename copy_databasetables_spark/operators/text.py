@@ -1118,3 +1118,122 @@ def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_flagged"),
         )
     )
+
+
+@register(
+    "q_text_strip_spans_keep1",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    spans AS MATERIALIZED (
+      SELECT doc_id, i,
+             {_D_H.format(x=f"array_to_string(list_slice(tok, i, i + {_STRIP_K} - 1), ' ')")} AS h
+      FROM t, UNNEST(range(1, GREATEST(n - {_STRIP_K} + 2, 1))) AS u(i)),
+    dup AS (SELECT h FROM spans GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 1),
+    occ AS (SELECT s.doc_id, s.i, s.h,
+                   ROW_NUMBER() OVER (PARTITION BY s.h
+                                      ORDER BY s.doc_id, s.i) AS occ_rank
+            FROM spans s JOIN dup USING (h)),
+    cov AS (SELECT DISTINCT o.doc_id, o.i + u.j AS pos
+            FROM occ o, UNNEST(range(0, {_STRIP_K})) AS u(j)
+            WHERE o.occ_rank > 1),
+    toks AS (SELECT doc_id, tok[u.pos] AS tk, u.pos AS pos
+             FROM t, UNNEST(range(1, n + 1)) AS u(pos)),
+    kept AS (SELECT k.doc_id, k.pos, k.tk FROM toks k
+             WHERE NOT EXISTS (SELECT 1 FROM cov c
+                               WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tk, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n::BIGINT AS n_tokens,
+           (t.n - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+           COALESCE(a.cleaned, '') AS cleaned_text
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_text_strip_spans_keep1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-canonical duplicated-span removal — the exact Lee et
+    al. 2022 policy: for each cross-document duplicated K-token span
+    the CANONICAL occurrence (min doc_id, then min start position —
+    a total, engine-independent order) survives; every other
+    occurrence's positions are cut. A position is removed iff ANY
+    non-canonical duplicated-span occurrence covers it, so a canonical
+    doc can still lose positions to a DIFFERENT span whose canonical
+    lives elsewhere — deterministic, conservative, and exactly
+    SQL-expressible (contrast q_text_strip_spans, which cuts ALL
+    occurrences — the decontamination flavor).
+
+    Scale shape: identical to q_text_strip_spans plus one rank window
+    PARTITIONED BY span hash (state per hash = one counter; hash
+    cardinality ≈ distinct spans, fully parallel — never a global
+    window). Everything else is the same O(total tokens) explode →
+    groupBy → anti-join → per-doc rebuild."""
+    tok = "split(text, ' ')"
+    span_str = f"array_join(slice({tok}, i, {_STRIP_K}), ' ')"
+    spans_expr = (
+        f"case when size({tok}) >= {_STRIP_K} then "
+        f"transform(sequence(1, size({tok}) - {_STRIP_K} + 1), "
+        f"i -> struct(i as i, {_H.format(x=span_str)} as h)) "
+        "else array() end"
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.expr(f"{tok}").alias("tok"),
+            F.expr(spans_expr).alias("spans"),
+        )
+        .persist()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("tok").alias("pos0", "tk")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tk")
+    spans = base.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h")
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    occ_w = Window.partitionBy("h").orderBy(
+        F.col("doc_id").asc(), F.col("i").asc()
+    )
+    covered = (
+        spans.join(dup, "h")
+        .withColumn("occ_rank", F.row_number().over(occ_w))
+        .where(F.col("occ_rank") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_STRIP_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)"),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        base.select("doc_id", F.size("tok").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -1438,3 +1438,31 @@ def test_corpus_drift_identical_snapshots_report_zero(spark):
         assert r["l1_len_drift"] == 0, r
         assert r["docs_a"] == r["docs_b"], r
         assert r["mean_nchars_a"] == r["mean_nchars_b"], r
+
+
+def test_strip_spans_keep1_canonical_occurrence_survives(spark, tmp_path):
+    """Keep-one-canonical semantics on a handcrafted corpus: the
+    canonical occurrence (min doc_id, min pos) of the shared span
+    KEEPS its tokens; the other occurrence loses exactly the span."""
+    import os
+
+    from copy_databasetables_spark.operators.text import (
+        q_text_strip_spans_keep1,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        (1, f"a1 a2 {shared} a3 a4", "en", "src0", 0),
+        (2, f"b1 {shared} b2 b3 b4 b5", "en", "src0", 0),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_text_strip_spans_keep1(spark, d).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[1]["cleaned_text"] == f"a1 a2 {shared} a3 a4"
+    assert got[2]["n_removed"] == 8
+    assert got[2]["cleaned_text"] == "b1 b2 b3 b4 b5"
