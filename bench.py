@@ -308,6 +308,17 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else None
 
+    # Capture fd 2 for the whole run (the JVM child inherits it at
+    # session launch) so the tail can be ASSERTED clean of WindowExec
+    # single-partition warnings — the r7 log-hygiene win must not
+    # silently regress (VERDICT r7 item 7). The captured log is
+    # replayed to the real stderr at the end either way.
+    import tempfile
+
+    cap = tempfile.TemporaryFile(mode="w+b")
+    real_err = os.dup(2)
+    os.dup2(cap.fileno(), 2)
+
     spark = get_spark("bench")
     queries = operators.all_queries()
 
@@ -338,21 +349,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(times.values()), 4),
-                "unit": "sec",
-                "queries": times,
-                "runs": _RUNS,
-                "sf": sf,
-                "protocol": _flagship_protocol(spark, queries, sf_dir),
-                "skew_ab": _skew_ab(spark, sf_dir),
-                "jdbc_copy": _jdbc_copy(spark, sf_dir),
-            }
+    payload = {
+        "metric": "total_query_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "runs": _RUNS,
+        "sf": sf,
+        "protocol": _flagship_protocol(spark, queries, sf_dir),
+        "skew_ab": _skew_ab(spark, sf_dir),
+        "jdbc_copy": _jdbc_copy(spark, sf_dir),
+    }
+
+    # restore + replay stderr, then assert the tail clean: any
+    # WindowExec warning means a query planned an unpartitioned window
+    # over data-sized input — a single-partition bottleneck at scale.
+    sys.stderr.flush()
+    os.dup2(real_err, 2)
+    os.close(real_err)
+    cap.seek(0)
+    log = cap.read()
+    cap.close()
+    os.write(2, log)
+    n_winwarn = log.count(b"WindowExec")
+    payload["windowexec_warnings"] = n_winwarn
+    print(json.dumps(payload))
+    if n_winwarn:
+        print(
+            f"BENCH TAIL DIRTY: {n_winwarn} WindowExec warning(s) in the "
+            "session log — an unpartitioned window regressed into a "
+            "benched plan",
+            file=sys.stderr,
         )
-    )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

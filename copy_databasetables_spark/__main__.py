@@ -247,17 +247,27 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 3
-            n_src, n_dst = src.count(), dst.count()
             problems = []
-            if n_src != n_dst:
-                problems.append(f"rows {n_src} != {n_dst}")
-            elif args.checksum:
-                # column order must not matter: checksum over the
-                # source's column order on both sides
-                if content_checksum(src) != content_checksum(
-                    dst.select(*src.columns)
-                ):
-                    problems.append("content checksum mismatch")
+            try:
+                n_src, n_dst = src.count(), dst.count()
+                if n_src != n_dst:
+                    problems.append(f"rows {n_src} != {n_dst}")
+                elif args.checksum:
+                    # column order must not matter: checksum over the
+                    # source's column order on both sides
+                    if content_checksum(src) != content_checksum(
+                        dst.select(*src.columns)
+                    ):
+                        problems.append("content checksum mismatch")
+            except Exception as err:
+                # a target with a missing/renamed column (AnalysisException
+                # from the select) or a corrupt part file is exactly what
+                # an audit must REPORT, not crash on: record it as this
+                # table's mismatch and keep auditing the rest.
+                first_line = str(err).split("\n")[0]
+                problems.append(
+                    f"schema/content error: {type(err).__name__}: {first_line}"
+                )
             if problems:
                 mismatched.append(t)
                 print(f"MISMATCH {t}: {'; '.join(problems)}")

@@ -57,93 +57,109 @@ _loaded = False
 #: Driver-window priority. The correctness driver records the FIRST 50
 #: ``queries()`` entries each round (observed: CORRECTNESS_r01.json stops
 #: at exactly 50, in declaration order), so the dict order below rotates
-#: which keys get a driver-green row. Round 7 window (per VERDICT.md r6
-#: "Next round" item 4): lead with the keys NEW this round (never
-#: driver-checked), then ALL 38 keys whose last driver attestation is
-#: CORRECTNESS_r02.json (the stalest cohort — scalar funcs, setops
-#: intersect/except, and the §2.10/§2.11 originals), then the first 3
-#: (alphabetical) of the 45 r4-era keys; the remaining 42 r4 keys roll
-#: to round 8. Keys NOT listed keep registration order after these;
-#: keys already driver-checked in any prior round sort last.
+#: which keys get a driver-green row. Round 8 window (per VERDICT.md r7
+#: "Next round" item 2): lead with keys NEW this round (never
+#: driver-checked, prepended as they land), then ``q_map_funcs`` (last
+#: attested r2 — the single stalest key), then ALL 45 keys whose last
+#: driver attestation is CORRECTNESS_r04.json, then the first few r5-era
+#: keys to fill; whatever falls past slot 50 rolls to round 9. Keys NOT
+#: listed keep registration order after these; keys already
+#: driver-checked in any prior round sort last.
 DRIVER_WINDOW: list[str] = [
-    # new in round 7, never driver-checked
-    "q_text_strip_spans_keep1",
-    "q_quality_cascade",
-    "q_text_strip_spans",
-    "q_corpus_drift",
-    "q_dedup_embed_lsh_scaled",
-    "q_sim_ivf_kscaled",
-    "schema_introspect_indexes",
-    "q_dedup_cluster_embed",
-    "q_dedup_survivor_embed",
-    "q_sim_ivf_persisted",
-    "schema_introspect_triggers",
-    "q_agg_kll_mergeable",
-    "q_agg_theta_overlap",
-    # stalest cohort: last attested in CORRECTNESS_r02.json (all 38)
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dedup_minhash",
-    "q_dedup_embed",
-    "q_sim_topk",
-    "q_sim_threshold",
-    "q_knn_label",
-    "q_sim_topk_blas",
-    "q_sim_ivf",
-    "q_text_wordcount",
-    "q_text_tfidf",
-    "q_text_stats",
-    "q_text_ngrams",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_token_count",
-    "q_multimodal_join",
-    "q_multimodal_filter",
-    "q_udf_python",
-    "q_udf_pandas_scalar",
-    "q_udaf_pandas",
-    "q_udf_grouped_map",
-    "q_udtf",
-    "q_intersect",
-    "q_except",
-    "q_str_funcs",
-    "q_regex",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_case_when",
-    "q_cast_null",
-    "q_array_funcs",
-    "q_explode",
-    "q_higher_order",
-    "q_json_funcs",
+    # new in round 8, never driver-checked
+    "q_sim_ivf_kscaled_persisted",
+    "schema_introspect_grants",
+    # single stalest key: last attested in CORRECTNESS_r02.json
     "q_map_funcs",
-    # next-stalest: first 3 of the 45 keys last attested in r4
+    # stalest cohort: the 45 keys last attested in CORRECTNESS_r04.json
     "copy_table_bucketed",
     "copy_table_compact",
     "copy_table_incremental",
+    "copy_table_merge",
+    "q_agg_bool",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram",
+    "q_agg_incremental",
+    "q_class_balance",
+    "q_copy_diff",
+    "q_cte_recursive",
+    "q_decontaminate",
+    "q_dedup_incremental",
+    "q_dedup_minhash_capped",
+    "q_domain_quota",
+    "q_emb_centroid",
+    "q_emb_outlier",
+    "q_integrity_report",
+    "q_join_salted",
+    "q_mixture_weights",
+    "q_multimodal_binary",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_pii_redact",
+    "q_pipeline_e2e",
+    "q_sample_hash",
+    "q_sim_ivf_multiprobe",
+    "q_sim_quantized",
+    "q_sim_threshold_blocked",
+    "q_split_train_test",
+    "q_subquery_corr_agg",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_table_profile",
+    "q_text_anonymize",
+    "q_text_boilerplate",
+    "q_text_chunk",
+    "q_text_fingerprint",
+    "q_text_fuzzy_match",
+    "q_text_lm_score",
+    "q_text_pack",
+    "q_text_repetition",
+    "schema_introspect_constraints",
+    "src_jdbc_decimal",
+    "src_orc_roundtrip",
+    # next-stalest: first few of the 50 keys last attested in r5
+    "copy_table",
+    "copy_table_partitioned",
+    "copy_tables_many",
+    "q_agg_approx_distinct",
 ]
 
 def _prior_driver_green() -> set[str]:
-    """Keys with a row in ANY committed prior-round CORRECTNESS file —
-    pushed to the back of the dict so never-driver-checked keys reach
-    the 50-entry driver window first. Reading the attestation files
-    keeps this self-maintaining: each round's results are committed to
-    the repo root, so the next round's rotation automatically treats
-    everything the driver just checked as lower priority than keys it
-    has never seen."""
+    """Keys whose LATEST row in the committed prior-round CORRECTNESS
+    files is clean (no err, rows+schema+hash all matching where
+    present) — pushed to the back of the dict so never-driver-checked
+    and last-seen-failing keys reach the 50-entry driver window first.
+    Reading the attestation files keeps this self-maintaining: each
+    round's results are committed to the repo root, so the next round's
+    rotation automatically treats everything the driver just checked
+    green as lower priority than keys it has never seen or last saw
+    red (the latter regain window priority instead of rotating back)."""
     import glob
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    latest: dict[str, dict] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
-            seen.update(json.load(open(f)))
+            rows = json.load(open(f))
         except (OSError, ValueError):  # unreadable attestation: skip it
             continue
-    return seen
+        if isinstance(rows, dict):
+            latest.update(
+                {k: v for k, v in rows.items() if isinstance(v, dict)}
+            )
+
+    def _clean(row: dict) -> bool:
+        if row.get("err") is not None:
+            return False
+        # rows-only checks (no oracle) carry no hash/schema fields —
+        # treat a missing field as not-failing, an explicit False as red.
+        return all(
+            row.get(f) is not False
+            for f in ("rows_match", "schema_match", "hash_match")
+        )
+
+    return {k for k, v in latest.items() if _clean(v)}
 
 
 _PRIOR_DRIVER_GREEN: set[str] = _prior_driver_green()

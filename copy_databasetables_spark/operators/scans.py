@@ -682,6 +682,109 @@ def q_schema_introspect_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_introspect_grants",
+    oracle="""
+    SELECT kind, detail FROM (VALUES
+      ('grant', 'analyst:SELECT'),
+      ('grant', 'etl_writer:INSERT,UPDATE'),
+      ('live_select_as_analyst', '25'),
+      ('live_delete_as_analyst', 'DENIED:42500'),
+      ('row_count', '25')) AS t(kind, detail)
+    """,
+)
+def q_schema_introspect_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMO-Scripter PERMISSIONS parity — the LAST Scripter option not
+    previously carried through the copy (VERDICT r7 item 4; upstream
+    replays object-level GRANTs onto the target server [U], Derby's
+    SYS.SYSTABLEPERMS under SQL authorization stands in for
+    sys.database_permissions). Build a source database with SQL
+    authorization enabled, grant two principals distinct table-level
+    privilege sets, schema-fidelity-copy the table, script the grants
+    onto the target, then prove three things: (a) the TARGET catalog
+    reports exactly the source's grantee→privilege map (hash-pinned),
+    (b) a granted privilege is LIVE — connecting AS the analyst
+    principal can SELECT the copied rows — and (c) a withheld privilege
+    is ENFORCED — the same principal's DELETE is rejected with Derby's
+    42500 not-authorized SQLState, so the copy reproduced the fence,
+    not just the fence's catalog entry.
+
+    The sqlAuthorization flag is a creation-time database property
+    (Derby reads the JVM system property as the default when the
+    database is FIRST created), so it is set only around the two
+    creating connections and restored in a finally — the other Derby
+    fixtures in this module are unaffected."""
+    from copy_databasetables_spark.sources.introspect import (
+        copy_table_jdbc_with_schema,
+        drop_table_if_exists,
+        execute_ddl,
+        introspect_grants,
+        script_grants,
+    )
+    from copy_databasetables_spark.sources.jdbc import JdbcReadSpec, JdbcWriteSpec
+
+    src_url = _derby_url(sf_dir, "grant_src")
+    dst_url = _derby_url(sf_dir, "grant_dst")
+    jvm = spark._sc._jvm  # noqa: SLF001
+    sysprops = jvm.java.lang.System
+    prev = sysprops.getProperty("derby.database.sqlAuthorization")
+    sysprops.setProperty("derby.database.sqlAuthorization", "true")
+    try:
+        # first connection CREATES both databases with authorization on
+        jvm.java.sql.DriverManager.getConnection(src_url).close()
+        jvm.java.sql.DriverManager.getConnection(dst_url).close()
+    finally:
+        if prev is None:
+            sysprops.clearProperty("derby.database.sqlAuthorization")
+        else:
+            sysprops.setProperty("derby.database.sqlAuthorization", prev)
+
+    drop_table_if_exists(spark, src_url, "perm_t")  # re-run hygiene
+    execute_ddl(spark, src_url, [
+        "CREATE TABLE perm_t (p_id BIGINT NOT NULL, p_val INTEGER,"
+        " CONSTRAINT pk_perm_t PRIMARY KEY (p_id))",
+        "GRANT SELECT ON perm_t TO analyst",
+        "GRANT INSERT, UPDATE ON perm_t TO etl_writer",
+    ])
+    seed = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("p_id"),
+        F.col("n_regionkey").cast("int").alias("p_val"),
+    )
+    JdbcWriteSpec(url=src_url, table="perm_t", mode="append").save(seed)
+
+    copy_table_jdbc_with_schema(spark, src_url, dst_url, "perm_t")
+    grants = introspect_grants(spark, src_url, "perm_t")
+    execute_ddl(spark, dst_url, script_grants(grants))
+
+    # (a) target catalog reports the copied grants
+    rows = [
+        ("grant", f"{g.grantee.lower()}:{','.join(g.privileges)}")
+        for g in introspect_grants(spark, dst_url, "perm_t")
+    ]
+    # (b)/(c) live enforcement AS the grantee principal (embedded Derby
+    # without authentication accepts any user; authorization still
+    # applies, which is exactly what this proves)
+    analyst = jvm.java.sql.DriverManager.getConnection(dst_url + ";user=analyst")
+    try:
+        st = analyst.createStatement()
+        rs = st.executeQuery("SELECT COUNT(*) AS c FROM APP.perm_t")
+        rs.next()
+        rows.append(("live_select_as_analyst", str(rs.getInt("c"))))
+        rs.close()
+        try:
+            st.execute("DELETE FROM APP.perm_t")
+            rows.append(("live_delete_as_analyst", "ALLOWED"))
+        except Exception as e:
+            state = "42500" if "42500" in str(e) else "other"
+            rows.append(("live_delete_as_analyst", f"DENIED:{state}"))
+        st.close()
+    finally:
+        analyst.close()
+    n = JdbcReadSpec(url=dst_url, table="perm_t").load(spark).count()
+    rows.append(("row_count", str(n)))
+    return spark.createDataFrame(rows, "kind string, detail string")
+
+
+@register(
     "src_orc_roundtrip",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -27,6 +27,7 @@ partition — the Spark analog of a FAISS IVF-Flat index.
 
 from __future__ import annotations
 
+import itertools
 import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -57,6 +58,8 @@ _BLAS_MAX_PROBES = 32
 #: explicit constant chosen per index build, never a fraction of the data.
 _CENTROID_FILTER = "vec_id % 50 = 7"
 _IVF_MAX_CENTROIDS = 32
+#: per-call sequence for persisted-index directories (see _ivf_index_path).
+_IVF_INDEX_SEQ = itertools.count()
 
 #: the (filtered, zero-norm-free) vector CTE shared by every similarity
 #: oracle — mirrors _vecs(), including the zero-norm guard.
@@ -621,6 +624,49 @@ def q_sim_ivf_kscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, nprobe=1, max_centroids=k)
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    """A per-CALL unique index directory. The returned search DataFrame
+    reads the path lazily, so the path must never be overwritten while
+    any earlier result could still be pending: a basename+pid key (the
+    r7 scheme) collides across corpora sharing a basename and across
+    sequential calls in one process. Keying on sha1(abspath) + pid + a
+    process-monotonic counter makes every call's directory fresh.
+    Stale directories (mtime > 6 h — far beyond any gate/bench run's
+    lifetime) are pruned best-effort on the way in so /tmp doesn't
+    accumulate one index per historical call."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    base = "/tmp/spark_graft_ivf_index"
+    try:
+        cutoff = time.time() - 6 * 3600
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(base, f"{digest}_{os.getpid()}_{next(_IVF_INDEX_SEQ)}")
+
+
+def _ivf_persisted_search(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Shared build→persist→read-back→search core for the persisted
+    variants: write the (vec_id, cid) inverted index to parquet exactly
+    as a production index build would, then search against the
+    read-back so the amortize-the-build story is an executed path."""
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v, k)
+    path = _ivf_index_path(sf_dir)
+    _ivf_assign(v, c).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    return _ivf_search(spark, sf_dir, nprobe=1, max_centroids=k, assign=index)
+
+
 @register("q_sim_ivf_persisted", oracle=_ivf_oracle(_C_SQL))
 def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF DEPLOYMENT split made a checked op: BUILD the inverted
@@ -635,21 +681,26 @@ def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (same centroids, same deterministic argmin), which
     the shared oracle pins — a persistence round-trip that corrupted
     one assignment would hash-red."""
-    import os
+    return _ivf_persisted_search(spark, sf_dir, _IVF_MAX_CENTROIDS)
 
+
+@register("q_sim_ivf_kscaled_persisted", oracle=_ivf_oracle(_KSCALED_C_SQL))
+def q_sim_ivf_kscaled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7's two deployment knobs COMBINED (VERDICT r7 item 3): the
+    K = ⌈√n⌉ index (sub-linear search-leg cost, q_sim_ivf_kscaled) built
+    ONCE, persisted to parquet, and probed from the read-back
+    (q_sim_ivf_persisted's amortization split). This is the actual
+    production shape of the better index: kscaled alone re-pays its
+    O(n·√n) assignment on every query batch; persisted alone amortizes
+    only the fixed-32 index whose inverted lists grow linearly. Here a
+    query batch pays O(batch·√n) against storage and the O(n·√n) build
+    is a one-time cost — at 100 TB, write the index partitionBy(cid)
+    and each probe prunes to one cell's files. Values are identical to
+    q_sim_ivf_kscaled by construction (same ⌈√n⌉ centroids, same
+    deterministic argmin), which the shared oracle pins."""
     v = _vecs(spark, sf_dir)
-    c = _centroids(v)
-    # per-process path (the _derby_url convention): two concurrent runs
-    # at the same SF must not race one shared index directory — an
-    # overwrite mid-read in the other process would surface as a
-    # FileNotFound or a partial index
-    path = (
-        "/tmp/spark_graft_ivf_index/"
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
-    )
-    _ivf_assign(v, c).write.mode("overwrite").parquet(path)
-    index = spark.read.parquet(path)
-    return _ivf_search(spark, sf_dir, nprobe=1, assign=index)
+    k = math.ceil(math.sqrt(v.count()))
+    return _ivf_persisted_search(spark, sf_dir, k)
 
 
 _NPROBE = 2

@@ -923,7 +923,11 @@ def q_text_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{tok}").alias("tok"),
             F.expr(spans_expr).alias("spans"),
         )
-        .persist()
+        # materialized once for the three consumers below; localCheckpoint
+        # (not .persist()) so the blocks are ContextCleaner-released when
+        # the result frame is dropped — a CacheManager .persist() here
+        # would pin a corpus-sized frame for the session (r7 ADVICE).
+        .localCheckpoint(eager=True)
     )
     toks = base.select(
         "doc_id", F.posexplode("tok").alias("pos0", "tk")
@@ -1105,7 +1109,7 @@ def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rules.join(first, rules.rule == first.first_rule, "left")
-        .crossJoin(sums)
+        .crossJoin(F.broadcast(sums))
         .select(
             "rule",
             F.coalesce("first_kills", F.lit(0)).cast("bigint").alias("first_kills"),
@@ -1188,7 +1192,11 @@ def q_text_strip_spans_keep1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{tok}").alias("tok"),
             F.expr(spans_expr).alias("spans"),
         )
-        .persist()
+        # materialized once for the three consumers below; localCheckpoint
+        # (not .persist()) so the blocks are ContextCleaner-released when
+        # the result frame is dropped — a CacheManager .persist() here
+        # would pin a corpus-sized frame for the session (r7 ADVICE).
+        .localCheckpoint(eager=True)
     )
     toks = base.select(
         "doc_id", F.posexplode("tok").alias("pos0", "tk")

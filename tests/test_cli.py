@@ -229,3 +229,36 @@ def test_cli_verify_only_flag_misuse(spark, capsys):
     assert main(["--verify-only", "--source", "jdbc:derby:/tmp/d",
                  "--target", "/tmp/x"]) == 2
     assert "parquet table directories" in capsys.readouterr().err
+
+
+def test_cli_verify_only_schema_drift_reports_mismatch(spark, capsys, tmp_path):
+    """A target whose column was renamed must be REPORTED as a mismatch
+    (exit 1), not crash with a raw AnalysisException — schema drift is
+    exactly what an audit exists to surface (r7 ADVICE)."""
+    import glob
+    import os
+
+    import duckdb
+
+    tgt = str(tmp_path / "vo_drift")
+    assert main(["--source", SF_SMOKE, "--target", tgt,
+                 "--tables", "region", "nation"]) == 0
+    capsys.readouterr()
+
+    parts = glob.glob(f"{tgt}/region/part*.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT r_regionkey, r_name AS r_renamed "
+        f"FROM read_parquet({parts!r})) TO '{tgt}/drift.parquet'"
+    )
+    for p in parts + glob.glob(f"{tgt}/region/.*.crc"):
+        os.remove(p)
+    os.rename(f"{tgt}/drift.parquet", parts[0])
+
+    rc = main(["--verify-only", "--checksum", "--source", SF_SMOKE,
+               "--target", tgt, "--tables", "region", "nation"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "MISMATCH region: schema/content error:" in out
+    assert "verified nation: 25 rows (rows+checksum)" in out
+    assert "FAILED: verified 2 table(s), 1 mismatched" in out

@@ -504,3 +504,80 @@ def test_trigger_introspect_and_script_round_trip(spark):
     execute_ddl(spark, dst, ["INSERT INTO tt VALUES (77)"])
     logged = JdbcReadSpec(url=dst, table="tt_log").load(spark).collect()
     assert [r["L_ID"] for r in logged] == [77]
+
+
+def test_trigger_introspect_quoted_table_name_is_safe(spark):
+    """The SYSTRIGGERS lookup binds the table name as a parameter (r7
+    ADVICE): a name containing a quote must neither raise a SQL syntax
+    error nor rewrite the query — it simply matches nothing."""
+    from copy_databasetables_spark.sources.introspect import introspect_triggers
+
+    url = DERBY.format(n="trig_quote")
+    assert introspect_triggers(spark, url, "x'y --") == []
+
+
+def test_grant_introspect_and_script_round_trip(spark):
+    """GrantMeta: SYS.SYSTABLEPERMS introspection under Derby SQL
+    authorization captures each grantee's table-privilege set; the
+    scripted GRANTs replay on a second database and are ENFORCED there
+    (r8, schema_introspect_grants' unit twin)."""
+    from copy_databasetables_spark.sources.introspect import (
+        drop_table_if_exists,
+        execute_ddl,
+        introspect_grants,
+        script_grants,
+    )
+
+    jvm = spark._sc._jvm  # noqa: SLF001
+    sysprops = jvm.java.lang.System
+    src = DERBY.format(n="grant_unit_src")
+    dst = DERBY.format(n="grant_unit_dst")
+    prev = sysprops.getProperty("derby.database.sqlAuthorization")
+    sysprops.setProperty("derby.database.sqlAuthorization", "true")
+    try:
+        jvm.java.sql.DriverManager.getConnection(src).close()
+        jvm.java.sql.DriverManager.getConnection(dst).close()
+    finally:
+        if prev is None:
+            sysprops.clearProperty("derby.database.sqlAuthorization")
+        else:
+            sysprops.setProperty("derby.database.sqlAuthorization", prev)
+    for url in (src, dst):
+        drop_table_if_exists(spark, url, "gt")
+        execute_ddl(spark, url, ["CREATE TABLE gt (g_id BIGINT NOT NULL)"])
+    execute_ddl(spark, src, [
+        "INSERT INTO gt VALUES (1), (2)",
+        "GRANT SELECT ON gt TO reader",
+        "GRANT SELECT, INSERT, UPDATE ON gt TO writer",
+    ])
+    grants = introspect_grants(spark, src, "gt")
+    assert [(g.grantee, g.privileges) for g in grants] == [
+        ("READER", ["SELECT"]),
+        ("WRITER", ["SELECT", "INSERT", "UPDATE"]),
+    ]
+    # a database without authorization (or a table without grants)
+    # reports an empty catalog, and grant names with quotes are safe
+    assert introspect_grants(spark, src, "absent'tbl") == []
+
+    ddl = script_grants(grants, "gt")
+    assert ddl == [
+        "GRANT SELECT ON gt TO reader",
+        "GRANT SELECT, INSERT, UPDATE ON gt TO writer",
+    ]
+    execute_ddl(spark, dst, ddl)
+    assert [(g.grantee, g.privileges) for g in introspect_grants(spark, dst, "gt")] \
+        == [(g.grantee, g.privileges) for g in grants]
+    # live enforcement on the target: reader can SELECT, cannot INSERT
+    reader = jvm.java.sql.DriverManager.getConnection(dst + ";user=reader")
+    try:
+        st = reader.createStatement()
+        rs = st.executeQuery("SELECT COUNT(*) AS c FROM APP.gt")
+        rs.next()
+        assert rs.getInt("c") == 0  # dst table is empty; the SELECT itself passing is the grant
+        rs.close()
+        with pytest.raises(Exception) as ei:
+            st.execute("INSERT INTO APP.gt VALUES (9)")
+        assert "42500" in str(ei.value)
+        st.close()
+    finally:
+        reader.close()

@@ -1466,3 +1466,40 @@ def test_strip_spans_keep1_canonical_occurrence_survives(spark, tmp_path):
     assert got[1]["cleaned_text"] == f"a1 a2 {shared} a3 a4"
     assert got[2]["n_removed"] == 8
     assert got[2]["cleaned_text"] == "b1 b2 b3 b4 b5"
+
+
+def test_ivf_index_path_unique_per_call_and_corpus():
+    """Persisted-index directories are unique per CALL (a later build
+    can never overwrite a path an earlier lazy result still reads) and
+    keyed on the FULL corpus path (two corpora sharing a basename don't
+    collide) — the r7 ADVICE fix."""
+    from copy_databasetables_spark.operators.similarity import _ivf_index_path
+
+    p1 = _ivf_index_path("/root/testdata/sf0.001")
+    p2 = _ivf_index_path("/root/testdata/sf0.001")
+    assert p1 != p2
+    p3 = _ivf_index_path("/tmp/elsewhere/sf0.001")
+    assert p3.rsplit("/", 1)[1].split("_")[0] != p1.rsplit("/", 1)[1].split("_")[0]
+
+
+def test_ivf_kscaled_persisted_matches_kscaled_and_survives_rebuild(spark):
+    """The persisted sqrt-n index returns exactly the in-plan kscaled
+    values, and an earlier persisted result still evaluates correctly
+    AFTER a later call has built its own index (no shared-path
+    overwrite)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    pending = qs["q_sim_ivf_kscaled_persisted"](spark, sf)  # lazy
+    later = qs["q_sim_ivf_kscaled_persisted"](spark, sf)
+    expect = sorted(
+        [tuple(r) for r in qs["q_sim_ivf_kscaled"](spark, sf).collect()],
+        key=lambda t: (t[0], t[3]),
+    )
+    got_later = sorted([tuple(r) for r in later.collect()], key=lambda t: (t[0], t[3]))
+    got_pending = sorted(
+        [tuple(r) for r in pending.collect()], key=lambda t: (t[0], t[3])
+    )
+    assert got_later == expect
+    assert got_pending == expect

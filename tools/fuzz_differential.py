@@ -463,7 +463,7 @@ class Gen:
     # ------------------------------------------------------------- shapes
 
     SHAPES = ["filter_topk", "group_agg", "join_agg", "join_topk",
-              "scalar_topk", "setop", "window_rank"]
+              "scalar_topk", "setop", "window_rank", "outer_join_agg"]
 
     def generate(self, seed: int) -> GenQuery:
         rng = random.Random(seed)
@@ -583,22 +583,44 @@ class Gen:
         m = META[table]
         part = rng.choice(m["lowcard"])
         order_col = rng.choice(m["ints"] + m["doubles"])
-        fn_name = rng.choice(["row_number", "rank", "dense_rank", "runsum"])
+        fn_name = rng.choice(["row_number", "rank", "dense_rank", "runsum",
+                              "leadlag", "rangesum"])
         top_m = rng.randint(2, 5)
         order_cols = [order_col] + [c for c in PK[table] if c != order_col]
         out_cols = [part] + order_cols
         order_sql = ", ".join(f"{c} ASC NULLS FIRST" for c in order_cols)
         sel = ", ".join(out_cols)
         over = f"OVER (PARTITION BY {part} ORDER BY {order_sql})"
+        sum_col = rng.choice(m["ints"])
         if fn_name == "runsum":
-            sum_col = rng.choice(m["ints"])
             frame_over = over[:-1] + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
             sql = (f"SELECT * EXCLUDE (rn) FROM (SELECT {sel}, "
                    f"CAST(SUM({sum_col}) {frame_over} AS BIGINT) AS rsum, "
                    f"CAST(ROW_NUMBER() {over} AS BIGINT) AS rn "
                    f"FROM {table}) WHERE rn <= {top_m}")
+        elif fn_name == "leadlag":
+            # LEAD/LAG over the PK-tiebroken total order: offsets are
+            # deterministic, partition-edge rows yield NULL in both
+            # engines, and the rn filter bounds rows.
+            sql = (f"SELECT * EXCLUDE (rn) FROM (SELECT {sel}, "
+                   f"CAST(LEAD({sum_col}, 1) {over} AS BIGINT) AS lead1, "
+                   f"CAST(LAG({sum_col}, 1) {over} AS BIGINT) AS lag1, "
+                   f"CAST(ROW_NUMBER() {over} AS BIGINT) AS rn "
+                   f"FROM {table}) WHERE rn <= {top_m}")
+        elif fn_name == "rangesum":
+            # RANGE frame over the (possibly tied) single order key:
+            # peer rows share the frame, so the running sum is
+            # value-determined and needs no tiebreak — the frame
+            # semantics ROWS can't express. Output rows still bounded
+            # via the tiebroken rn.
+            range_over = (f"OVER (PARTITION BY {part} ORDER BY {order_col} "
+                          f"ASC RANGE BETWEEN UNBOUNDED PRECEDING AND "
+                          f"CURRENT ROW)")
+            sql = (f"SELECT * EXCLUDE (rn) FROM (SELECT {sel}, "
+                   f"CAST(SUM({sum_col}) {range_over} AS BIGINT) AS rsum, "
+                   f"CAST(ROW_NUMBER() {over} AS BIGINT) AS rn "
+                   f"FROM {table}) WHERE rn <= {top_m}")
         else:
-            sum_col = None
             sql = (f"SELECT * FROM (SELECT {sel}, CAST({fn_name.upper()}() "
                    f"{over} AS BIGINT) AS rn "
                    f"FROM {table}) WHERE rn <= {top_m}")
@@ -615,6 +637,28 @@ class Gen:
                 return (d.select(
                             *out_cols,
                             F.sum(sum_col).over(frame).cast("bigint")
+                            .alias("rsum"),
+                            F.row_number().over(w).cast("bigint").alias("rn"))
+                        .where(F.col("rn") <= top_m)
+                        .drop("rn"))
+            if fn_name == "leadlag":
+                return (d.select(
+                            *out_cols,
+                            F.lead(sum_col, 1).over(w).cast("bigint")
+                            .alias("lead1"),
+                            F.lag(sum_col, 1).over(w).cast("bigint")
+                            .alias("lag1"),
+                            F.row_number().over(w).cast("bigint").alias("rn"))
+                        .where(F.col("rn") <= top_m)
+                        .drop("rn"))
+            if fn_name == "rangesum":
+                rw = (Window.partitionBy(part)
+                      .orderBy(F.col(order_cols[0]).asc())
+                      .rangeBetween(Window.unboundedPreceding,
+                                    Window.currentRow))
+                return (d.select(
+                            *out_cols,
+                            F.sum(sum_col).over(rw).cast("bigint")
                             .alias("rsum"),
                             F.row_number().over(w).cast("bigint").alias("rn"))
                         .where(F.col("rn") <= top_m)
@@ -650,6 +694,53 @@ class Gen:
                     .groupBy(keys[0].col).agg(*[e.col for e in aggs]))
 
         return GenQuery(seed, "join_agg", f"{fact}*{dim}", sql, build)
+
+    def _gen_outer_join_agg(self, rng: random.Random, seed: int) -> GenQuery:
+        """LEFT / FULL / INNER join with optionally NULL-INJECTED keys,
+        grouped on a dim-side key. Probes the join-key null semantics
+        the null-free testdata never exercises: plain ``=`` drops
+        NULL-keyed rows on both engines, ``IS NOT DISTINCT FROM`` /
+        ``eqNullSafe`` matches them; outer rows project NULL dim
+        columns that then flow into a NULL group and null-skipping
+        aggregates. The NULLIF pivot value is a sampled dim-key
+        quantile, so at most a handful of keys null out — the null-safe
+        cross product over them stays trivially bounded."""
+        fact, dim, fk, dk = rng.choice(JOINS)
+        fpred = self._predicate(rng, fact)
+        dpred = self._predicate(rng, dim)
+        how = rng.choice(["left", "full", "inner"])
+        keymode = rng.choice(["plain", "null_plain", "null_safe"])
+        if keymode == "plain":
+            fkey_sql, dkey_sql, v = f"f.{fk}", f"d.{dk}", None
+        else:
+            v = int(self._quantile(dim, dk, rng.choice(_QUANTILES)))
+            fkey_sql = f"NULLIF(f.{fk}, {v})"
+            dkey_sql = f"NULLIF(d.{dk}, {v})"
+        op_sql = "IS NOT DISTINCT FROM" if keymode == "null_safe" else "="
+        join_kw = {"left": "LEFT JOIN", "full": "FULL JOIN",
+                   "inner": "JOIN"}[how]
+        keys = self._group_keys(rng, dim, 1)
+        aggs = self._aggs(rng, [fact], rng.randint(2, 3))
+        sql = (f"SELECT {keys[0].sql}, {', '.join(e.sql for e in aggs)} "
+               f"FROM (SELECT * FROM {fact} WHERE {fpred.sql}) f "
+               f"{join_kw} (SELECT * FROM {dim} WHERE {dpred.sql}) d "
+               f"ON {fkey_sql} {op_sql} {dkey_sql} GROUP BY k0")
+
+        def build(spark, sf_dir, fact=fact, dim=dim, fk=fk, dk=dk, v=v,
+                  fpred=fpred, dpred=dpred, how=how, keymode=keymode,
+                  keys=keys, aggs=aggs):
+            f_df = load_table(spark, sf_dir, fact).where(fpred.col)
+            d_df = load_table(spark, sf_dir, dim).where(dpred.col)
+            fkey, dkey = f_df[fk], d_df[dk]
+            if keymode != "plain":
+                fkey = F.nullif(fkey, F.lit(v))
+                dkey = F.nullif(dkey, F.lit(v))
+            cond = fkey.eqNullSafe(dkey) if keymode == "null_safe" else (
+                fkey == dkey)
+            return (f_df.join(d_df, cond, how)
+                    .groupBy(keys[0].col).agg(*[e.col for e in aggs]))
+
+        return GenQuery(seed, "outer_join_agg", f"{fact}*{dim}", sql, build)
 
     def _gen_join_topk(self, rng: random.Random, seed: int) -> GenQuery:
         fact, dim, fk, dk, fpred, dpred, join_sql = self._join_base(rng)
