@@ -246,3 +246,154 @@ def test_stream_static_join_equals_batch(spark):
     assert stream_out.count() == batch.count()
     assert stream_out.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream_out).count() == 0
+
+
+def _staged_chunks(tmp_path, n_chunks=4):
+    """Slice the smoke events parquet into n type-preserving chunks
+    under tmp_path (NOT the shared staging dir — these tests control
+    file arrival themselves to simulate a growing source)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from copy_databasetables_spark.io import table_path
+
+    table = pq.read_table(table_path(SF_SMOKE, "events"))
+    step = max(1, (table.num_rows + n_chunks - 1) // n_chunks)
+    chunks = []
+    for i in range(n_chunks):
+        p = os.path.join(str(tmp_path), f"chunk-{i}.parquet")
+        pq.write_table(table.slice(i * step, step), p, version="2.6",
+                       coerce_timestamps=None)
+        chunks.append(p)
+    return chunks, table.num_rows
+
+
+def _events_stream_from_dir(spark, src_dir):
+    from copy_databasetables_spark.io import events_read_schema, events_ts_kind, table_path
+    from copy_databasetables_spark.session import configure_session
+
+    configure_session(spark)
+    src = table_path(SF_SMOKE, "events")
+    raw = (
+        spark.readStream.schema(events_read_schema(src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    if events_ts_kind(src) == "long":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_restart_from_checkpoint_exactly_once_file_sink(spark, tmp_path):
+    """Kill-and-resume over a GROWING file source (VERDICT r7 item 5):
+    run 1 drains the first half with AvailableNow and stops (the
+    planned 'kill' point of a bounded trigger); more files land; run 2
+    restarts from the SAME checkpoint. The restarted query must (a)
+    read ONLY the new files — the checkpointed source offsets are
+    honored, so nothing is reprocessed — and (b) leave the transactional
+    file sink holding every source row exactly once: no loss, no
+    dupes."""
+    import os
+    import shutil
+
+    chunks, n_total = _staged_chunks(tmp_path)
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(src_dir)
+    for c in chunks[:2]:
+        shutil.copy(c, src_dir)
+
+    def run_once():
+        q = (
+            _events_stream_from_dir(spark, src_dir)
+            .select("event_id", "user_id", "ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    assert 0 < n_first < n_total
+
+    for c in chunks[2:]:
+        shutil.copy(c, src_dir)
+    q2 = run_once()
+
+    # (a) the restart read only the NEW files
+    replayed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert replayed == n_total - n_first
+    # (b) exactly-once end to end: every source row once, none twice
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_total
+    assert out.select("event_id").distinct().count() == n_total
+
+
+def test_restart_restores_aggregation_state(spark, tmp_path):
+    """Restart-from-checkpoint must RESTORE operator state, not just
+    source offsets: a complete-mode tumbling aggregation drains half
+    the source, stops, and restarts onto the grown source. The final
+    output must equal the batch aggregate over ALL rows even though the
+    restarted run only READ the new files — the first half's counts can
+    only have come out of the recovered state store."""
+    import os
+    import shutil
+
+    from copy_databasetables_spark.streaming.jobs import tumbling_counts_stream
+
+    chunks, n_total = _staged_chunks(tmp_path)
+    src_dir = str(tmp_path / "src")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(src_dir)
+    for c in chunks[:2]:
+        shutil.copy(c, src_dir)
+
+    captured: list = []
+
+    def run_once():
+        def capture(batch_df, batch_id):
+            captured.append(batch_df.collect())
+
+        q = (
+            tumbling_counts_stream(_events_stream_from_dir(spark, src_dir))
+            .writeStream.foreachBatch(capture)
+            .outputMode("complete")
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run_once()
+    n_run1 = len(captured)
+    assert n_run1 >= 1
+
+    for c in chunks[2:]:
+        shutil.copy(c, src_dir)
+    q2 = run_once()
+
+    replayed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert 0 < replayed < n_total  # only the new files were read
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    final = {(r["win_start_us"], r["event_type"]): r["n_events"]
+             for r in captured[-1]}
+    expect = {(r["win_start_us"], r["event_type"]): r["n_events"]
+              for r in batch.collect()}
+    assert final == expect
