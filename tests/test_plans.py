@@ -571,3 +571,18 @@ def test_corpus_drift_histogram_legs_are_metadata_sized(spark):
     assert "BroadcastNestedLoopJoin" not in final
     assert "PythonUDF" not in final and "ArrowEvalPython" not in final
     assert "HashAggregate" in final
+
+
+def test_kscaled_persisted_search_reads_index_from_storage(spark):
+    """The persisted √n-IVF op (r8) must search against the PARQUET
+    READ-BACK of the inverted index — the amortized-build deployment
+    split executed, not narrated: the index path appears as a scan, the
+    cell-membership join is a cid-keyed hash join, and the only
+    nested-loop node is the bounded probe×centroid crossJoin (constant
+    K=⌈√n⌉ broadcast build side)."""
+    p = plan(all_queries()["q_sim_ivf_kscaled_persisted"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "spark_graft_ivf_index" in final  # index comes from storage
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 1  # probe×centroids only
+    assert "BroadcastHashJoin [cid" in final  # cid equi-join drives members
