@@ -587,11 +587,22 @@ class Gen:
                               "leadlag", "rangesum"])
         top_m = rng.randint(2, 5)
         order_cols = [order_col] + [c for c in PK[table] if c != order_col]
+        sum_col = rng.choice(m["ints"])
+        if fn_name in ("runsum", "leadlag", "rangesum") and sum_col not in order_cols:
+            # The PK tuple is NOT unique on this synthetic data
+            # (lineitem carries duplicate (orderkey, linenumber) pairs),
+            # so rows can tie on every order column while differing in
+            # the column the window function READS — LEAD/LAG and a
+            # ROWS-frame running sum would then leak engine tie order.
+            # Appending the read column to the order makes every tied
+            # run value-uniform: any permutation of it yields the same
+            # offsets and prefix sums, so the output multiset is
+            # deterministic without needing a true PK.
+            order_cols.append(sum_col)
         out_cols = [part] + order_cols
         order_sql = ", ".join(f"{c} ASC NULLS FIRST" for c in order_cols)
         sel = ", ".join(out_cols)
         over = f"OVER (PARTITION BY {part} ORDER BY {order_sql})"
-        sum_col = rng.choice(m["ints"])
         if fn_name == "runsum":
             frame_over = over[:-1] + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
             sql = (f"SELECT * EXCLUDE (rn) FROM (SELECT {sel}, "
