@@ -196,3 +196,43 @@ def test_range_partitioned_rank_reproduces_global_rank(spark, keys, n_parts):
     }
     want = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+def test_results_invariant_under_shuffle_partition_count(spark):
+    """Metamorphic determinism-under-parallelism pin (r8): a cluster
+    resize must never change results. The most partition-sensitive
+    operators by construction — global-id assignment (range partition +
+    per-partition offsets), LSH banding joins, the keep-one-canonical
+    span pick, the quantized k-means update, and the persisted sqrt-n
+    IVF search — are executed under two different shuffle-partition
+    counts and must return the identical row multiset. Any hidden
+    dependence on partition boundaries (a first()/limit leak, an
+    unseeded per-partition tiebreak, float accumulation order) shows up
+    as a diff here long before it shows up on a 1000-executor
+    cluster."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    ops = [
+        "q_assign_global_ids",
+        "q_dedup_minhash",
+        "q_text_strip_spans_keep1",
+        "q_emb_kmeans",
+        "q_sim_ivf_kscaled_persisted",
+    ]
+    conf = spark.conf
+    saved = conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_shuffle in ("5", saved):
+            conf.set("spark.sql.shuffle.partitions", n_shuffle)
+            for op in ops:
+                rows = sorted(
+                    tuple(r) for r in qs[op](spark, sf).collect()
+                )
+                results.setdefault(op, []).append(rows)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", saved)
+    for op, (a, b) in results.items():
+        assert a == b, f"{op} changed under a different shuffle-partition count"
