@@ -30,10 +30,11 @@ from tests.conftest import SF_SMOKE
 #: One pinned band of seeds; spans every generator shape (verified by
 #: the shape-coverage test below, so a generator change that collapses
 #: the mix is caught rather than silently narrowing the gate). The
-#: r8 extras pin the outer-join key-mode/type grid (LEFT/FULL × plain/
-#: null-safe/null-plain) and the RANGE-frame window variant, which the
-#: contiguous prefix happens not to draw.
-SEEDS = list(range(28)) + [40, 61, 75, 88]
+#: r8 extras pin variants the contiguous prefix happens not to draw:
+#: the subquery EXISTS/IN modes (29/34), the outer-join LEFT/FULL ×
+#: plain/null-safe/null-plain grid (40/61/75), and the running-sum
+#: window variant (41).
+SEEDS = list(range(28)) + [29, 34, 40, 41, 61, 75]
 
 
 @pytest.fixture(scope="module")

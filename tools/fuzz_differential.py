@@ -463,7 +463,8 @@ class Gen:
     # ------------------------------------------------------------- shapes
 
     SHAPES = ["filter_topk", "group_agg", "join_agg", "join_topk",
-              "scalar_topk", "setop", "window_rank", "outer_join_agg"]
+              "scalar_topk", "setop", "window_rank", "outer_join_agg",
+              "subquery_filter"]
 
     def generate(self, seed: int) -> GenQuery:
         rng = random.Random(seed)
@@ -705,6 +706,41 @@ class Gen:
                     .groupBy(keys[0].col).agg(*[e.col for e in aggs]))
 
         return GenQuery(seed, "join_agg", f"{fact}*{dim}", sql, build)
+
+    def _gen_subquery_filter(self, rng: random.Random, seed: int) -> GenQuery:
+        """IN / EXISTS / NOT EXISTS membership against a filtered dim —
+        the subquery-decorrelation surface (SURVEY.md §4.2): both
+        engines must rewrite the correlated EXISTS to a semi/anti join
+        with identical row semantics. NOT IN is deliberately excluded:
+        its three-valued NULL semantics on an injected-NULL dim column
+        is a known cross-engine minefield with no analytics payoff —
+        NOT EXISTS expresses the intent null-safely in both engines."""
+        fact, dim, fk, dk = rng.choice(JOINS)
+        fpred = self._predicate(rng, fact)
+        dpred = self._predicate(rng, dim)
+        mode = rng.choice(["in", "exists", "not_exists"])
+        fm = META[fact]
+        pool = fm["ints"] + fm["doubles"] + fm["lowcard"]
+        cols = rng.sample(pool, k=min(len(pool), rng.randint(2, 3)))
+        k = rng.choice([10, 25, 100])
+        if mode == "in":
+            sub = f"{fk} IN (SELECT {dk} FROM {dim} WHERE {dpred.sql})"
+        else:
+            kw = "EXISTS" if mode == "exists" else "NOT EXISTS"
+            sub = (f"{kw} (SELECT 1 FROM {dim} d "
+                   f"WHERE d.{dk} = {fact}.{fk} AND ({dpred.sql}))")
+        sql = (f"SELECT {', '.join(cols)} FROM {fact} "
+               f"WHERE ({fpred.sql}) AND {sub}" + self._topk_tail(cols, k))
+
+        def build(spark, sf_dir, fact=fact, dim=dim, fk=fk, dk=dk,
+                  fpred=fpred, dpred=dpred, mode=mode, cols=cols, k=k):
+            f_df = load_table(spark, sf_dir, fact).where(fpred.col)
+            d_df = load_table(spark, sf_dir, dim).where(dpred.col)
+            how = "left_anti" if mode == "not_exists" else "left_semi"
+            j = f_df.join(d_df, f_df[fk] == d_df[dk], how).select(*cols)
+            return self._spark_topk(j, cols, k)
+
+        return GenQuery(seed, "subquery_filter", f"{fact}*{dim}", sql, build)
 
     def _gen_outer_join_agg(self, rng: random.Random, seed: int) -> GenQuery:
         """LEFT / FULL / INNER join with optionally NULL-INJECTED keys,
