@@ -124,7 +124,7 @@ DRIVER_WINDOW: list[str] = [
     "q_agg_approx_distinct",
 ]
 
-def _prior_driver_green() -> set[str]:
+def _prior_driver_green(repo: str | None = None) -> set[str]:
     """Keys whose LATEST row in the committed prior-round CORRECTNESS
     files is clean (no err, rows+schema+hash all matching where
     present) — pushed to the back of the dict so never-driver-checked
@@ -137,7 +137,10 @@ def _prior_driver_green() -> set[str]:
     import glob
     import json
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if repo is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     latest: dict[str, dict] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:

@@ -44,3 +44,37 @@ def test_queries_and_oracles_consistent(spark):
     # every query callable is (spark, sf_dir) -> DataFrame
     df = qs["q_project"](spark, SF_SMOKE)
     assert df.columns == ["c_custkey", "c_name"]
+
+
+def test_driver_window_rotation_and_clean_attestation_rule(tmp_path):
+    """The driver records only the first 50 queries() entries, so the
+    rotation logic IS part of the correctness surface: DRIVER_WINDOW
+    keys lead in listed order, every registered key appears exactly
+    once, and (r7 ADVICE) only a CLEAN latest attestation (no err, no
+    explicit False match field) counts as prior-green — a key whose
+    last driver row failed must regain window priority, not rotate to
+    the back."""
+    import json
+
+    from copy_databasetables_spark import operators as ops
+
+    order = list(ops.all_queries())
+    assert order[: len(ops.DRIVER_WINDOW)] == ops.DRIVER_WINDOW
+    assert sorted(order) == sorted(ops.QUERIES)
+
+    clean = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None}
+    rows_r1 = {
+        "ok": clean,
+        "errored": {**clean, "err": "boom"},
+        "hash_red": {**clean, "hash_match": False},
+        "rows_only_ok": {"rows_match": True, "err": None},
+        "was_green_then_red": clean,
+    }
+    rows_r2 = {"was_green_then_red": {**clean, "hash_match": False}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows_r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(rows_r2))
+    green = ops._prior_driver_green(repo=str(tmp_path))
+    # errored / hash-red rows never count; a later red overrides an
+    # earlier green (LATEST attestation decides)
+    assert green == {"ok", "rows_only_ok"}

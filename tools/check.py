@@ -108,6 +108,17 @@ def main() -> int:
         "DRIVER-WINDOW order (operators.DRIVER_WINDOW first) — mirrors "
         "the external driver's capped window (N=50)",
     )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=8,
+        metavar="N",
+        help="shuffle-partition count for the Spark session (default 8). "
+        "Running the whole gate under a DIFFERENT count is the "
+        "cluster-resize adversarial check: every operator's value hash "
+        "must be partition-count-invariant, so any hidden dependence on "
+        "partition boundaries goes red against the unchanged oracle.",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/{args.sf}"
 
@@ -126,7 +137,7 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
-    spark = get_spark("check", shuffle_partitions=8)
+    spark = get_spark("check", shuffle_partitions=args.shuffle_partitions)
     con = duck_connect(sf_dir)
 
     passed, failed = [], []
