@@ -54,6 +54,10 @@ HEADLINE = [
     # fixed-parameter twins (embed_lsh and ivf above)
     "q_dedup_embed_lsh_scaled",
     "q_sim_ivf_kscaled",
+    # r8: the deployment shape of the better index — sqrt-n centroids
+    # built once, persisted, probed from the read-back; benched beside
+    # the in-plan kscaled twin so the amortization trade stays measured
+    "q_sim_ivf_kscaled_persisted",
     # late r6: the PQ memory path (32x smaller resident index than
     # brute-force float vectors) and the bloom runtime-filter join
     "q_sim_pq",

@@ -75,6 +75,17 @@ NOTES = {
         "path; iteration count is a plan constant "
         "(tests/test_plans.py::test_kmeans_broadcasts_only_fixed_k_centroids)."
     ),
+    "q_sim_ivf_kscaled_persisted": (
+        "The search leg reads the (vec_id, cid) inverted index from its "
+        "parquet persistence (the scan on /tmp/spark_graft_ivf_index is "
+        "the point: the O(n·√n) build is amortized, any query batch pays "
+        "only its own probes), the membership join is a cid-keyed hash "
+        "join, and the only nested loop is the bounded probe×centroid "
+        "crossJoin (K=⌈√n⌉ TakeOrdered broadcast). "
+        "tests/test_plans.py::test_kscaled_persisted_search_reads_index_"
+        "from_storage pins all three. At real scale, write the index "
+        "partitionBy(cid) and the probe prunes to one cell's files."
+    ),
 }
 
 #: Non-headline operators whose PLANS are the scale argument for a
