@@ -304,3 +304,120 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return d.mapInPandas(_resize_payloads, schema=_RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# PGM (P5) pipeline: the decode step executed FOR REAL (r8).
+# --------------------------------------------------------------------------
+
+_PPM_SCHEMA = (
+    "doc_id bigint, w bigint, h bigint, sum_px bigint, "
+    "ow bigint, oh bigint, sum_small bigint"
+)
+
+
+def _ppm_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ENCODE stage: deterministic grayscale PGM (binary 'P5') images —
+    dims derived from doc_id, pixel i = (doc_id·31 + 7i) mod 256. The
+    payload is a byte-for-byte valid PGM file (header + raster): any
+    external PGM reader decodes it."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, payloads = [], []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = 8 + doc_id % 9, 8 + doc_id % 7
+            px = (doc_id * 31 + 7 * np.arange(w * h, dtype=np.int64)) % 256
+            payloads.append(
+                b"P5\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+            )
+            ids.append(doc_id)
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _ppm_decode_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """DECODE stage — real byte-level parsing, not a stub: read the P5
+    magic, parse dims from the header, ``np.frombuffer`` the raster,
+    2× nearest-neighbor downscale via strided slicing, and emit exact
+    integer pixel sums for both scales."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            if not payload.startswith(b"P5\n"):
+                raise ValueError(f"doc {doc_id}: not a binary PGM payload")
+            dims_end = payload.index(b"\n", 3)
+            maxval_end = payload.index(b"\n", dims_end + 1)
+            w, h = (int(t) for t in payload[3:dims_end].split())
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h, offset=maxval_end + 1
+            ).reshape(h, w)
+            small = arr[::2, ::2]  # nearest-neighbor 2x downscale
+            rows.append(
+                (
+                    int(doc_id), w, h, int(arr.sum(dtype=np.int64)),
+                    small.shape[1], small.shape[0],
+                    int(small.sum(dtype=np.int64)),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "w", "h", "sum_px", "ow", "oh", "sum_small"],
+        )
+
+
+@register(
+    "q_multimodal_ppm_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+             (8 + doc_id % 9 + 1) // 2 AS ow,
+             (8 + doc_id % 7 + 1) // 2 AS oh
+      FROM documents),
+    -- dims are bounded (w<=16, h<=14 => <=224 px), so a fixed range
+    -- joined on i < w*h enumerates every pixel; the downscaled raster
+    -- is exactly the even-row/even-col source pixels.
+    px AS (
+      SELECT d.doc_id, d.w, d.h, d.ow, d.oh, t.i,
+             (d.doc_id * 31 + 7 * t.i) % 256 AS v
+      FROM dims d JOIN range(0, 224) t(i) ON t.i < d.w * d.h)
+    SELECT doc_id,
+           CAST(ANY_VALUE(w) AS BIGINT) AS w,
+           CAST(ANY_VALUE(h) AS BIGINT) AS h,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(ANY_VALUE(ow) AS BIGINT) AS ow,
+           CAST(ANY_VALUE(oh) AS BIGINT) AS oh,
+           CAST(SUM(CASE WHEN (i // w) % 2 = 0 AND (i % w) % 2 = 0
+                         THEN v END) AS BIGINT) AS sum_small
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode executed FOR REAL on a media format that needs no
+    external libraries (r8): binary PGM ('P5'), the simplest member of
+    the Netpbm family every image tool reads. Two Arrow-batched
+    ``mapInPandas`` stages: ENCODE synthesizes a valid PGM file per doc
+    (deterministic dims + pixel ramp), DECODE byte-parses the header,
+    ``frombuffer``s the raster, 2× nearest-neighbor-downscales by
+    strided slicing, and emits exact integer pixel sums at both scales.
+    Unlike the stubbed JPEG/audio paths (decode_media — real codecs
+    absent from this container), nothing here is faked: the decode
+    consumes the actual bytes, and a corrupted payload raises. The
+    DuckDB oracle recomputes both sums from the generative formula with
+    LATERAL range() aggregation — a decoder that misparsed the header,
+    sliced the raster wrong, or resampled off-grid hash-reds.
+
+    Scale shape: 1:1 rows end to end, no shuffle at all (scan →
+    mapInPandas → mapInPandas); bytes cross to Python once, columnar.
+    At 100 TB this is the canonical media-preprocessing plan — the
+    per-item decode cost dominates and partitioning is embarrassingly
+    parallel, exactly why the plumbing must avoid any exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(_ppm_encode, schema="doc_id bigint, payload binary")
+    return encoded.mapInPandas(_ppm_decode_features, schema=_PPM_SCHEMA)

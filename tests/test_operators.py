@@ -1503,3 +1503,54 @@ def test_ivf_kscaled_persisted_matches_kscaled_and_survives_rebuild(spark):
     )
     assert got_later == expect
     assert got_pending == expect
+
+
+def test_ppm_decode_is_a_real_byte_parser(spark):
+    """The PGM pipeline's decode stage consumes actual bytes: a valid
+    P5 payload round-trips dims and exact pixel sums; a corrupted magic
+    raises instead of silently emitting features (the difference
+    between a decoder and a stub)."""
+    import numpy as np
+    import pandas as pd
+
+    from copy_databasetables_spark.operators.multimodal import (
+        _ppm_decode_features,
+        _ppm_encode,
+    )
+
+    src = pd.DataFrame({"doc_id": [0, 5, 13]})
+    (encoded,) = list(_ppm_encode(iter([src])))
+    # byte-level ground truth for doc 13: w=8+13%9=12, h=8+13%7=14
+    p13 = bytes(encoded.loc[encoded.doc_id == 13, "payload"].iloc[0])
+    assert p13.startswith(b"P5\n12 14\n255\n")
+    expect = int(((13 * 31 + 7 * np.arange(12 * 14)) % 256).sum())
+
+    (out,) = list(_ppm_decode_features(iter([encoded])))
+    row = out[out.doc_id == 13].iloc[0]
+    assert (row.w, row.h, row.ow, row.oh) == (12, 14, 6, 7)
+    assert row.sum_px == expect
+    # downscale is the even-row/even-col source pixels
+    arr = np.frombuffer(p13, dtype=np.uint8, offset=len(b"P5\n12 14\n255\n")
+                        ).reshape(14, 12)
+    assert row.sum_small == int(arr[::2, ::2].sum(dtype=np.int64))
+
+    bad = encoded.copy()
+    bad.loc[0, "payload"] = b"P6\n" + bytes(encoded.loc[0, "payload"])[3:]
+    try:
+        list(_ppm_decode_features(iter([bad])))
+        raise AssertionError("corrupted magic must raise")
+    except ValueError as e:
+        assert "not a binary PGM" in str(e)
+
+
+def test_ppm_pipeline_plan_has_no_shuffle(spark):
+    """The media-preprocessing plan must be embarrassingly parallel:
+    scan -> encode mapInPandas -> decode mapInPandas with NO exchange —
+    at 100 TB any shuffle here would move raw media bytes."""
+    from copy_databasetables_spark.operators import all_queries
+
+    df = all_queries()["q_multimodal_ppm_decode"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") == 2
