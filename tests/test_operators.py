@@ -1554,3 +1554,52 @@ def test_ppm_pipeline_plan_has_no_shuffle(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert p.count("MapInPandas") == 2
+
+
+def test_wav_decode_is_a_real_riff_parser(spark):
+    """The WAV pipeline's decode walks real RIFF chunks: a valid
+    payload round-trips count/sum/peak; wrong magic, a non-PCM fmt, and
+    an odd-sized pre-data chunk (word-alignment, the classic parser
+    bug) are all handled."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from copy_databasetables_spark.operators.multimodal import (
+        _wav_decode_features,
+        _wav_encode,
+    )
+
+    src = pd.DataFrame({"doc_id": [0, 9, 40]})
+    (encoded,) = list(_wav_encode(iter([src])))
+    p9 = bytes(encoded.loc[encoded.doc_id == 9, "payload"].iloc[0])
+    assert p9[:4] == b"RIFF" and p9[8:12] == b"WAVE"
+    n = 64 + (9 % 37) * 8
+    ramp = ((9 * 13 + 5 * np.arange(n, dtype=np.int64)) % 4096) - 2048
+
+    (out,) = list(_wav_decode_features(iter([encoded])))
+    row = out[out.doc_id == 9].iloc[0]
+    assert (row.sample_rate, row.n_samples) == (8000, n)
+    assert row.sum_amp == int(ramp.sum())
+    assert row.peak == int(np.abs(ramp).max())
+
+    # word alignment: inject an ODD-sized LIST chunk before data; the
+    # walker must skip the pad byte and still find the samples
+    fmt_end = 12 + 8 + 16
+    padded = (p9[:fmt_end] + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+              + p9[fmt_end:])
+    (out2,) = list(_wav_decode_features(iter([
+        pd.DataFrame({"doc_id": [9], "payload": [padded]})])))
+    assert out2.iloc[0].sum_amp == int(ramp.sum())
+
+    for bad, msg in [
+        (b"RIFX" + p9[4:], "not a RIFF/WAVE"),
+        (p9[:20] + struct.pack("<H", 2) + p9[22:], "16-bit mono PCM"),
+    ]:
+        try:
+            list(_wav_decode_features(iter([
+                pd.DataFrame({"doc_id": [9], "payload": [bad]})])))
+            raise AssertionError(f"expected failure: {msg}")
+        except ValueError as e:
+            assert msg in str(e)
