@@ -165,6 +165,38 @@ def test_dedup_exact_is_idempotent(spark, tmp_path):
     assert stats["mx"] == 1
 
 
+def test_decontaminate_cleaned_corpus_reflags_nothing(spark, tmp_path):
+    from copy_databasetables_spark.operators.pipeline import q_decontaminate
+
+    flagged = q_decontaminate(spark, SF_SMOKE)
+    n_contam = flagged.where(
+        F.col("contaminated") & ~F.col("is_benchmark")
+    ).count()
+    assert n_contam > 0, "sf0.001 must contain contaminated docs"
+
+    # Cleaned training corpus = the benchmark docs (kept so the re-run
+    # derives the IDENTICAL benchmark set: bench = the N smallest
+    # doc_ids, and every other kept doc has a larger id) + every
+    # uncontaminated doc.
+    keep_ids = flagged.where(
+        F.col("is_benchmark") | ~F.col("contaminated")
+    ).select("doc_id")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = docs.join(keep_ids, "doc_id")
+
+    rerun = q_decontaminate(spark, _write_documents(kept, tmp_path))
+    # Fixed point: only the benchmark members themselves may flag (they
+    # share every gram with themselves); a flagged non-benchmark doc
+    # means the gram overlap logic leaked through the first pass.
+    assert rerun.where(
+        F.col("contaminated") & ~F.col("is_benchmark")
+    ).count() == 0
+    # And the re-derived benchmark set must be the original one.
+    a = flagged.where("is_benchmark").select("doc_id")
+    b = rerun.where("is_benchmark").select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_survivor_corpus_has_zero_verified_near_dup_pairs(spark, tmp_path):
     surv = q_dedup_survivor(spark, SF_SMOKE)
     dropped = surv.where(~F.col("keep")).select("doc_id")
