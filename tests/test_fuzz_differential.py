@@ -30,11 +30,14 @@ from tests.conftest import SF_SMOKE
 #: One pinned band of seeds; spans every generator shape (verified by
 #: the shape-coverage test below, so a generator change that collapses
 #: the mix is caught rather than silently narrowing the gate). The
-#: r8 extras pin variants the contiguous prefix happens not to draw:
-#: the subquery EXISTS/IN modes (29/34), the outer-join LEFT/FULL ×
-#: plain/null-safe/null-plain grid (40/61/75), and the running-sum
-#: window variant (41).
-SEEDS = list(range(28)) + [29, 34, 40, 41, 61, 75]
+#: extras pin variants the contiguous prefix happens not to draw under
+#: the 10-shape grammar: the subquery EXISTS/IN modes (29/34), the
+#: outer-join join-type × key-mode grid (40 FULL/plain, 61
+#: LEFT/null-safe, 68 LEFT/plain, 75 FULL/null-plain, 133
+#: LEFT/null-plain; INNER modes land in the prefix at 9/11/12), the
+#: running-sum window variant (41), and the GROUPING SETS rollup mode
+#: (33; ROLLUP and CUBE land in the prefix at 5/6/10).
+SEEDS = list(range(28)) + [29, 33, 34, 40, 41, 61, 68, 75, 133]
 
 
 @pytest.fixture(scope="module")

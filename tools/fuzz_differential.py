@@ -464,7 +464,7 @@ class Gen:
 
     SHAPES = ["filter_topk", "group_agg", "join_agg", "join_topk",
               "scalar_topk", "setop", "window_rank", "outer_join_agg",
-              "subquery_filter"]
+              "subquery_filter", "rollup_agg"]
 
     def generate(self, seed: int) -> GenQuery:
         rng = random.Random(seed)
@@ -568,6 +568,55 @@ class Gen:
             return self._spark_topk(df, cols, k)
 
         return GenQuery(seed, "setop", table, sql, build)
+
+    def _gen_rollup_agg(self, rng: random.Random, seed: int) -> GenQuery:
+        """ROLLUP / CUBE / GROUPING SETS over two keys with GROUPING()
+        markers. The differential surface: super-aggregate NULL rows
+        must stay distinguishable from NULLIF-injected data-NULL groups
+        (GROUPING() = 1 vs 0 on an identical-looking NULL key), and the
+        null-skipping aggregates must agree at EVERY grouping level,
+        including the grand-total row where an all-null SUM input must
+        yield NULL, not 0, in both engines."""
+        table = rng.choice(SCAN_TABLES)
+        pred = self._predicate(rng, table)
+        keys = self._group_keys(rng, table, 2)
+        aggs = self._aggs(rng, [table], rng.randint(2, 3))
+        mode = rng.choice(["ROLLUP", "CUBE", "SETS"])
+        key_sql = ", ".join(e.sql for e in keys)
+        agg_sql = ", ".join(e.sql for e in aggs)
+        clause = ("GROUPING SETS ((k0, k1), (k0), ())" if mode == "SETS"
+                  else f"{mode}(k0, k1)")
+        # HAVING COUNT(*) > 0 neutralizes a real engine divergence the
+        # sf0.01 sweep caught (seeds 194/313/341/419/421/462): on an
+        # EMPTY filtered input the SQL standard's () grouping set emits
+        # one grand-total row (COUNT=0, DuckDB does) while Spark's
+        # rollup/cube/groupingSets emit zero rows — both APIs, verified
+        # on 4.1.2. Every row of a NON-empty input has COUNT(*) >= 1,
+        # so the clause only removes the divergent empty-input row.
+        sql = (f"SELECT {key_sql}, "
+               f"CAST(GROUPING(k0) AS INT) AS g0, "
+               f"CAST(GROUPING(k1) AS INT) AS g1, {agg_sql} "
+               f"FROM {table} WHERE {pred.sql} GROUP BY {clause} "
+               f"HAVING CAST(COUNT(*) AS BIGINT) > 0")
+
+        def build(spark, sf_dir, table=table, pred=pred, keys=keys,
+                  aggs=aggs, mode=mode):
+            df = (load_table(spark, sf_dir, table).where(pred.col)
+                  .withColumn("k0", keys[0].col)
+                  .withColumn("k1", keys[1].col))
+            if mode == "ROLLUP":
+                g = df.rollup("k0", "k1")
+            elif mode == "CUBE":
+                g = df.cube("k0", "k1")
+            else:
+                g = df.groupingSets([["k0", "k1"], ["k0"], []], "k0", "k1")
+            return g.agg(
+                F.grouping("k0").cast("int").alias("g0"),
+                F.grouping("k1").cast("int").alias("g1"),
+                *[e.col for e in aggs],
+            ).where(F.col("agg0") > 0)
+
+        return GenQuery(seed, "rollup_agg", table, sql, build)
 
     def _gen_window_rank(self, rng: random.Random, seed: int) -> GenQuery:
         """ROW_NUMBER/RANK/DENSE_RANK — or a running SUM over an
