@@ -8,7 +8,10 @@ data cannot distinguish (e.g. _STRIP_K 8→9: the duplicated runs are
 long, so the covered-position set coincides; _NGRAM_TAU 0.60→0.55: no
 pair's Jaccard falls in the gap) are deliberately NOT pinned — a
 kill list must only contain kills, or a future legitimate refactor
-drowns in false alarms."""
+drowns in false alarms. Both exclusions were re-probed at sf0.01
+(r8 continuation): still no kill there, so the insensitivity is a
+corpus property (duplicated runs much longer than K; an empty τ
+band), not a small-SF artifact."""
 
 from __future__ import annotations
 
