@@ -55,6 +55,29 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_pythonpath() -> None:
+    """Make local-mode Python workers able to import this package no
+    matter where the driver process was launched from.
+
+    Workers spawned for pandas UDFs / mapInPandas inherit the
+    PYTHONPATH environment variable, NOT the driver's sys.path — so a
+    driver started outside the repo root (e.g. ``python tools/check.py``
+    run from tools/) imports the package fine yet ships UDFs whose
+    unpickle dies on the worker with ModuleNotFoundError, failing every
+    Arrow-batched operator while pure-JVM plans keep passing. Prepend
+    the package parent before the JVM boots (after that it's too late —
+    worker env is fixed at context start). On a real cluster this env
+    var only reaches the driver-side workers; ship the package with
+    ``--py-files``/``spark.submit.pyFiles`` there."""
+    cur = os.environ.get("PYTHONPATH", "")
+    parts = cur.split(os.pathsep) if cur else []
+    if _PKG_PARENT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_PKG_PARENT] + parts)
+
+
 def get_spark(
     app_name: str = "copy-databasetables-spark",
     master: str | None = None,
@@ -65,6 +88,7 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) for local runs;
     on a real cluster pass ``None`` with a spark-submit-provided master.
     """
+    _ensure_worker_pythonpath()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"

@@ -78,3 +78,23 @@ def test_driver_window_rotation_and_clean_attestation_rule(tmp_path):
     # errored / hash-red rows never count; a later red overrides an
     # earlier green (LATEST attestation decides)
     assert green == {"ok", "rows_only_ok"}
+
+
+def test_worker_pythonpath_exported_for_udf_unpickle():
+    """get_spark must export the package parent on PYTHONPATH so
+    local-mode Python workers can unpickle module-referenced pandas
+    UDFs regardless of the driver's cwd (`python tools/check.py` run
+    FROM tools/ failed every mapInPandas operator with
+    ModuleNotFoundError while pure-JVM plans kept passing — r8)."""
+    import os
+
+    from copy_databasetables_spark import session
+
+    session._ensure_worker_pythonpath()
+    parts = os.environ["PYTHONPATH"].split(os.pathsep)
+    assert session._PKG_PARENT in parts
+    # idempotent: a second call must not duplicate the entry
+    session._ensure_worker_pythonpath()
+    assert os.environ["PYTHONPATH"].split(os.pathsep).count(
+        session._PKG_PARENT
+    ) == 1
