@@ -119,6 +119,62 @@ def test_minhash_lsh_recall_against_exact(spark):
         assert len(lsh) / len(exact) >= 0.95
 
 
+def test_lsh_recall_report_counts_are_consistent(spark):
+    """The registered audit op must agree with its component ops: n_true
+    = |q_dedup_near's pair set over md5 hashes|... since the two hash
+    families (xxhash64 vs md5) induce identical Jaccard absent
+    collisions, n_true equals q_dedup_near's row count; n_verified =
+    q_dedup_minhash's; and the bp fields are the exact integer-division
+    of those counts."""
+    from copy_databasetables_spark.operators import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    row = qs["q_dedup_lsh_recall"](spark, sf).collect()[0]
+    n_near = qs["q_dedup_near"](spark, sf).count()
+    n_mh = qs["q_dedup_minhash"](spark, sf).count()
+    assert row["n_true"] == n_near
+    assert row["n_verified"] == n_mh
+    assert row["n_missed"] == row["n_true"] - row["n_verified"]
+    assert 0 <= row["n_missed"] <= row["n_true"]
+    assert row["n_verified"] <= row["n_candidates"]
+    assert row["recall_bp"] == (10000 * row["n_verified"]) // row["n_true"]
+    assert (
+        row["precision_bp"]
+        == (10000 * row["n_verified"]) // row["n_candidates"]
+    )
+
+
+def test_lsh_recall_is_total_on_exact_clones(spark, tmp_path):
+    """Identical texts share ALL minhashes, so every band collides and
+    recall is structurally 10000 bp — pinned on a handcrafted corpus
+    where the true pair set is known by construction (3 clones = 3
+    pairs, plus unique docs contributing none)."""
+    import os
+
+    from copy_databasetables_spark.operators.dedup import q_dedup_lsh_recall
+
+    clone = " ".join(f"w{i}" for i in range(40))
+    docs = [
+        (1, clone, "en", "s", 0),
+        (2, clone, "en", "s", 0),
+        (3, clone, "en", "s", 0),
+        (4, " ".join(f"x{i}" for i in range(40)), "en", "s", 0),
+        (5, " ".join(f"y{i}" for i in range(40)), "en", "s", 0),
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    row = q_dedup_lsh_recall(spark, d).collect()[0]
+    assert row["n_true"] == 3  # the clone triangle
+    assert row["n_verified"] == 3
+    assert row["n_missed"] == 0
+    assert row["recall_bp"] == 10000
+
+
 def test_cosine_self_similarity_and_symmetry(spark):
     from copy_databasetables_spark.operators.similarity import _cosine
 
