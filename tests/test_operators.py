@@ -175,6 +175,39 @@ def test_lsh_recall_is_total_on_exact_clones(spark, tmp_path):
     assert row["recall_bp"] == 10000
 
 
+def test_embed_recall_is_total_on_identical_vectors(spark, tmp_path):
+    """Identical vectors produce identical sign bits, so every band
+    collides and the audit must report 10000 bp for both the plain and
+    the capped leg on a corpus whose only true pairs are exact clones
+    (distinct random-ish fillers stay below τ by construction)."""
+    import os
+
+    from copy_databasetables_spark.operators.dedup import (
+        _RHP_DIM,
+        q_dedup_embed_recall,
+    )
+
+    clone = [1.0] + [0.0] * (_RHP_DIM - 1)
+    # fillers orthogonal to the clone AND to each other → cosine 0.
+    rows = [(1, clone, 0), (2, clone, 0), (3, clone, 0)]
+    for i in range(4, 10):
+        v = [0.0] * _RHP_DIM
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    row = q_dedup_embed_recall(spark, d).collect()[0]
+    assert row["n_true"] == 3  # the clone triangle
+    assert row["n_verified_lsh"] == 3
+    assert row["n_verified_capped"] == 3
+    assert row["recall_bp_lsh"] == 10000
+    assert row["recall_bp_capped"] == 10000
+
+
 def test_cosine_self_similarity_and_symmetry(spark):
     from copy_databasetables_spark.operators.similarity import _cosine
 
