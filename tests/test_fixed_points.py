@@ -197,6 +197,30 @@ def test_decontaminate_cleaned_corpus_reflags_nothing(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_lsh_survivor_corpus_has_zero_minhash_pairs(spark, tmp_path):
+    """The LSH-chain analogue — and a real theorem about the banding:
+    minhash signatures are per-document deterministic, so the candidate
+    pairs of any SUB-corpus are a subset of the full corpus's candidate
+    pairs restricted to surviving docs. Every original candidate that
+    verified was co-clustered and lost a member to the survivor window;
+    every surviving candidate pair therefore failed τ — so re-running
+    the FULL minhash pipeline on the kept corpus must yield zero pairs,
+    regardless of the banding's (measured, <100%) recall."""
+    from copy_databasetables_spark.operators.dedup import (
+        q_dedup_minhash,
+        q_dedup_survivor_lsh,
+    )
+
+    surv = q_dedup_survivor_lsh(spark, SF_SMOKE)
+    dropped = surv.where(~F.col("keep")).select("doc_id")
+    assert dropped.count() > 0, "sf0.001 must contain LSH clusters"
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    pairs = q_dedup_minhash(spark, _write_documents(kept, tmp_path))
+    assert pairs.count() == 0
+
+
 def test_survivor_corpus_has_zero_verified_near_dup_pairs(spark, tmp_path):
     surv = q_dedup_survivor(spark, SF_SMOKE)
     dropped = surv.where(~F.col("keep")).select("doc_id")
