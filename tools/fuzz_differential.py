@@ -539,15 +539,20 @@ class Gen:
         return GenQuery(seed, "scalar_topk", table, sql, build)
 
     def _gen_setop(self, rng: random.Random, seed: int) -> GenQuery:
-        """UNION ALL / EXCEPT ALL / INTERSECT ALL of two predicate slices
-        of one table — bag semantics must agree row-for-row."""
+        """Set operations over two predicate slices of one table — the
+        ALL variants probe bag semantics row-for-row; the DISTINCT
+        variants (plain UNION/EXCEPT/INTERSECT, added in the r8
+        continuation) probe the set-dedup path, where both engines must
+        treat NULLs as EQUAL (SQL set ops use distinct-row identity,
+        not predicate equality)."""
         table = rng.choice(SCAN_TABLES)
         m = META[table]
         p1 = self._predicate(rng, table)
         p2 = self._predicate(rng, table)
         pool = m["ints"] + m["lowcard"]
         cols = rng.sample(pool, k=min(len(pool), rng.randint(2, 3)))
-        op = rng.choice(["UNION ALL", "EXCEPT ALL", "INTERSECT ALL"])
+        op = rng.choice(["UNION ALL", "EXCEPT ALL", "INTERSECT ALL",
+                         "UNION", "EXCEPT", "INTERSECT"])
         k = rng.choice([25, 100])
         sel = ", ".join(cols)
         sql = (f"SELECT * FROM (SELECT {sel} FROM {table} WHERE {p1.sql} "
@@ -563,8 +568,14 @@ class Gen:
                 df = a.unionByName(b)
             elif op == "EXCEPT ALL":
                 df = a.exceptAll(b)
-            else:
+            elif op == "INTERSECT ALL":
                 df = a.intersectAll(b)
+            elif op == "UNION":
+                df = a.unionByName(b).distinct()
+            elif op == "EXCEPT":
+                df = a.subtract(b)
+            else:
+                df = a.intersect(b)
             return self._spark_topk(df, cols, k)
 
         return GenQuery(seed, "setop", table, sql, build)
