@@ -344,6 +344,22 @@ def main() -> None:
     # Warmup: exercise JVM, codegen, and the whole flagship path once.
     execute(queries["q_agg_group"](spark, sf_dir))
 
+    # Machine calibration: a fixed pure-CPU job (no I/O, no testdata,
+    # identical work every round) timed best-of-3. Cross-ROUND bench
+    # comparisons on this box see ±27% p90 machine-state swings
+    # (virtualized neighbors); dividing per-query times by this scalar
+    # separates "the code got slower" from "the machine was slower" —
+    # r8's two clean closing runs differed 18% on untouched operators,
+    # which this field would have attributed in one glance.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) as s"
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 4)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -360,6 +376,7 @@ def main() -> None:
         "queries": times,
         "runs": _RUNS,
         "sf": sf,
+        "calibration_sec": calib,
         "protocol": _flagship_protocol(spark, queries, sf_dir),
         "skew_ab": _skew_ab(spark, sf_dir),
         "jdbc_copy": _jdbc_copy(spark, sf_dir),
