@@ -326,6 +326,24 @@ def test_dedup_embed_lsh_is_cartesian_free(spark):
     assert "bucket" in p  # the band/bucket keys drive the join
 
 
+def test_recall_audits_plan_shapes(spark):
+    """The two recall-audit ops: every banding leg must stay the
+    equi-join candidate shape (buckets drive the joins), the exact
+    ground-truth leg is a lang-keyed (token side) / broadcast-range
+    (embed side, one-row stats aside) join — and NO CartesianProduct
+    may appear anywhere: the audits' quadratic cost lives in join
+    OUTPUT volume, never in an unkeyed physical cross. The final
+    three-count assembly must resolve to broadcast joins of one-row
+    aggregates."""
+    qs = all_queries()
+    p = plan(qs["q_dedup_lsh_recall"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "bucket" in p
+    p2 = plan(qs["q_dedup_embed_recall"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p2
+    assert "bucket" in p2
+
+
 def test_sim_threshold_blocked_is_cartesian_free(spark):
     """The IVF-cell-blocked threshold scan must pair vectors through a
     cid equi-join, never a cartesian. The only allowed nested-loop
