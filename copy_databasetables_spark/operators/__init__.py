@@ -72,6 +72,7 @@ DRIVER_WINDOW: list[str] = [
     "q_multimodal_ppm_decode",
     "q_multimodal_wav_decode",
     "q_dedup_lsh_recall",
+    "q_dedup_embed_recall",
     # single stalest key: last attested in CORRECTNESS_r02.json
     "q_map_funcs",
     # stalest cohort: the 45 keys last attested in CORRECTNESS_r04.json
