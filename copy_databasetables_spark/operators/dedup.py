@@ -207,16 +207,28 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _toks_df(spark, sf_dir).withColumn(
         "toki", F.expr("transform(toks, t -> xxhash64(t))")
     )
+    return _exact_tau_pairs(t, "toki")
+
+
+def _exact_tau_pairs(t: DataFrame, hash_col: str) -> DataFrame:
+    """Single source for the blocked exact-Jaccard all-pairs join — THE
+    ground-truth pair definition: lang-equality block + the τ=0.95
+    size-ratio band + exact Jaccard over the ``hash_col`` int arrays.
+    Shared by q_dedup_near (xxhash64 ``toki``) and the recall audit's
+    ground-truth leg (md5 ``tokh``, the _verify_jaccard family — so
+    verified ⊆ true holds exactly, not just absent collisions). Keeping
+    it single-sourced means a band or τ change cannot diverge the audit
+    from the op it audits. Returns (doc_id_a, doc_id_b, jaccard)."""
     a = t.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("lang"),
-        F.col("toki").alias("toks_a"),
+        F.col(hash_col).alias("toks_a"),
         F.col("sz").alias("sz_a"),
     )
     b = t.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
-        F.col("toki").alias("toks_b"),
+        F.col(hash_col).alias("toks_b"),
         F.col("sz").alias("sz_b"),
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -1837,35 +1849,9 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = _band_candidates(spark, _band_keyed(sigs))
     verified = _verify_jaccard(cand, toks)
-
-    a = toks.select(
-        F.col("doc_id").alias("doc_id_a"),
-        "lang",
-        F.col("tokh").alias("tokh_a"),
-        F.col("sz").alias("sz_a"),
-    )
-    b = toks.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("tokh").alias("tokh_b"),
-        F.col("sz").alias("sz_b"),
-    )
-    inter = F.size(F.array_intersect("tokh_a", "tokh_b"))
-    true_pairs = (
-        a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.doc_id_a < b.doc_id_b)
-            & (a.sz_a * 100 >= b.sz_b * 95)
-            & (b.sz_b * 100 >= a.sz_a * 95),
-        )
-        .withColumn("inter", inter)
-        .where(
-            F.col("inter")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            >= _JACCARD_TAU
-        )
-    )
+    # the shared ground-truth definition, over the SAME md5 hash family
+    # the verify stage uses — verified ⊆ true holds exactly.
+    true_pairs = _exact_tau_pairs(toks, "tokh")
 
     nt = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -1914,18 +1900,36 @@ def q_dedup_embed_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     math. Production sizing note: the principled fix is wider buckets
     (bits ~ log₂ n at index build); the cap is the runtime guard that
     makes even a mis-sized index survivable."""
-    from pyspark.sql.window import Window
-
-    keyed = _rhp_keyed(spark, sf_dir)
-    wcap = Window.partitionBy("band", "bucket").orderBy(F.col("vec_id").asc())
-    capped = (
-        keyed.withColumn("rn", F.row_number().over(wcap))
-        .where(F.col("rn") <= _EMB_BUCKET_CAP)
-        .drop("rn")
-    )
     # vector side = the UNCAPPED base scan (superset of capped's ids —
     # the cand-id joins filter it); never rebuilt from the capped frame
-    return _rhp_pairs(capped, _rhp_vecs(spark, sf_dir))
+    return _rhp_pairs(
+        _rhp_capped(_rhp_keyed(spark, sf_dir)), _rhp_vecs(spark, sf_dir)
+    )
+
+
+def _rhp_capped(keyed: DataFrame, cap: int | None = None) -> DataFrame:
+    """Single source for the per-(band, bucket) nomination cap: keep the
+    ``cap`` smallest vec_ids per bucket (deterministic). Shared by the
+    production op (q_dedup_embed_lsh_capped) and the recall audit's
+    capped leg, so a cap-policy change can never make the audit measure
+    a different cap than production ships. Drops the vector payload
+    BEFORE the row_number exchange — the window needs only (vec_id,
+    band, bucket), and pushing the ~1 KB/row (e, nrm) columns through
+    it is the same waste the r7 review removed from _rhp_pairs;
+    downstream re-joins vectors from the narrow _rhp_vecs scan. The
+    cap literal is read at CALL time (not bound as a default) so the
+    oracle-sensitivity suite's runtime constant mutation reaches it."""
+    from pyspark.sql.window import Window
+
+    if cap is None:
+        cap = _EMB_BUCKET_CAP
+    w = Window.partitionBy("band", "bucket").orderBy(F.col("vec_id").asc())
+    return (
+        keyed.select("vec_id", "band", "bucket")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
 
 
 @register(
@@ -2012,18 +2016,12 @@ def q_dedup_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join shape. The capped leg's candidate volume is bounded at
     buckets × cap² regardless of corpus size, so the audit's marginal
     cost over the plain leg is constant."""
-    from pyspark.sql.window import Window
-
     vecs = _rhp_vecs(spark, sf_dir)
     keyed = _rhp_keyed(spark, sf_dir)
     plain = _rhp_pairs(keyed, vecs)
-    wcap = Window.partitionBy("band", "bucket").orderBy(F.col("vec_id").asc())
-    capped_keyed = (
-        keyed.withColumn("rn", F.row_number().over(wcap))
-        .where(F.col("rn") <= _EMB_BUCKET_CAP)
-        .drop("rn")
-    )
-    capped = _rhp_pairs(capped_keyed, vecs)
+    # the SAME shared cap stage the production op runs — the audit can
+    # never measure a different cap policy than production ships.
+    capped = _rhp_pairs(_rhp_capped(keyed), vecs)
     true_pairs = q_dedup_embed(spark, sf_dir)
 
     nt = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))

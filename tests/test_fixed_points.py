@@ -38,7 +38,7 @@ from copy_databasetables_spark.operators.text import (
     q_text_strip_spans_keep1,
 )
 
-from conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE
 
 
 def _span_hashes(df, text_col: str):
@@ -79,10 +79,20 @@ def test_strip_spans_cut_all_kills_every_original_dup_span(spark):
 
     cleaned = q_text_strip_spans(spark, SF_SMOKE)
     # The cut-all policy's contract: NO occurrence of any cross-document
-    # duplicated span survives in any cleaned document.  (New spans can
-    # form by juxtaposition at cut boundaries — irrelevant here; we test
-    # against the ORIGINAL dup set, which is the stated guarantee.)
-    survivors = _span_hashes(cleaned, "cleaned_text").join(dup, "h")
+    # duplicated span survives in any cleaned document. Removal is
+    # positional, so juxtaposition at a cut boundary CAN textually
+    # re-form an 8-token window that equals a dup span from some OTHER
+    # document without violating the contract — restrict the check to
+    # windows the same doc originally contained (all of those positions
+    # were covered, so any per-doc recurrence means a real leak or an
+    # implausible same-doc re-formation), keeping the test exact under
+    # any future testdata regeneration.
+    orig_spans = _span_hashes(docs, "text").distinct()
+    survivors = (
+        _span_hashes(cleaned, "cleaned_text")
+        .join(dup, "h")
+        .join(orig_spans, ["doc_id", "h"], "left_semi")
+    )
     assert survivors.count() == 0
 
     # Accounting coherence: something was removed, and never more than

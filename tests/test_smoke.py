@@ -80,21 +80,27 @@ def test_driver_window_rotation_and_clean_attestation_rule(tmp_path):
     assert green == {"ok", "rows_only_ok"}
 
 
-def test_worker_pythonpath_exported_for_udf_unpickle():
+def test_worker_pythonpath_exported_for_udf_unpickle(monkeypatch):
     """get_spark must export the package parent on PYTHONPATH so
     local-mode Python workers can unpickle module-referenced pandas
     UDFs regardless of the driver's cwd (`python tools/check.py` run
     FROM tools/ failed every mapInPandas operator with
-    ModuleNotFoundError while pure-JVM plans kept passing — r8)."""
+    ModuleNotFoundError while pure-JVM plans kept passing — r8).
+    monkeypatch scopes the env mutation to this test, and the
+    idempotency check counts the DELTA so an ambient PYTHONPATH that
+    already lists the repo (even twice) can't fail it spuriously."""
     import os
 
     from copy_databasetables_spark import session
 
+    monkeypatch.setenv("PYTHONPATH", "/some/other/dir")
     session._ensure_worker_pythonpath()
     parts = os.environ["PYTHONPATH"].split(os.pathsep)
     assert session._PKG_PARENT in parts
-    # idempotent: a second call must not duplicate the entry
+    assert "/some/other/dir" in parts  # existing entries preserved
+    n_first = parts.count(session._PKG_PARENT)
     session._ensure_worker_pythonpath()
-    assert os.environ["PYTHONPATH"].split(os.pathsep).count(
-        session._PKG_PARENT
-    ) == 1
+    assert (
+        os.environ["PYTHONPATH"].split(os.pathsep).count(session._PKG_PARENT)
+        == n_first
+    )
