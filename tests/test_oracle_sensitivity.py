@@ -39,6 +39,7 @@ from tests.conftest import SF_SMOKE
 MUTATIONS = [
     (dedup, "_EMBED_TAU", 0.41, "q_dedup_embed"),
     (dedup, "_JACCARD_TAU", 0.90, "q_dedup_near"),
+    (dedup, "_EMB_BUCKET_CAP", 1, "q_dedup_embed_recall"),
     (dedup, "_N_BANDS", 2, "q_dedup_lsh_recall"),
     (dedup, "_SUBSTR_K", 7, "q_dedup_substring"),
     (similarity, "_IVF_K", 4, "q_sim_ivf"),
