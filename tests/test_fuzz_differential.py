@@ -36,12 +36,14 @@ from tests.conftest import SF_SMOKE
 #: LEFT/null-safe, 68 LEFT/plain, 75 FULL/null-plain, 133
 #: LEFT/null-plain; INNER modes land in the prefix at 9/11/12), the
 #: running-sum window variant (41), the GROUPING SETS rollup mode
-#: (33; ROLLUP and CUBE land in the prefix at 5/6/10), and the full
+#: (33; ROLLUP and CUBE land in the prefix at 5/6/10), the full
 #: set-op variant grid beyond the prefix's UNION ALL (36 EXCEPT ALL,
-#: 199 INTERSECT ALL, 172 UNION, 76 EXCEPT, 135 INTERSECT — the
-#: DISTINCT trio pins NULLs-compare-equal set identity).
+#: 199 INTERSECT ALL, 172 UNION, 76 EXCEPT, 186 INTERSECT — the
+#: DISTINCT trio pins NULLs-compare-equal set identity), and the
+#: scalar-subquery MIN mode (158; SUM and MAX land in the prefix at
+#: 19/20/27).
 SEEDS = list(range(28)) + [29, 33, 34, 36, 40, 41, 61, 68, 75, 76,
-                           133, 135, 172, 199]
+                           133, 158, 172, 186, 199]
 
 
 @pytest.fixture(scope="module")

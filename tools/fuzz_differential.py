@@ -464,7 +464,7 @@ class Gen:
 
     SHAPES = ["filter_topk", "group_agg", "join_agg", "join_topk",
               "scalar_topk", "setop", "window_rank", "outer_join_agg",
-              "subquery_filter", "rollup_agg"]
+              "subquery_filter", "rollup_agg", "scalar_subquery"]
 
     def generate(self, seed: int) -> GenQuery:
         rng = random.Random(seed)
@@ -579,6 +579,61 @@ class Gen:
             return self._spark_topk(df, cols, k)
 
         return GenQuery(seed, "setop", table, sql, build)
+
+    def _gen_scalar_subquery(self, rng: random.Random, seed: int) -> GenQuery:
+        """Correlated scalar subquery in the SELECT list vs its manual
+        decorrelation. The SQL is the correlated form — DuckDB's
+        optimizer decorrelates it internally; the Spark build IS the
+        hand-decorrelation (left join against the dim-side grouped
+        aggregate). Same AST, two execution strategies: agreement means
+        the rewrite every engine performs here is semantics-preserving
+        on this data. Only NULL-consistent aggregates are drawn —
+        MIN/MAX/SUM yield NULL over an empty correlation group in BOTH
+        forms, while COUNT would be 0 (scalar subquery) vs NULL
+        (left-join aggregate) and is deliberately excluded."""
+        fact, dim, fk, dk = rng.choice(JOINS)
+        fpred = self._predicate(rng, fact)
+        dpred = self._predicate(rng, dim)
+        fm = META[fact]
+        dm = META[dim]
+        fcols = rng.sample(fm["ints"] + fm["lowcard"],
+                           k=min(2, len(fm["ints"] + fm["lowcard"])))
+        if fk not in fcols:
+            fcols = [fk] + fcols
+        fn = rng.choice(["min", "max", "sum"])
+        dcol = rng.choice(dm["ints"] if fn == "sum"
+                          else dm["ints"] + dm["lowcard"])
+        sub_sql = (f"(SELECT CAST({fn.upper()}(d.{dcol}) AS BIGINT) "
+                   f"FROM {dim} d WHERE d.{dk} = f.{fk} AND ({dpred.sql}))"
+                   if fn == "sum" else
+                   f"(SELECT {fn.upper()}(d.{dcol}) FROM {dim} d "
+                   f"WHERE d.{dk} = f.{fk} AND ({dpred.sql}))")
+        k = rng.choice([25, 100])
+        names = fcols + ["sub"]
+        # dpred references bare dim columns; qualify them with d. so the
+        # correlated subquery resolves them against the inner scan.
+        for c in dm["ints"] + dm["lowcard"] + dm["doubles"] + dm["ts"]:
+            sub_sql = sub_sql.replace(f"({c} ", f"(d.{c} ").replace(
+                f" {c} ", f" d.{c} ")
+        sel = ", ".join(f"f.{c}" for c in fcols)
+        sql = (f"SELECT {sel}, {sub_sql} AS sub FROM {fact} f "
+               f"WHERE {fpred.sql}" + self._topk_tail(names, k))
+
+        def build(spark, sf_dir, fact=fact, dim=dim, fk=fk, dk=dk,
+                  fpred=fpred, dpred=dpred, fcols=fcols, fn=fn,
+                  dcol=dcol, k=k, names=names):
+            agg_col = getattr(F, fn)(dcol)
+            if fn == "sum":
+                agg_col = agg_col.cast("bigint")
+            d = (load_table(spark, sf_dir, dim).where(dpred.col)
+                 .groupBy(F.col(dk).alias("_dk"))
+                 .agg(agg_col.alias("sub")))
+            f_df = load_table(spark, sf_dir, fact).where(fpred.col)
+            j = f_df.join(d, f_df[fk] == d["_dk"], "left").select(
+                *[f_df[c] for c in fcols], "sub")
+            return self._spark_topk(j, names, k)
+
+        return GenQuery(seed, "scalar_subquery", f"{fact}<-{dim}", sql, build)
 
     def _gen_rollup_agg(self, rng: random.Random, seed: int) -> GenQuery:
         """ROLLUP / CUBE / GROUPING SETS over two keys with GROUPING()
