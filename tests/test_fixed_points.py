@@ -175,6 +175,39 @@ def test_dedup_exact_is_idempotent(spark, tmp_path):
     assert stats["mx"] == 1
 
 
+def test_pack_is_a_partition_of_the_corpus(spark):
+    """Sequence packing must PARTITION the corpus: every document lands
+    in exactly one (source, bin), token mass is conserved exactly, and
+    within a source the bins (ordered by bin index) span strictly
+    increasing, non-overlapping doc_id ranges — the packing rule is a
+    running offset over doc_id order, so any overlap means the window
+    or the floor arithmetic broke."""
+    from collections import defaultdict
+
+    from copy_databasetables_spark.operators.pipeline import q_text_pack
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+
+    bins = q_text_pack(spark, SF_SMOKE)
+    agg = bins.agg(
+        F.sum("n_docs").alias("d"), F.sum("bin_tokens").alias("t")
+    ).first()
+    assert agg["d"] == n_docs
+    assert agg["t"] == n_tokens
+
+    by_src = defaultdict(list)
+    for r in bins.orderBy("source", "bin").collect():
+        by_src[r["source"]].append(r)
+    for rs in by_src.values():
+        assert all(r["first_doc"] <= r["last_doc"] for r in rs)
+        for a, b in zip(rs, rs[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+
 def test_decontaminate_cleaned_corpus_reflags_nothing(spark, tmp_path):
     from copy_databasetables_spark.operators.pipeline import q_decontaminate
 
