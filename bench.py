@@ -79,6 +79,15 @@ HEADLINE = [
     # corpus REWRITE op (explode → hash join → position-exact rebuild),
     # benched from day one
     "q_text_strip_spans",
+    # r9 (VERDICT r8 item 3): the heavy ops that previously had NO
+    # tracked wall-time row, so a cost regression there was invisible
+    # between rounds. Expected magnitudes at sf0.1 are pinned in
+    # BASELINE.md §"Heavy-op magnitudes".
+    "q_text_strip_spans_keep1",
+    "q_dedup_substring",
+    "q_graph_pagerank",
+    "q_sim_hybrid_ivf",
+    "q_dedup_lsh_recall",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -57,75 +57,70 @@ _loaded = False
 #: Driver-window priority. The correctness driver records the FIRST 50
 #: ``queries()`` entries each round (observed: CORRECTNESS_r01.json stops
 #: at exactly 50, in declaration order), so the dict order below rotates
-#: which keys get a driver-green row. Round 8 window (per VERDICT.md r7
-#: "Next round" item 2): lead with keys NEW this round (never
-#: driver-checked, prepended as they land), then ``q_map_funcs`` (last
-#: attested r2 — the single stalest key), then ALL 45 keys whose last
-#: driver attestation is CORRECTNESS_r04.json, then the first few r5-era
-#: keys to fill; whatever falls past slot 50 rolls to round 9. Keys NOT
-#: listed keep registration order after these; keys already
-#: driver-checked in any prior round sort last.
+#: which keys get a driver-green row. Round 9 window (per VERDICT.md r8
+#: "Next round" item 1): the full stalest cohort — the 2 keys whose last
+#: attestation is CORRECTNESS_r04.json (r8 window overflow), then 48 of
+#: the 50 keys last attested in CORRECTNESS_r05.json, in sorted order.
+#: The remaining 2 r5-era keys (``q_win_lead_lag``,
+#: ``src_parquet_scan_nanos``) deliberately sit PAST slot 50 this round
+#: and lead the r10 rotation, together with any keys newly registered in
+#: r9 (never-driver-checked keys keep registration order after this
+#: list, ahead of everything already attested green — see
+#: ``_prior_driver_green``). After r9 lands green, no key's committed
+#: driver attestation predates r5, and only those two predate r6.
 DRIVER_WINDOW: list[str] = [
-    # new in round 8, never driver-checked
-    "q_sim_ivf_kscaled_persisted",
-    "schema_introspect_grants",
-    "q_multimodal_ppm_decode",
-    "q_multimodal_wav_decode",
-    "q_dedup_lsh_recall",
-    "q_dedup_embed_recall",
-    # single stalest key: last attested in CORRECTNESS_r02.json
-    "q_map_funcs",
-    # stalest cohort: the 45 keys last attested in CORRECTNESS_r04.json
-    "copy_table_bucketed",
-    "copy_table_compact",
-    "copy_table_incremental",
-    "copy_table_merge",
-    "q_agg_bool",
-    "q_agg_heavy_hitters",
-    "q_agg_histogram",
-    "q_agg_incremental",
-    "q_class_balance",
-    "q_copy_diff",
-    "q_cte_recursive",
-    "q_decontaminate",
-    "q_dedup_incremental",
-    "q_dedup_minhash_capped",
-    "q_domain_quota",
-    "q_emb_centroid",
-    "q_emb_outlier",
-    "q_integrity_report",
-    "q_join_salted",
-    "q_mixture_weights",
-    "q_multimodal_binary",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_pii_redact",
-    "q_pipeline_e2e",
-    "q_sample_hash",
-    "q_sim_ivf_multiprobe",
-    "q_sim_quantized",
-    "q_sim_threshold_blocked",
-    "q_split_train_test",
-    "q_subquery_corr_agg",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_table_profile",
-    "q_text_anonymize",
-    "q_text_boilerplate",
-    "q_text_chunk",
-    "q_text_fingerprint",
-    "q_text_fuzzy_match",
-    "q_text_lm_score",
-    "q_text_pack",
-    "q_text_repetition",
-    "schema_introspect_constraints",
+    # r4-era leftovers (rolled past slot 50 in the r8 window)
     "src_jdbc_decimal",
     "src_orc_roundtrip",
-    # next-stalest: first few of the 50 keys last attested in r5
+    # 48 of the 50 keys last attested in CORRECTNESS_r05.json
     "copy_table",
     "copy_table_partitioned",
     "copy_tables_many",
     "q_agg_approx_distinct",
+    "q_agg_collect",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_heavy_hitters_skewed",
+    "q_agg_percentile",
+    "q_agg_percentile_approx",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_dedup_cluster",
+    "q_dedup_survivor",
+    "q_distinct",
+    "q_filter_compound",
+    "q_filter_like",
+    "q_filter_null",
+    "q_filter_simple",
+    "q_funnel",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_interval",
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_theta",
+    "q_pivot",
+    "q_project",
+    "q_project_expr",
+    "q_retention",
+    "q_sessionize",
+    "q_stream_dedup",
+    "q_stream_late_data",
+    "q_stream_rate_agg",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_unpivot",
+    "q_win_distinct_count",
 ]
 
 def _prior_driver_green(repo: str | None = None) -> set[str]:
