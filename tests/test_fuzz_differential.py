@@ -31,19 +31,27 @@ from tests.conftest import SF_SMOKE
 #: the shape-coverage test below, so a generator change that collapses
 #: the mix is caught rather than silently narrowing the gate). The
 #: extras pin variants the contiguous prefix happens not to draw under
-#: the 10-shape grammar: the subquery EXISTS/IN modes (29/34), the
-#: outer-join join-type × key-mode grid (40 FULL/plain, 61
-#: LEFT/null-safe, 68 LEFT/plain, 75 FULL/null-plain, 133
-#: LEFT/null-plain; INNER modes land in the prefix at 9/11/12), the
-#: running-sum window variant (41), the GROUPING SETS rollup mode
-#: (33; ROLLUP and CUBE land in the prefix at 5/6/10), the full
-#: set-op variant grid beyond the prefix's UNION ALL (36 EXCEPT ALL,
-#: 199 INTERSECT ALL, 172 UNION, 76 EXCEPT, 186 INTERSECT — the
-#: DISTINCT trio pins NULLs-compare-equal set identity), and the
-#: scalar-subquery MIN mode (158; SUM and MAX land in the prefix at
-#: 19/20/27).
-SEEDS = list(range(28)) + [29, 33, 34, 36, 40, 41, 61, 68, 75, 76,
-                           133, 158, 172, 186, 199]
+#: the 14-shape grammar (r9: +text_token_agg, +array_project_topk,
+#: +array_group_agg — the array/text surface over documents/
+#: embeddings): the subquery EXISTS/IN modes (29/34; NOT EXISTS in
+#: the prefix at 17), the COMPLETE outer-join join-type × key-mode
+#: 3×3 grid (40 FULL/plain, 50 FULL/null-safe, 75 FULL/null-plain,
+#: 387 LEFT/plain, 61 LEFT/null-safe, 133 LEFT/null-plain; INNER
+#: modes in the prefix at 9/11/12), the full window-function grid
+#: beyond the prefix's rangesum at 25 (92 row_number, 65 rank, 148
+#: dense_rank, 41 runsum, 159 lead/lag), the GROUPING SETS rollup
+#: mode (33; ROLLUP and CUBE in the prefix at 5/10), the full set-op
+#: variant grid beyond the prefix's UNION ALL (36 EXCEPT ALL, 199
+#: INTERSECT ALL, 172 UNION, 76 EXCEPT, 186 INTERSECT — the DISTINCT
+#: trio pins NULLs-compare-equal set identity), the scalar-subquery
+#: MIN mode (158; SUM and MAX in the prefix at 19/27), filter_topk's
+#: first draw (31), the text prefix keymode (68; token/length in the
+#: prefix at 20/26), and the array-expr kinds the prefix misses
+#: (74 smax, 275 smin, 179 group-ssum; ssum/elem/npos in the prefix
+#: at 0/2/6/23).
+SEEDS = list(range(28)) + [29, 31, 33, 34, 36, 40, 41, 50, 61, 65,
+                           68, 74, 75, 76, 92, 133, 148, 158, 159,
+                           172, 179, 186, 199, 275, 387]
 
 
 @pytest.fixture(scope="module")

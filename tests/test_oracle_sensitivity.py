@@ -9,9 +9,11 @@ long, so the covered-position set coincides; _NGRAM_TAU 0.60→0.55: no
 pair's Jaccard falls in the gap) are deliberately NOT pinned — a
 kill list must only contain kills, or a future legitimate refactor
 drowns in false alarms. Both exclusions were re-probed at sf0.01
-(r8 continuation): still no kill there, so the insensitivity is a
-corpus property (duplicated runs much longer than K; an empty τ
-band), not a small-SF artifact."""
+(r8 continuation) and sf0.1 (r9): no kill at ANY shipped SF, so the
+insensitivity is a corpus property (duplicated runs much longer than
+K; an empty τ band), not a small-SF artifact — and the two
+seeded-fixture tests at the bottom of this file supply the kills the
+shipped corpus cannot."""
 
 from __future__ import annotations
 
@@ -80,3 +82,99 @@ def test_oracle_catches_semantic_constant_mutation(spark, duck, mod, attr,
         )
     finally:
         setattr(mod, attr, original)
+
+
+# --------------------------------------------------------------------------
+# Seeded-fixture kills for the two constants the SHIPPED corpus cannot
+# discriminate at any SF (re-probed sf0.001/sf0.01/sf0.1): _STRIP_K 8→9
+# (the corpus's duplicated runs are all much longer than K, so the
+# covered-position sets coincide) and _NGRAM_TAU 0.60→0.55 (no document
+# pair's bigram Jaccard falls inside [0.55, 0.60)). Each test writes a
+# documents.parquet engineered to land EXACTLY in the mutation's blind
+# spot and runs the same Spark-vs-DuckDB comparator on it — converting
+# "excluded because data-insensitive" into a real kill (VERDICT r8
+# item 5).
+
+
+def _write_fixture_documents(tmp_path, texts: list[str]) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["fixture"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{sf_dir}/documents.parquet",
+    )
+    return sf_dir
+
+
+def _fixture_problems(spark, sf_dir: str, key: str):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        sdf = all_queries()[key](spark, sf_dir).toPandas()
+        ddf = con.execute(all_oracles()[key]).df()
+        return check.compare(sdf, ddf)
+    finally:
+        con.close()
+
+
+def test_strip_k_mutation_kills_on_seeded_fixture(spark, tmp_path):
+    """Two docs share a duplicated run of EXACTLY 8 tokens (every other
+    token unique to its doc). K=8 flags the run (one shared 8-gram per
+    doc) and strips those positions; the K=9 mutant finds no shared
+    9-gram and strips nothing — outputs must diverge."""
+    shared = " ".join(f"D{i}" for i in range(8))
+    sf_dir = _write_fixture_documents(
+        tmp_path,
+        [f"a1 a2 {shared} b1 b2", f"c1 c2 {shared} e1 e2"],
+    )
+    assert _fixture_problems(spark, sf_dir, "q_text_strip_spans") == []
+    original = text._STRIP_K
+    text._STRIP_K = 9
+    try:
+        assert _fixture_problems(spark, sf_dir, "q_text_strip_spans") != [], (
+            "fixture failed to kill _STRIP_K 8->9"
+        )
+    finally:
+        text._STRIP_K = original
+
+
+def test_ngram_tau_mutation_kills_on_seeded_fixture(spark, tmp_path):
+    """Two docs whose distinct-bigram sets are size 25 with overlap 18:
+    Jaccard = 18/32 = 0.5625, strictly inside [0.55, 0.60). τ=0.60
+    excludes the pair, the τ=0.55 mutant includes it — the pair list
+    must diverge. Construction: 19 shared tokens (18 shared bigrams) +
+    7 unique tail tokens per doc (the run→tail boundary bigram plus 6
+    tail bigrams = 7 unique), all tokens distinct so every bigram is
+    distinct. Doc 3 is a near-copy of doc 1 (J = 24/26 ≈ 0.92), so the
+    baseline asserts a NON-empty agreeing pair list, not a vacuous
+    empty-vs-empty match."""
+    shared = " ".join(f"S{i}" for i in range(19))
+    doc1 = f"{shared} " + " ".join(f"a{i}" for i in range(7))
+    doc2 = f"{shared} " + " ".join(f"b{i}" for i in range(7))
+    doc3 = f"{shared} " + " ".join(f"a{i}" for i in range(6)) + " c9"
+    sf_dir = _write_fixture_documents(tmp_path, [doc1, doc2, doc3])
+    assert all_queries()["q_dedup_ngram"](spark, sf_dir).count() == 1
+    assert _fixture_problems(spark, sf_dir, "q_dedup_ngram") == []
+    original = dedup._NGRAM_TAU
+    dedup._NGRAM_TAU = 0.55
+    try:
+        assert _fixture_problems(spark, sf_dir, "q_dedup_ngram") != [], (
+            "fixture failed to kill _NGRAM_TAU 0.60->0.55"
+        )
+    finally:
+        dedup._NGRAM_TAU = original

@@ -285,6 +285,94 @@ def _events_stream_from_dir(spark, src_dir):
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _events_batch_from_files(spark, paths):
+    """Batch-read specific chunk files with the SAME ts normalization the
+    streaming reader applies, so stream-vs-batch comparisons see
+    identical event times regardless of the testdata's ts encoding."""
+    from copy_databasetables_spark.io import (
+        events_read_schema,
+        events_ts_kind,
+        table_path,
+    )
+
+    src = table_path(SF_SMOKE, "events")
+    raw = spark.read.schema(events_read_schema(src)).parquet(*paths)
+    if events_ts_kind(src) == "long":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_incremental_session_state_every_batch(spark, tmp_path):
+    """≥3-micro-batch incremental state (VERDICT r8 item 7): with
+    ``maxFilesPerTrigger=1`` over a 4-file source, a complete-mode
+    session-window aggregation must, after EVERY micro-batch, equal the
+    batch ``session_window`` result over exactly the files processed so
+    far. This checks the state store incrementally at each step —
+    including cross-batch session MERGES, since the file slices split
+    users' event streams mid-session — not just the final answer."""
+    import os
+    import shutil
+    import time as _time
+
+    from copy_databasetables_spark.streaming.jobs import session_counts_stream
+
+    chunks, n_total = _staged_chunks(tmp_path)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    # strictly increasing mtimes pin the FileStreamSource processing
+    # order to chunk order, making "the prefix after batch i" well-defined
+    now = _time.time()
+    staged = []
+    for i, c in enumerate(chunks):
+        dst = os.path.join(src_dir, os.path.basename(c))
+        shutil.copy(c, dst)
+        os.utime(dst, (now + i, now + i))
+        staged.append(dst)
+
+    captured: list = []
+    q = (
+        session_counts_stream(_events_stream_from_dir(spark, src_dir))
+        .writeStream.foreachBatch(
+            lambda df, bid: captured.append((bid, df.collect()))
+        )
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # pinned counts: exactly one micro-batch per file, all rows delivered
+    assert len(captured) == len(chunks) == 4
+    progress = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
+    assert len(progress) == 4
+    assert sum(progress) == n_total == 1000
+
+    for i, (_bid, rows) in enumerate(sorted(captured, key=lambda x: x[0])):
+        expect = {
+            (r["user_id"], r["session_start_us"], r["session_end_us"]): r["n_events"]
+            for r in (
+                _events_batch_from_files(spark, staged[: i + 1])
+                .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    "user_id",
+                    F.unix_micros(F.col("win.start").cast("timestamp")).alias(
+                        "session_start_us"
+                    ),
+                    F.unix_micros(F.col("win.end").cast("timestamp")).alias(
+                        "session_end_us"
+                    ),
+                    "n_events",
+                )
+            ).collect()
+        }
+        got = {
+            (r["user_id"], r["session_start_us"], r["session_end_us"]): r["n_events"]
+            for r in rows
+        }
+        assert got == expect, f"micro-batch {i}: incremental state diverged"
+
+
 def test_restart_from_checkpoint_exactly_once_file_sink(spark, tmp_path):
     """Kill-and-resume over a GROWING file source (VERDICT r7 item 5):
     run 1 drains the first half with AvailableNow and stops (the

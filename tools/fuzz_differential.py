@@ -3,8 +3,10 @@
 The fixed oracle registry (tools/check.py) proves the ~194 hand-written
 queries agree between Spark and DuckDB; this tool probes the space
 BETWEEN those points. Each seed deterministically generates a small
-query AST (scan → filter → project / group-agg / join-agg / top-k) and
-emits BOTH executions from the same tree:
+query AST (scan → filter → project / group-agg / join-agg / top-k /
+window / set-op / subquery / rollup, plus the r9 array/text shapes:
+token explode+agg, higher-order array projections, array-derived
+grouped aggregation) and emits BOTH executions from the same tree:
 
   * a PySpark DataFrame plan (``GenQuery.build``), and
   * the equivalent ANSI SQL run by DuckDB (``GenQuery.sql``),
@@ -121,11 +123,12 @@ META = {
         "likeable": ["text"],
         "ts": [],
     },
-    # join-only: no string columns at all (the embedding array itself
-    # is never projected — float[] canonicalization is engine-specific
-    # noise a differential doesn't need), so per-table shapes skip it;
-    # it participates as the dim side of documents⋈embeddings, the 1:1
-    # id-space join the LLM-pipeline ops actually run.
+    # join-only for the GENERIC shapes: no string columns, and the raw
+    # float[] is never projected as-is (float[] canonicalization is
+    # engine-specific noise a differential doesn't need). It still
+    # participates as the dim side of documents⋈embeddings, and the r9
+    # array shapes (array_project_topk / array_group_agg) target it
+    # directly via _array_expr's scaled-int derivations.
     "embeddings": {
         "ints": ["vec_id", "label"],
         "doubles": [],
@@ -460,11 +463,69 @@ class Gen:
         return Expr(F.coalesce(F.col(col), F.lit("<none>")).alias(name),
                     f"COALESCE({col}, '<none>') AS {name}")
 
+    # ------------------------------------------------ array / text exprs
+
+    #: embeddings.embedding is FLOAT[64] at every shipped SF (verified:
+    #: min(len)=max(len)=64) — element indexes 0..63 are always valid
+    #: and list_sum/aggregate never see an empty array (whose NULL-vs-0
+    #: semantics differ cross-engine).
+    _EMB_DIM = 64
+
+    def _array_expr(self, rng: random.Random, name: str) -> Expr:
+        """One embedding-derived scalar with exact cross-engine
+        semantics. Float elements are CAST to DOUBLE before arithmetic
+        (float32→float64 is exact, then both engines run identical IEEE
+        double ops) and every float-valued result goes through the
+        repo's scaled-int idiom FLOOR(x*1000 + 0.5)::BIGINT, so
+        accumulation order can never skew a hash. The per-element
+        transform+fold (ssum) and predicate filter (npos) are the
+        higher-order-function differential surface; elem/smax probe
+        indexing (Spark 0-based getItem vs DuckDB 1-based [i]) and
+        list extrema."""
+        kind = rng.choice(["ssum", "elem", "npos", "smax"])
+        if kind == "ssum":
+            return Expr(
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5))
+                        .cast("bigint"),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda a, x: a + x,
+                ).alias(name),
+                "CAST(list_sum(list_transform(embedding, "
+                "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))"
+                f" AS BIGINT) AS {name}")
+        if kind == "elem":
+            i = rng.randrange(self._EMB_DIM)
+            return Expr(
+                F.floor(F.col("embedding").getItem(i).cast("double") * 1000
+                        + F.lit(0.5)).cast("bigint").alias(name),
+                f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000 + 0.5)"
+                f" AS BIGINT) AS {name}")
+        if kind == "npos":
+            t = rng.choice([-0.5, -0.1, 0.0, 0.1, 0.5])
+            return Expr(
+                F.size(
+                    F.filter("embedding", lambda x: x.cast("double") > F.lit(t))
+                ).cast("bigint").alias(name),
+                f"CAST(len(list_filter(embedding, "
+                f"x -> CAST(x AS DOUBLE) > {t!r})) AS BIGINT) AS {name}")
+        fn, duck = rng.choice([("array_max", "list_max"),
+                               ("array_min", "list_min")])
+        return Expr(
+            F.floor(getattr(F, fn)("embedding").cast("double") * 1000
+                    + F.lit(0.5)).cast("bigint").alias(name),
+            f"CAST(FLOOR(CAST({duck}(embedding) AS DOUBLE) * 1000 + 0.5)"
+            f" AS BIGINT) AS {name}")
+
     # ------------------------------------------------------------- shapes
 
     SHAPES = ["filter_topk", "group_agg", "join_agg", "join_topk",
               "scalar_topk", "setop", "window_rank", "outer_join_agg",
-              "subquery_filter", "rollup_agg", "scalar_subquery"]
+              "subquery_filter", "rollup_agg", "scalar_subquery",
+              "text_token_agg", "array_project_topk", "array_group_agg"]
 
     def generate(self, seed: int) -> GenQuery:
         rng = random.Random(seed)
@@ -796,6 +857,98 @@ class Gen:
                     .where(F.col("rn") <= top_m))
 
         return GenQuery(seed, "window_rank", table, sql, build)
+
+    def _gen_text_token_agg(self, rng: random.Random, seed: int) -> GenQuery:
+        """Lateral tokenization of documents.text (Spark explode(split)
+        vs DuckDB unnest(string_split)) followed by a token-keyed
+        aggregation — the explode+agg surface the TPC-H-only grammar
+        never reached. The corpus text is single-space separated with
+        no leading/trailing/double spaces at every shipped SF, so the
+        regex-split (Spark) and literal-split (DuckDB) token streams
+        are identical; aggregates draw from the per-document columns
+        each exploded row carries."""
+        pred = self._predicate(rng, "documents")
+        keymode = rng.choice(["token", "prefix", "length"])
+        aggs = self._aggs(rng, ["documents"], rng.randint(2, 3))
+        having = rng.random() < 0.4
+        if keymode == "token":
+            key_sql, key_col = "token AS k0", F.col("token").alias("k0")
+        elif keymode == "prefix":
+            key_sql = "SUBSTR(token, 1, 2) AS k0"
+            key_col = F.substring("token", 1, 2).alias("k0")
+        else:
+            key_sql = "CAST(LENGTH(token) AS BIGINT) AS k0"
+            key_col = F.length("token").cast("bigint").alias("k0")
+        agg_sql = ", ".join(e.sql for e in aggs)
+        sql = (f"SELECT {key_sql}, {agg_sql} FROM "
+               f"(SELECT unnest(string_split(text, ' ')) AS token, * "
+               f"FROM documents WHERE {pred.sql}) GROUP BY k0")
+        if having:
+            sql += " HAVING CAST(COUNT(*) AS BIGINT) > 2"
+
+        def build(spark, sf_dir, pred=pred, key_col=key_col, aggs=aggs,
+                  having=having):
+            df = (load_table(spark, sf_dir, "documents")
+                  .where(pred.col)
+                  .withColumn("token", F.explode(F.split(F.col("text"), " ")))
+                  .groupBy(key_col).agg(*[e.col for e in aggs]))
+            if having:
+                df = df.where(F.col("agg0") > 2)
+            return df
+
+        return GenQuery(seed, "text_token_agg", "documents", sql, build)
+
+    def _gen_array_project_topk(self, rng: random.Random, seed: int) -> GenQuery:
+        """Per-row higher-order array projections over a filtered
+        embeddings scan: transform+fold, element indexing, lambda
+        filter, extrema (see _array_expr) — deterministic top-k over
+        the id plus every derived scalar."""
+        pred = self._predicate(rng, "embeddings")
+        nexpr = rng.randint(2, 3)
+        exprs = [self._array_expr(rng, f"a{i}") for i in range(nexpr)]
+        names = ["vec_id", "label"] + [f"a{i}" for i in range(nexpr)]
+        k = rng.choice([25, 100])
+        sql = (f"SELECT vec_id, label, {', '.join(e.sql for e in exprs)} "
+               f"FROM embeddings WHERE {pred.sql}" + self._topk_tail(names, k))
+
+        def build(spark, sf_dir, pred=pred, exprs=exprs, names=names, k=k):
+            df = (load_table(spark, sf_dir, "embeddings").where(pred.col)
+                  .select("vec_id", "label", *[e.col for e in exprs]))
+            return self._spark_topk(df, names, k)
+
+        return GenQuery(seed, "array_project_topk", "embeddings", sql, build)
+
+    def _gen_array_group_agg(self, rng: random.Random, seed: int) -> GenQuery:
+        """Array-derived scalars flowing INTO a grouped aggregation:
+        per-row higher-order results (already exact scaled ints) are
+        re-aggregated per label/mod key — bigint-associative at every
+        step, so shuffle and accumulation order cannot skew the hash."""
+        pred = self._predicate(rng, "embeddings")
+        if rng.random() < 0.5:
+            key_sql, key_col = "label AS k0", F.col("label").alias("k0")
+        else:
+            k = rng.randint(2, 9)
+            key_sql = f"vec_id % {k} AS k0"
+            key_col = (F.col("vec_id") % k).alias("k0")
+        inner = self._array_expr(rng, "v")
+        fn = rng.choice(["SUM", "MIN", "MAX"])
+        agg_sql = (f"CAST(COUNT(*) AS BIGINT) AS agg0, "
+                   f"CAST({fn}(v) AS BIGINT) AS agg1")
+        sql = (f"SELECT k0, {agg_sql} FROM "
+               f"(SELECT {key_sql}, {inner.sql} FROM embeddings "
+               f"WHERE {pred.sql}) GROUP BY k0")
+
+        def build(spark, sf_dir, pred=pred, key_col=key_col, inner=inner,
+                  fn=fn):
+            return (load_table(spark, sf_dir, "embeddings")
+                    .where(pred.col)
+                    .select(key_col, inner.col)
+                    .groupBy("k0")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("agg0"),
+                         getattr(F, fn.lower())("v").cast("bigint")
+                         .alias("agg1")))
+
+        return GenQuery(seed, "array_group_agg", "embeddings", sql, build)
 
     def _join_base(self, rng: random.Random):
         fact, dim, fk, dk = rng.choice(JOINS)

@@ -34,6 +34,11 @@ Usage:
     python tools/stress_scale.py --ivf-ab           # search-leg A/B:
                                                     # fixed K vs K=⌈√n⌉
                                                     # on a PREBUILT index
+    python tools/stress_scale.py --copies 1000 --candidates-only --reuse
+                                                    # third decade for the
+                                                    # banded candidate stage
+                                                    # only (docs-only blowup,
+                                                    # reused across runs)
 """
 
 from __future__ import annotations
@@ -61,18 +66,29 @@ OPS = [
 COPIES = 10  # overridden by --copies
 
 
-def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> None:
+def build_blowup(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    copies: int = COPIES,
+    docs_only: bool = False,
+) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
     from copy_databasetables_spark.operators.text import _BM25_QUERY
 
+    # 4 output files at the classic 10× scale; grow with the blowup so a
+    # 1000× build doesn't funnel ~600 MB through 4 writer tasks and the
+    # downstream scan starts from a sane file count.
+    nfiles = min(64, max(4, copies // 4))
+
     docs = load_table(spark, src_dir, "documents")
     n_docs = docs.count()
-    copies = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
+    copies_df = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
     keep = ", ".join(f"'{t}'" for t in _BM25_QUERY)
     blown_docs = (
-        docs.crossJoin(F.broadcast(copies))
+        docs.crossJoin(F.broadcast(copies_df))
         .select(
             (F.col("copy").cast("long") * n_docs + F.col("doc_id")).alias("doc_id"),
             F.array_join(
@@ -87,8 +103,23 @@ def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> Non
             "n_chars",
         )
     )
-    blown_docs.coalesce(4).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    blown_docs.coalesce(nfiles).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
 
+    if docs_only:
+        # candidates-only leg: embeddings/events are untouched by the
+        # minhash candidate stage — symlink them with the other tables
+        # instead of paying a 1000× blowup build they'd never be read from.
+        for t in TABLES:
+            if t == "documents":
+                continue
+            dst = f"{out_dir}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(table_path(src_dir, t), dst)
+        return
+
+    copies = copies_df
     emb = load_table(spark, src_dir, "embeddings")
     n_vecs = emb.count()
     dim = len(emb.first()["embedding"])
@@ -103,7 +134,7 @@ def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> Non
             "label",
         )
     )
-    blown_emb.coalesce(4).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    blown_emb.coalesce(nfiles).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     # events: copies with DISJOINT user-id spans — |distinct users|,
     # the theta-sketch member count, and the per-user session graph all
@@ -123,7 +154,7 @@ def build_blowup(spark, src_dir: str, out_dir: str, copies: int = COPIES) -> Non
         "value",
         "props",
     )
-    blown_ev.coalesce(4).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    blown_ev.coalesce(nfiles).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     for t in TABLES:
         if t in ("documents", "embeddings", "events"):
@@ -222,6 +253,41 @@ def ivf_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
     return out
 
 
+def candidates_leg(spark, sf_dir: str, runs: int = 2) -> dict:
+    """Time ONLY the banded-LSH candidate stage (VERDICT r8 item 6):
+    tokenize → 16 minhashes → band → (lang, band, bucket) self-join →
+    distinct candidate pairs. Verification and CC are skipped — this
+    isolates the stage whose third-decade behavior is governed by
+    bucket COLLISION counts (does the bucket join's output stay ~linear
+    in corpus size, or do accidental cross-copy collisions bend it?),
+    not by the verify join the 10×/100× runs already price. Uses the
+    production stage bodies (_toks_df/_band_keyed/_band_candidates),
+    not a re-implementation."""
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.operators.dedup import (
+        _MINHASH_SIG,
+        _TOKH,
+        _band_candidates,
+        _band_keyed,
+        _toks_df,
+    )
+
+    def cand_df():
+        toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+        sigs = toks.select(
+            "doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig")
+        )
+        return _band_candidates(spark, _band_keyed(sigs))
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        cand_df().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return {"sec": round(best, 3), "n_candidates": cand_df().count()}
+
+
 def time_op(spark, name: str, sf_dir: str, runs: int = 2) -> float:
     q = all_queries()[name]
     best = float("inf")
@@ -244,6 +310,19 @@ def main() -> None:
         action="store_true",
         help="instead of --ops timing, run the prebuilt-index IVF "
         "search-leg A/B (fixed K vs K=sqrt(n)) at 1x and at --copies x",
+    )
+    ap.add_argument(
+        "--candidates-only",
+        action="store_true",
+        help="time ONLY the banded-LSH candidate stage (no verify/CC) "
+        "at 1x and --copies x; builds a documents-only blowup so a "
+        "1000x third-decade run stays budget-bounded",
+    )
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="skip the blowup build if --out already holds a "
+        "documents.parquet (prebuilt dir from an earlier run)",
     )
     ap.add_argument(
         "--embed-tau",
@@ -269,7 +348,42 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     )
     COPIES = args.copies
-    build_blowup(spark, args.src, args.out, args.copies)
+    if not (args.reuse and os.path.exists(f"{args.out}/documents.parquet")):
+        build_blowup(
+            spark, args.src, args.out, args.copies,
+            docs_only=args.candidates_only,
+        )
+
+    if args.candidates_only:
+        r1 = candidates_leg(spark, args.src)
+        rn = candidates_leg(spark, args.out)
+        res = {
+            "src": args.src,
+            "copies": args.copies,
+            "candidates_1x": r1,
+            f"candidates_{args.copies}x": rn,
+            "alpha_time": round(
+                math.log(rn["sec"] / r1["sec"]) / math.log(args.copies), 2
+            ),
+            # collision health: candidate PAIRS should scale ~x copies
+            # (salting keeps copies' buckets disjoint); a growth exponent
+            # > 1 means accidental cross-copy bucket collisions are
+            # bending the stage super-linear.
+            "alpha_candidates": round(
+                math.log(rn["n_candidates"] / r1["n_candidates"])
+                / math.log(args.copies),
+                3,
+            ),
+        }
+        print(
+            f"candidates 1x={r1['sec']}s ({r1['n_candidates']} pairs)  "
+            f"{args.copies}x={rn['sec']}s ({rn['n_candidates']} pairs)  "
+            f"alpha_time={res['alpha_time']} "
+            f"alpha_pairs={res['alpha_candidates']}",
+            file=sys.stderr,
+        )
+        print(json.dumps(res))
+        return
 
     if args.ivf_ab:
         ab = {
