@@ -2258,3 +2258,129 @@ def q_dedup_survivor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "n_members", "pr", "keep")
     )
+
+
+@register(
+    "q_dedup_minhash_est",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    th AS MATERIALIZED (
+      SELECT doc_id, lang, {_D_TOKH} AS tokh, len(toks) AS sz FROM t),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, lang, sz, {_D_MINHASH_SIG} AS sig
+      FROM th),
+    bands AS (
+      SELECT doc_id, lang, sz, sig,
+             CAST(UNNEST(range({_N_BANDS})) AS INT) AS band
+      FROM sigs),
+    keyed AS (
+      SELECT doc_id, lang, sz, band,
+             array_to_string(sig[band * {_ROWS_PER_BAND} + 1 :
+                                 band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+                             '_') AS bucket
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM keyed a JOIN keyed b
+        ON a.lang = b.lang AND a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+       AND a.sz * 100 >= b.sz * 95 AND b.sz * 100 >= a.sz * 95)
+    SELECT doc_id_a, doc_id_b,
+           CAST(list_sum(list_transform(range(1, {_N_HASHES} + 1),
+                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             AS BIGINT) AS n_agree,
+           list_sum(list_transform(range(1, {_N_HASHES} + 1),
+                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             ::DOUBLE / {_N_HASHES} AS est_jaccard,
+           len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
+             / (ta.sz + tb.sz - len(list_intersect(ta.tokh, tb.tokh)))
+             AS exact_jaccard,
+           CAST(FLOOR(ABS(
+               list_sum(list_transform(range(1, {_N_HASHES} + 1),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                 ::DOUBLE / {_N_HASHES}
+               - len(list_intersect(ta.tokh, tb.tokh))::DOUBLE
+                 / (ta.sz + tb.sz - len(list_intersect(ta.tokh, tb.tokh)))
+             ) * 10000 + 0.5) AS BIGINT) AS err_bp
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.doc_id_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_id_b
+    JOIN th ta ON ta.doc_id = cand.doc_id_a
+    JOIN th tb ON tb.doc_id = cand.doc_id_b
+    """,
+)
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy as a hash-checked artifact: for every
+    banding candidate pair, the signature-agreement estimate
+    Ĵ = |{i : sig_a[i] = sig_b[i]}| / 16 next to the exact token
+    Jaccard, with the absolute error in basis points. Complements the
+    r8 recall audits (q_dedup_lsh_recall pins WHICH pairs banding
+    surfaces; this pins HOW WELL the sketch itself measures them) —
+    the number that decides whether a signature-only dedup pass (no
+    exact-verify join, the cheapest 100 TB configuration) is
+    acceptable for a given τ.
+
+    Exactness: agreement counts are integer folds over identical
+    signatures; Ĵ, J and |Ĵ−J| are single IEEE expressions over those
+    integers; the error is scaled to integer basis points.
+
+    Scale shape: identical to q_dedup_minhash's candidate stage (the
+    banding equi-join, never all-pairs) plus two signature joins and
+    two token joins keyed on doc_id — linear in candidates; signatures
+    are 16 int64s per doc, so a signature-only variant of this plan
+    drops the token joins and ships 128 bytes per side."""
+    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    sigs = toks.select(
+        "doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig")
+    )
+    cand = _band_candidates(spark, _band_keyed(sigs))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b")
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("tokh").alias("tokh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("tokh").alias("tokh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    n_agree = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    inter = F.size(F.array_intersect("tokh_a", "tokh_b"))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn("n_agree", n_agree)
+        .withColumn("est_jaccard", F.col("n_agree") / F.lit(float(_N_HASHES)))
+        .withColumn(
+            "exact_jaccard",
+            inter / (F.col("sz_a") + F.col("sz_b") - inter),
+        )
+        .withColumn(
+            "err_bp",
+            F.floor(
+                F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) * 10000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select(
+            "doc_id_a", "doc_id_b", "n_agree", "est_jaccard",
+            "exact_jaccard", "err_bp",
+        )
+    )

@@ -1614,3 +1614,148 @@ def q_sim_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("neighbor_id"), "lang")
     )
     return _ivf_search(spark, sf_dir, nprobe=1, meta=meta)
+
+
+#: Reciprocal-rank-fusion constants: the canonical damping constant 60
+#: (Cormack, Clarke & Büttcher 2009 — "Reciprocal rank fusion
+#: outperforms Condorcet and individual rank learning methods"), each
+#: ranker contributing its top-20, fused top-10 reported.
+_RRF_C = 60
+_RRF_N = 20
+_RRF_K = 10
+
+
+@register(
+    "q_sim_rrf",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
+    sem AS (
+      SELECT * FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(p.e, c.e) DESC,
+                             c.vec_id ASC) AS BIGINT) AS r_sem
+        FROM p JOIN v c ON c.vec_id <> p.vec_id)
+      WHERE r_sem <= {_RRF_N}),
+    t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
+                 len(list_distinct(string_split(text, ' '))) AS sz
+          FROM documents),
+    q AS (SELECT * FROM t WHERE doc_id % 50 = 0),
+    lex AS (
+      SELECT * FROM (
+        SELECT q.doc_id AS probe_id, c.doc_id AS cand_id,
+               CAST(row_number() OVER (PARTITION BY q.doc_id
+                    ORDER BY len(list_intersect(q.tk, c.tk))::DOUBLE
+                             / (q.sz + c.sz
+                                - len(list_intersect(q.tk, c.tk))) DESC,
+                             c.doc_id ASC) AS BIGINT) AS r_lex
+        FROM q JOIN t c ON c.doc_id <> q.doc_id)
+      WHERE r_lex <= {_RRF_N}),
+    fused AS (
+      SELECT COALESCE(s.probe_id, l.probe_id) AS probe_id,
+             COALESCE(s.cand_id, l.cand_id) AS cand_id,
+             s.r_sem, l.r_lex,
+             COALESCE(1.0 / ({_RRF_C} + s.r_sem), 0)
+               + COALESCE(1.0 / ({_RRF_C} + l.r_lex), 0) AS rrf_raw
+      FROM sem s FULL JOIN lex l
+        ON s.probe_id = l.probe_id AND s.cand_id = l.cand_id)
+    SELECT probe_id, cand_id, r_sem, r_lex,
+           round(rrf_raw, 6) AS rrf, fused_rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY rrf_raw DESC, cand_id ASC) AS BIGINT) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= {_RRF_K}
+    """,
+)
+def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking — the
+    standard production hybrid-retrieval combiner (score =
+    Σ 1/(60 + rank), summed over the rankers that retrieved the
+    candidate in their top-N). Distinct from q_sim_hybrid (metadata
+    PRE-FILTERED vector search): RRF fuses two INDEPENDENT rankers —
+    here per-probe cosine over embeddings and per-probe token-set
+    Jaccard over the probe's own document (more-like-this retrieval) —
+    rewarding candidates both rankers surface without ever comparing
+    their incommensurable scores.
+
+    Exactness: ranks are integers (row_number with id tie-break);
+    1/(60+r) and the ≤2-term sum are single identical IEEE expressions
+    per row on both engines — no accumulation-order ambiguity — and the
+    final fused ordering ties break on cand_id.
+
+    Scale shape (100 TB): each leg here is the EXACT reference
+    formulation (probe batch broadcast against the corpus, one window
+    per probe); in deployment the semantic leg swaps in q_sim_ivf's
+    bucketed search and the lexical leg q_text_bm25_multi's inverted
+    postings, while THIS operator's fusion — an equi-join of two
+    (probe, cand, rank) tables + a per-probe window over ≤2N rows —
+    is linear in retrieved rows and unchanged."""
+    v = _vecs(spark, sf_dir)
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    wsem = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id").asc()
+    )
+    sem = (
+        F.broadcast(p)
+        .join(v, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("r_sem", F.row_number().over(wsem).cast("bigint"))
+        .where(F.col("r_sem") <= _RRF_N)
+        .select("probe_id", "cand_id", "r_sem")
+    )
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)  # see _vecs
+        .select("doc_id", F.expr("array_distinct(split(text, ' '))").alias("tk"))
+        .withColumn("sz", F.size("tk"))
+    )
+    q = t.where("doc_id % 50 = 0").select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("tk").alias("qtk"),
+        F.col("sz").alias("qsz"),
+    )
+    inter = F.size(F.array_intersect("qtk", "tk"))
+    wlex = Window.partitionBy("probe_id").orderBy(
+        F.col("jac").desc(), F.col("cand_id").asc()
+    )
+    lex = (
+        F.broadcast(q)
+        .join(t, F.col("doc_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("doc_id").alias("cand_id"),
+            (inter / (F.col("qsz") + F.col("sz") - inter)).alias("jac"),
+        )
+        .withColumn("r_lex", F.row_number().over(wlex).cast("bigint"))
+        .where(F.col("r_lex") <= _RRF_N)
+        .select("probe_id", "cand_id", "r_lex")
+    )
+    fused = sem.join(lex, ["probe_id", "cand_id"], "full").withColumn(
+        "rrf_raw",
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_sem")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_lex")), F.lit(0.0)),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("rrf_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("fused_rank") <= _RRF_K)
+        .select(
+            "probe_id",
+            "cand_id",
+            "r_sem",
+            "r_lex",
+            F.round("rrf_raw", 6).alias("rrf"),
+            "fused_rank",
+        )
+    )

@@ -1692,3 +1692,64 @@ def test_wav_decode_is_a_real_riff_parser(spark):
             raise AssertionError(f"expected failure: {msg}")
         except ValueError as e:
             assert msg in str(e)
+
+
+def test_rrf_fusion_semantics(spark):
+    """q_sim_rrf handcrafted semantics: per-probe fused list is exactly
+    K rows ranked 1..K; every reported rrf equals the recomputed
+    1/(60+r_sem) + 1/(60+r_lex) with absent ranks contributing 0; rrf
+    is non-increasing down each fused list; and candidates retrieved by
+    BOTH rankers exist (fusion is actually fusing, not concatenating)."""
+    from copy_databasetables_spark.operators.similarity import (
+        _RRF_C,
+        _RRF_K,
+        q_sim_rrf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_sim_rrf(spark, SF_SMOKE).collect()
+    assert rows
+    by_probe: dict = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for probe, grp in by_probe.items():
+        ranks = sorted(g["fused_rank"] for g in grp)
+        assert ranks == list(range(1, _RRF_K + 1)), probe
+        grp = sorted(grp, key=lambda g: g["fused_rank"])
+        prev = float("inf")
+        for g in grp:
+            expect = (1.0 / (_RRF_C + g["r_sem"]) if g["r_sem"] else 0.0) + (
+                1.0 / (_RRF_C + g["r_lex"]) if g["r_lex"] else 0.0
+            )
+            assert abs(g["rrf"] - round(expect, 6)) < 1e-9
+            assert g["rrf"] <= prev + 1e-9
+            prev = g["rrf"]
+    assert any(r["r_sem"] is not None and r["r_lex"] is not None for r in rows)
+
+
+def test_minhash_estimator_audit_semantics(spark):
+    """q_dedup_minhash_est handcrafted semantics: n_agree ∈ [0, 16] and
+    est = n_agree/16 exactly; identical token sets (exact_jaccard = 1)
+    MUST have identical signatures (n_agree = 16, zero error) — the
+    estimator is exact on clones by construction; err_bp equals the
+    recomputed scaled |Ĵ − J|."""
+    from copy_databasetables_spark.operators.dedup import (
+        _N_HASHES,
+        q_dedup_minhash_est,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_dedup_minhash_est(spark, SF_SMOKE).collect()
+    assert rows
+    saw_clone = False
+    for r in rows:
+        assert 0 <= r["n_agree"] <= _N_HASHES
+        assert abs(r["est_jaccard"] - r["n_agree"] / _N_HASHES) < 1e-12
+        assert r["err_bp"] == int(
+            abs(r["est_jaccard"] - r["exact_jaccard"]) * 10000 + 0.5
+        )
+        if r["exact_jaccard"] == 1.0:
+            saw_clone = True
+            assert r["n_agree"] == _N_HASHES
+            assert r["err_bp"] == 0
+    assert saw_clone  # the corpus seeds exact clones; banding must surface them
