@@ -604,3 +604,33 @@ def test_kscaled_persisted_search_reads_index_from_storage(spark):
     assert "CartesianProduct" not in final
     assert final.count("BroadcastNestedLoopJoin") <= 1  # probe×centroids only
     assert "BroadcastHashJoin [cid" in final  # cid equi-join drives members
+
+
+def test_rrf_legs_broadcast_probes_and_fusion_is_equi(spark):
+    """q_sim_rrf's two retrieval legs must broadcast the PROBE side
+    (the query batch — bounded, never the corpus) against the corpus
+    scan, and the fusion join of the two (probe, cand, rank) tables
+    must be a plain equi-join: no CartesianProduct anywhere, and the
+    only nested-loop joins are the two probe broadcasts (the
+    `vec_id != probe_id` self-exclusion makes those legs
+    BroadcastNestedLoopJoin by construction — acceptable because the
+    broadcast side is the bounded probe batch)."""
+    df = all_queries()["q_sim_rrf"](spark, SF_SMOKE)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # fusion: the full outer join on (probe_id, cand_id) is sort/hash
+    # based on the join keys, never nested-loop
+    assert "FullOuter" in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    # both legs broadcast something (the probe batches)
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_minhash_est_reuses_banded_candidate_stage(spark):
+    """q_dedup_minhash_est must ride the SAME banded candidate plan as
+    q_dedup_minhash (bucket equi-join, size band in the condition) —
+    never all-pairs — and join signatures/tokens back by id."""
+    df = all_queries()["q_dedup_minhash_est"](spark, SF_SMOKE)
+    p = full_plan(df)
+    assert "bucket" in p and "sz" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
