@@ -1638,7 +1638,10 @@ _RRF_K = 10
                              c.vec_id ASC) AS BIGINT) AS r_sem
         FROM p JOIN v c ON c.vec_id <> p.vec_id)
       WHERE r_sem <= {_RRF_N}),
-    t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
+    t AS (SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')),
+                                t -> CAST(concat('0x', substring(md5(t), 1, 15))
+                                          AS BIGINT)) AS tk,
                  len(list_distinct(string_split(text, ' '))) AS sz
           FROM documents),
     q AS (SELECT * FROM t WHERE doc_id % 50 = 0),
@@ -1712,10 +1715,21 @@ def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_sem") <= _RRF_N)
         .select("probe_id", "cand_id", "r_sem")
     )
+    # tokens hashed to 60-bit ints (the dedup module's portable md5
+    # idiom): distinct tokens ↔ distinct hashes, so set sizes and
+    # intersections — hence every Jaccard and every rank — are
+    # unchanged, while the per-pair array_intersect compares int64s
+    # instead of strings across |probes|·|corpus| pairs.
     t = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)  # see _vecs
-        .select("doc_id", F.expr("array_distinct(split(text, ' '))").alias("tk"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')), "
+                "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+            ).alias("tk"),
+        )
         .withColumn("sz", F.size("tk"))
     )
     q = t.where("doc_id % 50 = 0").select(
