@@ -88,6 +88,10 @@ HEADLINE = [
     "q_graph_pagerank",
     "q_sim_hybrid_ivf",
     "q_dedup_lsh_recall",
+    # r9 additions, benched from day one: RRF hybrid fusion and the
+    # minhash estimator audit (10x stress rows in SCALE.md §r9)
+    "q_sim_rrf",
+    "q_dedup_minhash_est",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
