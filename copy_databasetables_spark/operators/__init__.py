@@ -44,6 +44,7 @@ _MODULES = [
     "subqueries",
     "analytics",
     "streaming_sem",
+    "timeseries",
     "dedup",
     "similarity",
     "text",

@@ -1753,3 +1753,96 @@ def test_minhash_estimator_audit_semantics(spark):
             assert r["n_agree"] == _N_HASHES
             assert r["err_bp"] == 0
     assert saw_clone  # the corpus seeds exact clones; banding must surface them
+
+
+def _events_by_user(spark, sf: str):
+    """Raw events grouped per user, sorted by (ts, event_id), with ts
+    projected to epoch microseconds the same way the operators do."""
+    from datetime import datetime, timedelta
+
+    from copy_databasetables_spark.io import load_table
+
+    us = lambda dt: (dt - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+    by_user: dict[int, list] = {}
+    for r in (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "value", "event_id")
+        .collect()
+    ):
+        by_user.setdefault(r["user_id"], []).append(
+            (us(r["ts"]), r["event_id"], r["value"])
+        )
+    for evs in by_user.values():
+        evs.sort()
+    return by_user
+
+
+_HOUR_US = 3_600_000_000
+
+
+def test_ts_ffill_matches_python_recompute(spark):
+    """q_ts_resample_ffill vs a from-scratch Python recompute on the raw
+    events: hourly contiguous grid over [trunc(min), trunc(max)] per
+    user, each cell the hour's last event value (ts DESC, event_id DESC
+    tie-break) carried forward across empty cells — value passes
+    through untransformed, so equality is exact."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    by_user = _events_by_user(spark, sf)
+    got: dict[tuple, float] = {}
+    grids: dict[int, list] = {}
+    for r in all_queries()["q_ts_resample_ffill"](spark, sf).collect():
+        got[(r["user_id"], r["grid_us"])] = r["value_ffill"]
+        grids.setdefault(r["user_id"], []).append(r["grid_us"])
+    assert set(grids) == set(by_user)
+    for uid, evs in by_user.items():
+        t0 = evs[0][0] // _HOUR_US * _HOUR_US
+        t1 = evs[-1][0] // _HOUR_US * _HOUR_US
+        grid = sorted(grids[uid])
+        assert grid[0] == t0 and grid[-1] == t1
+        assert all(b - a == _HOUR_US for a, b in zip(grid, grid[1:]))
+        closing = {}
+        for t_us, eid, v in evs:  # sorted asc → the last write wins
+            closing[t_us // _HOUR_US * _HOUR_US] = v
+        prev = None
+        for g in grid:
+            prev = closing.get(g, prev)
+            assert got[(uid, g)] == prev
+
+
+def test_ts_interpolate_matches_python_recompute(spark):
+    """q_ts_interpolate vs a from-scratch Python recompute: for each
+    grid instant, linear blend between the nearest observation
+    at-or-before and strictly-after; flat extrapolation past the last
+    observation, back-fill before the first. Compared to 1e-4 (the
+    op's declared 4-decimal rounding)."""
+    import bisect
+
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    by_user = _events_by_user(spark, sf)
+    rows = all_queries()["q_ts_interpolate"](spark, sf).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        uid, g = r["user_id"], r["grid_us"]
+        seen.add((uid, g))
+        evs = by_user[uid]
+        ts_list = [e[0] for e in evs]
+        i = bisect.bisect_right(ts_list, g)  # evs[:i] have ts <= g
+        prev = evs[i - 1] if i > 0 else None
+        nxt = evs[i] if i < len(evs) else None
+        if prev is not None and nxt is not None:
+            want = prev[2] + (nxt[2] - prev[2]) * (
+                float(g - prev[0]) / float(nxt[0] - prev[0])
+            )
+        elif prev is not None:
+            want = prev[2]
+        else:
+            want = nxt[2]
+        assert abs(r["value_interp"] - want) <= 1e-4, (uid, g)
+    # identical spine as the ffill variant: same (user, grid) key set
+    ff = all_queries()["q_ts_resample_ffill"](spark, sf).collect()
+    assert seen == {(r["user_id"], r["grid_us"]) for r in ff}
