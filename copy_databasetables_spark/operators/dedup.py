@@ -2384,3 +2384,84 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_jaccard", "err_bp",
         )
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, {_D_TOKS} AS toks, len({_D_TOKS}) AS sz
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+            >= {_JACCARD_TAU}),
+    -- id-ordered enumeration: each triangle x<y<z appears exactly once
+    tri AS (
+      SELECT p1.u AS x, p1.v AS y, p2.v AS z
+      FROM pairs p1
+      JOIN pairs p2 ON p2.u = p1.v
+      JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v),
+    nodes AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY doc_id
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the exact near-duplicate graph
+    (q_dedup_near's τ=0.95 pair set) — the standard cohesion signal for
+    duplicate neighborhoods: a node whose pairs close into triangles
+    sits in a genuine clone cluster; a high-degree node with NO
+    triangles is a hub stitching unrelated docs together (the failure
+    mode that merges distinct clusters under transitive closure), so
+    triangle counts are the natural audit for the CC stage
+    (q_dedup_cluster) that consumes the same pairs.
+
+    Algorithm (the 100 TB shape): DEGREE-ORDERED orientation. Each
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher, making the graph acyclic with out-degrees bounded by
+    O(√m); every triangle then has exactly one source node with both
+    out-edges (rank u < v < w ⇒ u→v, u→w, v→w), so wedges(u→v, v→w)
+    ⋈ closing-edge(u→w) enumerates each triangle once. Total wedge
+    work is O(m^{3/2}) regardless of skew — a plain id-ordered join
+    (the oracle's shape, fine at DuckDB's single-node scale) instead
+    blows up on the first billion-degree hub because every hub pair
+    becomes a wedge. All three legs are equi-joins on vertex keys; the
+    pair table is localCheckpointed so the 3-way self-join re-reads a
+    materialized table instead of re-running the pair pipeline per leg.
+    Output: (doc_id, n_triangles) for every triangle-participating doc
+    — exact integers, no float surface."""
+    t = _toks_df(spark, sf_dir).withColumn(
+        "toki", F.expr("transform(toks, t -> xxhash64(t))")
+    )
+    pairs = (
+        _exact_tau_pairs(t, "toki")
+        .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = pairs.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("d"),
+    ).localCheckpoint()
+    e1 = oriented.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    e2 = oriented.select(F.col("s").alias("v"), F.col("d").alias("w"))
+    e3 = oriented.select(F.col("s").alias("u"), F.col("d").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    nodes = tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
+    return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))

@@ -1846,3 +1846,35 @@ def test_ts_interpolate_matches_python_recompute(spark):
     # identical spine as the ffill variant: same (user, grid) key set
     ff = all_queries()["q_ts_resample_ffill"](spark, sf).collect()
     assert seen == {(r["user_id"], r["grid_us"]) for r in ff}
+
+
+def test_graph_triangles_matches_python_recompute(spark):
+    """q_graph_triangles vs a brute-force recompute over q_dedup_near's
+    pair set: per-node triangle participation counts must match exactly
+    (same graph, so the degree-ordered enumeration must agree with the
+    adjacency-set intersection count), and only triangle-participating
+    nodes may appear."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in all_queries()["q_dedup_near"](spark, sf).collect()
+    ]
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for a, b in pairs:  # common neighbors of each edge, thirded per node
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    # each triangle's 3 edges each contribute its 3 nodes once → /3
+    want = {n: c // 3 for n, c in want.items() if c}
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in all_queries()["q_graph_triangles"](spark, sf).collect()
+    }
+    assert got == want
+    assert got  # the clone-seeded corpus must contain triangles
