@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from copy_databasetables_spark.io import load_table
 
@@ -642,3 +643,43 @@ def profile_frame(df: DataFrame) -> DataFrame:
         ]
     )
     return df.sparkSession.createDataFrame(report, schema)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply an ordered I/U/D change log to a base snapshot — the copy
+    mode for sources that ship a CDC stream (Debezium/binlog extracts)
+    instead of letting the copier re-read the table. ``changes`` carries
+    the full row image plus ``op`` ('I' | 'U' | 'D') and a per-key
+    strictly-increasing ``seq``; the final state is, per key, the row
+    image of the HIGHEST-seq change (base rows rank below every change
+    at seq = -1), with keys whose last change is a delete absent. A
+    delete followed by a later re-insert therefore resurrects the key —
+    ordering, not op kind, decides.
+
+    Replay is idempotent: applying the same log onto the resulting
+    state picks the same per-key winners, so an at-least-once delivery
+    upstream cannot corrupt the target.
+
+    Scale shape (100 TB): ONE shuffle on the key; the per-key winner is
+    row_number()=1 over (seq DESC), which Spark executes with
+    WindowGroupLimit pushdown — partial top-1 per key map-side, so the
+    exchange carries at most one surviving row per (key, input
+    partition), not the whole log. On a partitioned target, join the
+    change log's distinct keys against the partition scheme first and
+    rewrite only affected partitions (same discipline as merge_table)."""
+    staged_base = base.withColumn(op_col, F.lit("I")).withColumn(
+        seq_col, F.lit(-1).cast("long")
+    )
+    unioned = staged_base.unionByName(changes.select(*staged_base.columns))
+    w = W.partitionBy(key).orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", op_col, seq_col)
+    )

@@ -902,6 +902,72 @@ def q_copy_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copy_table_cdc_apply",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'R'
+                WHEN o_orderkey % 7 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 2.0
+                WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 13 != 0 OR o_orderkey % 3 = 0
+    """,
+)
+def q_copy_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application (engine.apply_cdc): seed the target
+    with 80% of orders, then apply a 4-stage I/U/D log derived from the
+    source by modular rules — seq 1 INSERTs the missing 20%, seq 2
+    UPDATEs every %7 key (+1.0 price, status U), seq 3 DELETEs every
+    %13 key, seq 4 RE-INSERTs the deleted %3 keys (+2.0 price, status
+    R). The oracle recomputes the final state directly from the same
+    rules, so it proves ordering semantics end-to-end: the re-insert
+    must beat the delete, the update must apply over both base and
+    inserted rows, and deleted-never-reinserted keys must be absent.
+    The final state is round-tripped through the parquet target (write
+    → read back) like every other copy mode."""
+    from copy_databasetables_spark.copy.engine import apply_cdc
+
+    src = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def staged(df: DataFrame, op: str, seq: int) -> DataFrame:
+        return df.withColumn("op", F.lit(op)).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
+
+    base = src.where(k % 10 < 8)
+    changes = (
+        staged(src.where(k % 10 >= 8), "I", 1)
+        .unionByName(
+            staged(
+                src.where(k % 7 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+                .withColumn("o_orderstatus", F.lit("U")),
+                "U",
+                2,
+            )
+        )
+        .unionByName(staged(src.where(k % 13 == 0), "D", 3))
+        .unionByName(
+            staged(
+                src.where((k % 13 == 0) & (k % 3 == 0))
+                .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+                .withColumn("o_orderstatus", F.lit("R")),
+                "I",
+                4,
+            )
+        )
+    )
+    target = _out("copy_table_cdc_apply", sf_dir, "orders")
+    apply_cdc(base, changes, "o_orderkey").write.mode("overwrite").parquet(target)
+    return _orders_projected(spark.read.parquet(target))
+
+
+@register(
     "q_integrity_report",
     oracle="""
     SELECT 'orders.o_custkey->customer.c_custkey' AS fk_edge,

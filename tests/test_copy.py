@@ -318,3 +318,47 @@ def test_evolve_copy_appends_without_rewriting_day1_files(spark):
         gens["evolved" if "o_orderpriority" in names else "legacy"] += 1
     assert gens["legacy"] > 0, "day-1 files were rewritten with the new schema"
     assert gens["evolved"] > 0
+
+
+def test_apply_cdc_ordering_semantics(spark):
+    """Handcrafted change log: the per-key HIGHEST seq wins regardless
+    of input order, a delete followed by a later re-insert resurrects
+    the key, an update applies over a same-log insert, and a delete of
+    a key the base never had stays absent."""
+    from copy_databasetables_spark.copy.engine import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            # deliberately shuffled input order — only seq may matter
+            (2, "b3", "I", 9),   # resurrect 2 after its delete
+            (1, "a2", "U", 1),
+            (2, "b2", "D", 5),
+            (4, "d1", "I", 2),   # insert a new key ...
+            (4, "d2", "U", 3),   # ... then update it in the same log
+            (5, "x", "D", 1),    # delete of a key the base never had
+            (3, "zz", "D", 7),   # plain delete, never re-inserted
+        ],
+        "k long, v string, op string, seq long",
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(base, changes, "k").collect()}
+    assert out == {1: "a2", 2: "b3", 4: "d2"}
+
+
+def test_apply_cdc_replay_is_idempotent(spark):
+    """Applying the same log onto the state it produced changes nothing
+    — at-least-once upstream delivery cannot corrupt the target."""
+    from copy_databasetables_spark.copy.engine import apply_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 1), (2, "b", "D", 2), (3, "c", "I", 3)],
+        "k long, v string, op string, seq long",
+    )
+    once = apply_cdc(base, changes, "k")
+    twice = apply_cdc(once, changes, "k")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b == [(1, "a2"), (3, "c")]
