@@ -467,41 +467,48 @@ def _wav_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def _riff_pcm_samples(payload: bytes, doc_id) -> tuple[int, "object"]:
+    """The RIFF chunk walker, shared by the whole-file feature stage
+    and the frame-level feature stage: verify the RIFF/WAVE magics,
+    iterate chunks to find fmt (validating PCM/mono/16-bit) and data
+    (respecting word alignment), and return (rate, int16 samples)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(f"doc {doc_id}: not 16-bit mono PCM")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError(f"doc {doc_id}: missing fmt or data chunk")
+    return rate, samples
+
+
 def _wav_decode_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """DECODE stage — a real RIFF chunk walker: verify the RIFF/WAVE
-    magics, iterate chunks to find fmt (validating PCM/mono/16-bit) and
-    data, ``np.frombuffer`` the int16 samples, and emit exact integer
-    features (count, amplitude sum, peak |amplitude|)."""
-    import struct
-
+    """DECODE stage — walk the RIFF chunks (shared ``_riff_pcm_samples``)
+    and emit exact integer whole-file features (count, amplitude sum,
+    peak |amplitude|)."""
     import numpy as np
 
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            payload = bytes(payload)
-            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
-            pos, rate, samples = 12, None, None
-            while pos + 8 <= len(payload):
-                cid = payload[pos:pos + 4]
-                (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
-                body = payload[pos + 8:pos + 8 + size]
-                if cid == b"fmt ":
-                    audio_fmt, channels, rate, _, _, bits = struct.unpack(
-                        "<HHIIHH", body[:16]
-                    )
-                    if (audio_fmt, channels, bits) != (1, 1, 16):
-                        raise ValueError(
-                            f"doc {doc_id}: not 16-bit mono PCM"
-                        )
-                elif cid == b"data":
-                    samples = np.frombuffer(body, dtype="<i2")
-                pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-            if rate is None or samples is None:
-                raise ValueError(f"doc {doc_id}: missing fmt or data chunk")
+            rate, samples = _riff_pcm_samples(bytes(payload), doc_id)
             rows.append(
                 (
                     int(doc_id), int(rate), len(samples),
@@ -550,3 +557,95 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     encoded = docs.mapInPandas(_wav_encode, schema="doc_id bigint, payload binary")
     return encoded.mapInPandas(_wav_decode_features, schema=_WAV_SCHEMA)
+
+
+_FRAME = 32  # samples per analysis frame (4 ms at the 8 kHz test rate)
+
+
+def _wav_frame_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Frame-level DSP stage: decode (shared ``_riff_pcm_samples``),
+    split into non-overlapping ``_FRAME``-sample frames (trailing
+    partial frame dropped), and emit per-frame RMS energy and
+    zero-crossing count — vectorized as one reshape per doc, no Python
+    loop over samples. RMS quantization: FLOOR(x·10⁴ + 0.5)/10⁴, the
+    repo's scaled idiom, bit-reproducible against the SQL oracle (the
+    squared-integer sums are exact in double regardless of summation
+    order, so sqrt sees identical input on both engines)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, rmss, zcs = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, samples = _riff_pcm_samples(bytes(payload), doc_id)
+            n_frames = len(samples) // _FRAME
+            fr = (
+                samples[: n_frames * _FRAME]
+                .astype(np.float64)
+                .reshape(n_frames, _FRAME)
+            )
+            rms = np.sqrt((fr * fr).mean(axis=1))
+            rms = np.floor(rms * 10_000 + 0.5) / 10_000
+            nonneg = fr >= 0
+            zc = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+            ids.extend([int(doc_id)] * n_frames)
+            idxs.extend(range(n_frames))
+            rmss.extend(rms.tolist())
+            zcs.extend(int(z) for z in zc)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "rms": pd.Series(rmss, dtype="float64"),
+                "n_zero_cross": pd.Series(zcs, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "q_multimodal_wav_frames",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 64 + (doc_id % 37) * 8 AS n FROM documents),
+    smp AS (
+      SELECT d.doc_id, t.i // {_FRAME} AS frame_idx, t.i,
+             CAST((d.doc_id * 13 + 5 * t.i) % 4096 - 2048 AS DOUBLE) AS v
+      FROM dims d JOIN range(0, 352) t(i)
+        ON t.i < (d.n // {_FRAME}) * {_FRAME}),
+    lagged AS (
+      SELECT doc_id, frame_idx, v,
+             lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS pv
+      FROM smp)
+    SELECT doc_id, frame_idx,
+           FLOOR(sqrt(SUM(v * v) / {_FRAME}.0) * 10000 + 0.5) / 10000 AS rms,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                          AND ((v >= 0) != (pv >= 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+    FROM lagged GROUP BY doc_id, frame_idx
+    """,
+)
+def q_multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio FEATURE EXTRACTION on real decoded PCM — the
+    step after q_multimodal_wav_decode in any audio training pipeline:
+    per 32-sample frame (4 ms at 8 kHz), RMS energy and zero-crossing
+    count, the two classic features under every VAD / silence-trimming
+    / segmentation heuristic. The trailing partial frame is dropped
+    (standard framing), so a doc with n samples emits exactly n // 32
+    rows. The DuckDB oracle recomputes both features from the
+    generative ramp with a lag window inside each frame — a framer
+    that misaligned the reshape, counted crossings across a frame
+    boundary, or mis-rounded the RMS hash-reds.
+
+    Scale shape: scan → mapInPandas(encode) → mapInPandas(decode+frame)
+    — STILL zero shuffles even though output fans out ~n/32 rows per
+    doc, because framing is row-local; the fan-out happens inside the
+    Arrow batch. Swap librosa/torchaudio frames in at production for
+    compressed codecs; the plumbing (schema, batching, zero-exchange
+    plan) is what this op pins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(_wav_encode, schema="doc_id bigint, payload binary")
+    return encoded.mapInPandas(
+        _wav_frame_features,
+        schema="doc_id bigint, frame_idx bigint, rms double, n_zero_cross bigint",
+    )

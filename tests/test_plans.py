@@ -634,3 +634,24 @@ def test_minhash_est_reuses_banded_candidate_stage(spark):
     p = full_plan(df)
     assert "bucket" in p and "sz" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_wav_frames_plan_has_no_exchange_and_framing_is_exact(spark):
+    """q_multimodal_wav_frames: the encode→decode+frame pipeline must
+    stay shuffle-free (scan → two mapInPandas stages — framing is
+    row-local, so the ~n/32 fan-out happens inside the Arrow batch),
+    and each doc must emit exactly n_samples // 32 frames with
+    zero-crossing counts bounded by the frame width."""
+    df = all_queries()["q_multimodal_wav_frames"](spark, SF_SMOKE)
+    p = plan(df)
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") == 2  # encode + decode/frame, nothing else
+    rows = df.collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert 0 <= r["n_zero_cross"] <= 31
+        assert r["rms"] >= 0.0
+    for doc_id, n_frames in per_doc.items():
+        n = 64 + (doc_id % 37) * 8  # the generative sample count
+        assert n_frames == n // 32
