@@ -1027,3 +1027,67 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drift_report(a, b)
+
+
+_L_DIV = 3
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang, (n_chars // 100) * 100 AS len_bucket, source
+      FROM documents),
+    g AS (SELECT lang, len_bucket,
+                 COUNT(*) AS grp_n,
+                 COUNT(DISTINCT source) AS l
+          FROM q GROUP BY lang, len_bucket)
+    SELECT lang,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN l < {_L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_div_groups,
+           CAST(SUM(CASE WHEN l < {_L_DIV} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS n_exposed_docs,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(grp_n) AS BIGINT) AS n_docs
+    FROM g GROUP BY lang
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity risk report — k-anonymity's complement
+    (q_k_anonymity): a group can be large (k-safe) yet HOMOGENEOUS in
+    its sensitive attribute, so membership alone discloses the value
+    (the homogeneity attack). Quasi-identifiers here are (lang,
+    100-char length bucket); ``source`` plays the sensitive attribute;
+    a group is risky when it carries fewer than l=3 distinct sensitive
+    values. Per language: group counts, low-diversity group count, the
+    documents they expose, and the worst (minimum) l.
+
+    Scale shape: identical to the k-anon plan — a first aggregation
+    keyed by the QI tuple (the COUNT(DISTINCT source) expands to a
+    two-level aggregate, still map-side-combining on (QI, source)),
+    then a second over the tiny per-group table. All-integer output, no
+    float surface at all."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "lang",
+            (F.floor(F.col("n_chars") / 100) * 100).alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.countDistinct("source").alias("l"),
+        )
+    )
+    low = F.col("l") < _L_DIV
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("n_low_div_groups"),
+        F.sum(F.when(low, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_docs"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum("grp_n").cast("bigint").alias("n_docs"),
+    )

@@ -1245,3 +1245,70 @@ def q_text_strip_spans_keep1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+_PHRASE = ["table", "scan"]  # the registered demo phrase
+
+
+def phrase_match(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """Positional-index exact-phrase search: (doc_id, n_matches,
+    first_pos) for every doc containing ``phrase`` as consecutive
+    tokens. Generic over phrase length; counts POSITIONAL occurrences,
+    so self-overlapping phrases (repeated words) count every start
+    position — the inverted-index convention.
+
+    The 100 TB shape: posexplode the token stream ONCE, then keep only
+    the postings of the phrase's terms — the filter runs BEFORE any
+    exchange, so the shuffle carries |postings(w_i)| rows (a vocabulary
+    -selective phrase moves ~nothing), never the corpus. Each adjacency
+    step is an equi-join on (doc_id, aligned position) — k−1 joins for
+    a k-term phrase, all on the same doc_id-led key, so one partitioning
+    serves every step. This is exactly how a distributed search engine
+    intersects posting lists, minus the precomputed index: persist the
+    exploded (token, doc_id, pos) table sorted by token to make this a
+    true inverted index with partition pruning on the term."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_match needs >= 2 tokens")
+    t = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    # postings of term i, shifted so a phrase start aligns at `pos`
+    legs = [
+        t.where(F.col("tok") == w).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        for i, w in enumerate(phrase)
+    ]
+    m = legs[0]
+    for leg in legs[1:]:
+        m = m.join(leg, ["doc_id", "pos"])
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+@register(
+    "q_text_phrase_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (SELECT doc_id, UNNEST(range(1, len(toks))) AS p1, toks FROM t)
+    SELECT doc_id,
+           COUNT(*) AS n_matches,
+           CAST(MIN(p1) - 1 AS BIGINT) AS first_pos
+    FROM p
+    WHERE toks[p1] = '{_PHRASE[0]}' AND toks[p1 + 1] = '{_PHRASE[1]}'
+    GROUP BY doc_id
+    """,
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("table scan") over the corpus via
+    posting-list intersection — the retrieval primitive BM25
+    (q_text_bm25) can't express: term ADJACENCY. Output: per matching
+    doc, the occurrence count and the first match's 0-based token
+    position. The oracle enumerates 1-based positions with a DuckDB
+    list scan; the Spark side intersects per-term posting lists (see
+    phrase_match), which at corpus scale moves only the phrase terms'
+    postings through the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_match(docs, _PHRASE)

@@ -1878,3 +1878,76 @@ def test_graph_triangles_matches_python_recompute(spark):
     }
     assert got == want
     assert got  # the clone-seeded corpus must contain triangles
+
+
+def test_phrase_match_counts_overlapping_and_multiterm(spark):
+    """phrase_match on handcrafted docs: positional counting includes
+    self-overlapping occurrences of repeated-word phrases, k>2 phrases
+    intersect k posting lists, first_pos is 0-based, and non-matching
+    docs are absent."""
+    from copy_databasetables_spark.operators.text import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # "a b" at 0 and 2; "b a" at 1 and 3
+            (2, "x x x x"),        # "x x" overlaps: positions 0,1,2
+            (3, "a b c d a b c"),  # "a b c" at 0 and 4
+            (4, "b a"),            # no "a b"
+        ],
+        "doc_id long, text string",
+    )
+    two = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(docs, ["a", "b"]).collect()
+    }
+    assert two == {1: (2, 0), 3: (2, 0)}
+    rep = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(docs, ["x", "x"]).collect()
+    }
+    assert rep == {2: (3, 0)}
+    three = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(docs, ["a", "b", "c"]).collect()
+    }
+    assert three == {3: (2, 0)}
+
+
+def test_l_diversity_consistency_with_raw_groups(spark):
+    """q_l_diversity vs a direct recompute of the (lang, len_bucket)
+    groups: group counts, doc totals, exposed-doc sums and min_l must
+    all agree, and every low-diversity group genuinely has < 3 distinct
+    sources."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    raw: dict[tuple, dict] = {}
+    for r in load_table(spark, sf, "documents").select(
+        "lang", "n_chars", "source"
+    ).collect():
+        key = (r["lang"], r["n_chars"] // 100 * 100)
+        g = raw.setdefault(key, {"n": 0, "srcs": set()})
+        g["n"] += 1
+        g["srcs"].add(r["source"])
+    per_lang: dict[str, dict] = {}
+    for (lang, _), g in raw.items():
+        s = per_lang.setdefault(
+            lang, {"n_groups": 0, "low": 0, "exposed": 0, "min_l": 99, "docs": 0}
+        )
+        l = len(g["srcs"])
+        s["n_groups"] += 1
+        s["docs"] += g["n"]
+        s["min_l"] = min(s["min_l"], l)
+        if l < 3:
+            s["low"] += 1
+            s["exposed"] += g["n"]
+    rows = all_queries()["q_l_diversity"](spark, sf).collect()
+    assert {r["lang"] for r in rows} == set(per_lang)
+    for r in rows:
+        s = per_lang[r["lang"]]
+        assert r["n_groups"] == s["n_groups"]
+        assert r["n_low_div_groups"] == s["low"]
+        assert r["n_exposed_docs"] == s["exposed"]
+        assert r["min_l"] == s["min_l"]
+        assert r["n_docs"] == s["docs"]
