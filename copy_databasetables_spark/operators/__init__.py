@@ -43,6 +43,7 @@ _MODULES = [
     "scalar_funcs",
     "subqueries",
     "analytics",
+    "tpch",
     "streaming_sem",
     "timeseries",
     "dedup",

@@ -1,0 +1,259 @@
+"""Classic TPC-H composite queries (beyond-survey coverage, r9).
+
+The registry's §2 keys isolate one operator each; these four compose
+them into the canonical multi-join analytics shapes every warehouse
+benchmark runs — the end-to-end evidence that joins + aggregation +
+top-k compose correctly AND plan well together. Adapted to the
+testdata's column subset (no o_shippriority / c_address, so Q3/Q10
+project the available analogs); the join/agg/ordering structure is the
+classic one.
+
+Determinism discipline: revenue-style sums go through the scaled-int
+``dsum`` (partition-order independent, equal to the oracle's
+DECIMAL(38,6) accumulation); every top-k adds the entity key as an
+explicit tie-break on BOTH engines; dates project to epoch-µs BIGINTs.
+
+Scale notes (100 TB): all four queries follow the same plan grammar —
+selective dimension filters FIRST (pushed into the parquet scans),
+fact-side predicates pushed down, then key-partitioned joins in
+ascending size order so AQE can broadcast what is genuinely small at
+runtime (nation/region always; the filtered customer side only when
+stats say so), partial aggregation before every exchange, and top-k as
+TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+never a global sort). Q18's HAVING subquery is a self-contained
+aggregate on the fact's own key — it shuffles lineitem once on
+l_orderkey and reuses that partitioning for the semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copy_databasetables_spark.io import load_table
+from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import dsum, us
+
+#: DuckDB fragment for the exact revenue sum (the oracle-side dsum).
+_D_REV = (
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) "
+    "AS DOUBLE)"
+)
+
+_Q3_DATE = "1997-06-15"
+_Q5_LO, _Q5_HI = "1996-01-01", "1997-01-01"
+_Q10_LO, _Q10_HI = "1996-01-01", "1996-04-01"
+_Q18_QTY = 250.0
+
+
+def _rev(alias: str):
+    return dsum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), alias
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_D_REV} AS revenue,
+           epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the 10 highest-revenue unshipped
+    BUILDING-segment orders as of the cutoff date. Both date predicates
+    and the segment filter push into their scans; the two joins key on
+    custkey then orderkey; the top-10 is a TakeOrderedAndProject with
+    l_orderkey as the deterministic tie-break."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            us("o_orderdate", "o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n.n_name, {_D_REV} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q5_HI} 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 1996 revenue served by
+    suppliers in the customer's own nation, per ASIA nation. The
+    region→nation restriction broadcasts (a handful of rows) and prunes
+    suppliers BEFORE the fact join; the c_nationkey = s_nationkey
+    equality rides the supplier join as a residual condition, so no
+    extra shuffle. Classic star-join shape: one fact (lineitem), every
+    dimension filtered before it touches the fact."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    s_asia = s.join(dim, s.s_nationkey == dim.n_nationkey)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            s_asia,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_rev("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {_D_REV} AS revenue,
+           c.c_acctbal, n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q10_HI} 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): the 20 customers who returned the
+    most revenue in 1996-Q1. Quarter predicate and returnflag push into
+    the scans; nation broadcasts onto the customer side; the aggregate
+    keys on the customer tuple so the shuffle carries one partial row
+    per (mapper, customer)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(_rev("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+            "c_mktsegment",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey,
+           epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             > {_Q18_QTY!r})
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, with their customers, top-100 by price. The
+    qualifying-keys subquery is an aggregate on lineitem's OWN key —
+    lineitem shuffles once on l_orderkey, the HAVING filter collapses
+    it to a short key list, and the semi-join back rides the same
+    partitioning. Quantities are integers stored as doubles, so the
+    scaled-int sum makes the > threshold comparison exact on both
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "q"))
+        .where(F.col("q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(
+            l.select("l_orderkey", "l_quantity"),
+            o.o_orderkey == F.col("l_orderkey"),
+        )
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            us("o_orderdate", "o_orderdate_us"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

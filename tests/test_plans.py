@@ -655,3 +655,26 @@ def test_wav_frames_plan_has_no_exchange_and_framing_is_exact(spark):
     for doc_id, n_frames in per_doc.items():
         n = 64 + (doc_id % 37) * 8  # the generative sample count
         assert n_frames == n // 32
+
+
+def test_tpch_composites_plan_shapes(spark):
+    """The four TPC-H composites must show the plan grammar their
+    docstrings promise: top-k as TakeOrderedAndProject (never a global
+    Sort+Limit materialization), dimension predicates pushed into the
+    parquet scans, and Q5/Q10's small dimensions joined as broadcasts."""
+    q3 = all_queries()["q_tpch_q3"](spark, SF_SMOKE)
+    p3 = plan(q3)
+    assert "TakeOrderedAndProject" in p3
+    fp3 = full_plan(q3)
+    assert "PushedFilters" in fp3 and "IsNotNull" in fp3
+    # the segment filter must reach the customer scan, not sit on the join
+    assert "EqualTo(c_mktsegment,BUILDING)" in fp3.replace(" ", "").replace(
+        "'", ""
+    ) or "c_mktsegment" in fp3.split("PushedFilters", 1)[1][:2000]
+    p5 = plan(all_queries()["q_tpch_q5"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p5
+    p10 = plan(all_queries()["q_tpch_q10"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p10 and "BroadcastHashJoin" in p10
+    p18 = plan(all_queries()["q_tpch_q18"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p18
+    assert "LeftSemi" in p18
