@@ -92,6 +92,13 @@ HEADLINE = [
     # minhash estimator audit (10x stress rows in SCALE.md §r9)
     "q_sim_rrf",
     "q_dedup_minhash_est",
+    # r9 continuation: the heaviest of the new ops — triangle counting
+    # over the near-dup graph (3-way self-join), the union-spine linear
+    # interpolation (the costlier time-series fill), and the Q18
+    # composite (the most join+agg-intensive TPC-H shape added)
+    "q_graph_triangles",
+    "q_ts_interpolate",
+    "q_tpch_q18",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
