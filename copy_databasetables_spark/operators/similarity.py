@@ -1773,3 +1773,116 @@ def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+#: covariance quantization: products of unit-scale components carry ~1e-9
+#: resolution; int64 partial sums stay exact to ~1e12 rows (beyond that,
+#: swap the accumulator to DECIMAL — SURVEY.md §7.3#1's standing fallback).
+_COV_SCALE = 1_000_000_000
+
+
+def _gram_partials(batches):
+    """Arrow-batched partial Gram accumulator: per batch, emit the
+    upper-triangular (i, j) partial sums of FLOOR(x_i·x_j·10⁹ + 0.5)
+    plus the matching per-dimension first-moment partials and the batch
+    row count — d(d+1)/2 rows per BATCH regardless of batch size. The
+    outer products run through numpy in row chunks (512×d×d doubles ≈
+    16 MB at d=64) so the quantization stays per-element (the portable
+    convention) without materializing an n×d×d tensor."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["e"]]
+        )
+        n, d = X.shape
+        sxy = np.zeros((d, d), dtype=np.int64)
+        sx = np.zeros(d, dtype=np.int64)
+        for lo in range(0, n, 512):
+            c = X[lo : lo + 512]
+            outer = c[:, :, None] * c[:, None, :]
+            sxy += np.floor(outer * _COV_SCALE + 0.5).astype(np.int64).sum(axis=0)
+            sx += np.floor(c * _COV_SCALE + 0.5).astype(np.int64).sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype("int32"),
+                "j": ju.astype("int32"),
+                "sxy_part": sxy[iu, ju],
+                "sx_i_part": sx[iu],
+                "sx_j_part": sx[ju],
+                "n_part": np.full(len(iu), n, dtype=np.int64),
+            }
+        )
+
+
+@register(
+    "q_emb_covariance",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ex AS (SELECT vec_id,
+                  CAST(UNNEST(range(0, len(e))) AS INT) AS pos,
+                  UNNEST(e) AS x
+           FROM v),
+    s AS (SELECT pos,
+                 SUM(CAST(FLOOR(x * {_COV_SCALE} + 0.5) AS BIGINT)) AS sx,
+                 COUNT(*) AS n
+          FROM ex GROUP BY pos),
+    p AS (SELECT a.pos AS i, b.pos AS j,
+                 SUM(CAST(FLOOR(a.x * b.x * {_COV_SCALE} + 0.5)
+                     AS BIGINT)) AS sxy
+          FROM ex a JOIN ex b
+            ON a.vec_id = b.vec_id AND b.pos >= a.pos
+          GROUP BY a.pos, b.pos)
+    SELECT p.i, p.j, si.n AS n_vectors,
+           round((CAST(p.sxy AS DOUBLE) / {_COV_SCALE}) / si.n
+                 - (CAST(si.sx AS DOUBLE) / {_COV_SCALE} / si.n)
+                   * (CAST(sj.sx AS DOUBLE) / {_COV_SCALE} / sj.n),
+                 6) AS cov
+    FROM p JOIN s si ON si.pos = p.i JOIN s sj ON sj.pos = p.j
+    """,
+)
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×d covariance matrix of the embedding corpus (upper
+    triangle) — the PCA/whitening precursor and THE embedding-quality
+    monitor (collapsed dimensions and dominant-direction drift both
+    read straight off it; a near-rank-deficient covariance is how
+    anisotropic embedding degradation shows up in production).
+
+    The 100 TB shape is the textbook distributed Gram: each Arrow batch
+    reduces to d(d+1)/2 quantized partial sums MAP-SIDE (_gram_partials
+    — BLAS-style chunked outer products in numpy), so the shuffle
+    carries ~2080 int64 rows per batch at d=64, never vectors; one
+    groupBy(i, j) sums the partials. Compare the oracle's shape — a
+    positional self-join producing n·d(d+1)/2 intermediate rows — which
+    is fine single-node but exactly what must NOT shuffle at scale.
+    Determinism: per-element FLOOR(x·10⁹ + 0.5) quantization before any
+    cross-row sum (both engines), making the int64 accumulation
+    partition-order independent; the final covariance double derives
+    from the same three integers via an identical expression tree,
+    rounded to 6."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    partials = e.mapInPandas(
+        _gram_partials,
+        schema=(
+            "i int, j int, sxy_part long, sx_i_part long, "
+            "sx_j_part long, n_part long"
+        ),
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("sxy_part").alias("sxy"),
+        F.sum("sx_i_part").alias("sx_i"),
+        F.sum("sx_j_part").alias("sx_j"),
+        F.sum("n_part").alias("n_vectors"),
+    )
+    sc = float(_COV_SCALE)
+    n = F.col("n_vectors")
+    cov = (F.col("sxy").cast("double") / sc) / n - (
+        F.col("sx_i").cast("double") / sc / n
+    ) * (F.col("sx_j").cast("double") / sc / n)
+    return agg.select("i", "j", "n_vectors", F.round(cov, 6).alias("cov"))

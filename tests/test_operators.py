@@ -1951,3 +1951,38 @@ def test_l_diversity_consistency_with_raw_groups(spark):
         assert r["n_exposed_docs"] == s["exposed"]
         assert r["min_l"] == s["min_l"]
         assert r["n_docs"] == s["docs"]
+
+
+def test_emb_covariance_matches_numpy(spark):
+    """q_emb_covariance vs numpy's population covariance on the raw
+    embeddings: within the quantization budget (per-element 1e-9 rounds,
+    then a 6-decimal output round → 1e-6 tolerance); diagonal entries
+    are variances (non-negative) and Cauchy-Schwarz bounds every
+    off-diagonal entry."""
+    import numpy as np
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    X = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, sf, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    want = np.cov(X, rowvar=False, bias=True)  # population covariance
+    rows = all_queries()["q_emb_covariance"](spark, sf).collect()
+    d = X.shape[1]
+    assert len(rows) == d * (d + 1) // 2  # upper triangle, no gaps
+    var = {r["i"]: r["cov"] for r in rows if r["i"] == r["j"]}
+    for r in rows:
+        assert r["n_vectors"] == len(X)
+        assert abs(r["cov"] - want[r["i"], r["j"]]) <= 1e-5
+        if r["i"] == r["j"]:
+            assert r["cov"] >= 0.0
+        else:
+            bound = (var[r["i"]] * var[r["j"]]) ** 0.5 + 1e-6
+            assert abs(r["cov"]) <= bound
