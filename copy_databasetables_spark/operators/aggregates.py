@@ -928,3 +928,99 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_cms_err — Count-Min sketch accuracy audit (r9).
+# --------------------------------------------------------------------------
+
+_CMS_D = 4   # hash rows (depth): P[err > ε] ≤ (1/2)^d per probe
+_CMS_W = 64  # buckets per row (width): E[err] ≤ n_rows / w per cell
+
+#: portable per-(key, seed) bucket — the md5-derived 60-bit integer both
+#: engines compute identically (dedup._H's idiom), reduced mod width.
+_CMS_BUCKET = (
+    "conv(substring(md5(concat(cast(user_id as string), '#', "
+    "cast(seed as string))), 1, 15), 16, 10)"
+)
+_D_CMS_BUCKET = (
+    "CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR) || '#' || "
+    "CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "q_agg_cms_err",
+    oracle=f"""
+    WITH seeds AS (SELECT UNNEST(range({_CMS_D})) AS seed),
+    cells AS (
+      SELECT seed, {_D_CMS_BUCKET} % {_CMS_W} AS bucket, COUNT(*) AS c
+      FROM events CROSS JOIN seeds
+      GROUP BY 1, 2),
+    top AS (
+      SELECT user_id, COUNT(*) AS true_n
+      FROM events GROUP BY user_id
+      ORDER BY true_n DESC, user_id LIMIT 10),
+    probes AS (
+      SELECT t.user_id, t.true_n, s.seed,
+             {_D_CMS_BUCKET.replace('user_id', 't.user_id')} % {_CMS_W}
+               AS bucket
+      FROM top t CROSS JOIN seeds s)
+    SELECT p.user_id, p.true_n,
+           MIN(c.c) AS est_n,
+           MIN(c.c) - p.true_n AS err
+    FROM probes p JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.true_n
+    """,
+)
+def q_agg_cms_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy audit — the FREQUENCY twin of the HLL
+    (cardinality) and KLL (quantile) sketch rows, in the estimator-audit
+    style the recall/minhash audits established: build a d=4 × w=64 CMS
+    over the event stream's user_id, then report, for the true top-10
+    users, the sketch estimate beside the exact count and the
+    (provably non-negative) overestimation error. The sketch is pure
+    SQL — Spark's df.stat.countMinSketch detours through the driver, so
+    the engine builds it as expressions: d portable md5-derived bucket
+    hashes per key, one groupBy(seed, bucket) count, estimate =
+    min over d cells.
+
+    Scale shape (100 TB): the build explodes each row into d=4 (seed,
+    bucket) increments that map-side combine into ≤ d·w = 256 partial
+    cells per mapper — the shuffle carries CELLS, never rows, and the
+    merged sketch is a 256-row table that broadcasts for probing (CMS
+    is mergeable by cell-wise addition, so per-day sketches roll up
+    exactly like the HLL row's). Probes inline the same bucket
+    expression and join the broadcast cells — no second pass over the
+    stream. All-integer output: exact-hashable, no float surface."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    seeds = F.explode(
+        F.array([F.lit(i) for i in range(_CMS_D)])
+    ).alias("seed")
+    bucket = (F.expr(_CMS_BUCKET).cast("bigint") % _CMS_W).alias("bucket")
+    cells = (
+        ev.select("user_id", seeds)
+        .select("seed", bucket)
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    probes = top.select("user_id", "true_n", seeds).select(
+        "user_id", "true_n", "seed", bucket
+    )
+    return (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("err"),
+        )
+    )

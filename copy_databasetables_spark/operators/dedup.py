@@ -2386,60 +2386,66 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_graph_triangles",
-    oracle=f"""
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, lang, {_D_TOKS} AS toks, len({_D_TOKS}) AS sz
-      FROM documents),
-    pairs AS MATERIALIZED (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
-            >= {_JACCARD_TAU}),
-    -- id-ordered enumeration: each triangle x<y<z appears exactly once
+def _triangles_oracle() -> str:
+    """DuckDB oracle for q_graph_triangles: the SHARED banded-LSH pair
+    CTE (the same graph PageRank and the LSH cluster/survivor chain
+    consume), then id-ordered 3-way triangle enumeration — each
+    triangle x<y<z appears exactly once."""
+    pairs = _LSH_PAIRS_CTE.format(
+        sig=_D_MINHASH_SIG, n_bands=_N_BANDS, rows=_ROWS_PER_BAND
+    )
+    return (
+        "WITH "
+        + pairs
+        + """,
     tri AS (
-      SELECT p1.u AS x, p1.v AS y, p2.v AS z
+      SELECT p1.doc_id_a AS x, p1.doc_id_b AS y, p2.doc_id_b AS z
       FROM pairs p1
-      JOIN pairs p2 ON p2.u = p1.v
-      JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v),
+      JOIN pairs p2 ON p2.doc_id_a = p1.doc_id_b
+      JOIN pairs p3 ON p3.doc_id_a = p1.doc_id_a
+                   AND p3.doc_id_b = p2.doc_id_b),
     nodes AS (
       SELECT x AS doc_id FROM tri
       UNION ALL SELECT y FROM tri
       UNION ALL SELECT z FROM tri)
     SELECT doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY doc_id
-    """,
-)
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the exact near-duplicate graph
-    (q_dedup_near's τ=0.95 pair set) — the standard cohesion signal for
-    duplicate neighborhoods: a node whose pairs close into triangles
-    sits in a genuine clone cluster; a high-degree node with NO
-    triangles is a hub stitching unrelated docs together (the failure
-    mode that merges distinct clusters under transitive closure), so
-    triangle counts are the natural audit for the CC stage
-    (q_dedup_cluster) that consumes the same pairs.
+    """
+    )
 
-    Algorithm (the 100 TB shape): DEGREE-ORDERED orientation. Each
-    undirected edge is directed from its lower-(degree, id) endpoint to
-    the higher, making the graph acyclic with out-degrees bounded by
-    O(√m); every triangle then has exactly one source node with both
-    out-edges (rank u < v < w ⇒ u→v, u→w, v→w), so wedges(u→v, v→w)
-    ⋈ closing-edge(u→w) enumerates each triangle once. Total wedge
-    work is O(m^{3/2}) regardless of skew — a plain id-ordered join
-    (the oracle's shape, fine at DuckDB's single-node scale) instead
-    blows up on the first billion-degree hub because every hub pair
-    becomes a wedge. All three legs are equi-joins on vertex keys; the
-    pair table is localCheckpointed so the 3-way self-join re-reads a
-    materialized table instead of re-running the pair pipeline per leg.
+
+@register("q_graph_triangles", oracle=_triangles_oracle())
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH near-duplicate
+    graph — the same banded pair set the CC clustering
+    (q_dedup_cluster_lsh) and PageRank stages consume, and the standard
+    cohesion signal for duplicate neighborhoods: a node whose pairs
+    close into triangles sits in a genuine clone cluster; a
+    high-degree node with NO triangles is a hub stitching unrelated
+    docs together (the failure mode that merges distinct clusters
+    under transitive closure), so triangle counts are the natural
+    audit for the CC stage.
+
+    End-to-end 100 TB shape: the edge list comes from the BANDED
+    candidate pipeline (equi-join on (lang, band, bucket) — never
+    all-pairs; the r9 10× stress leg over the exact-pair variant
+    measured α 1.46 precisely because the exact ground-truth join is
+    quadratic within blocks, which is why the production graph op
+    consumes the LSH pairs). Counting then uses DEGREE-ORDERED
+    orientation: each undirected edge points from its lower-(degree,
+    id) endpoint to the higher, making the graph acyclic with
+    out-degrees bounded by O(√m); every triangle has exactly one
+    source node with both out-edges (rank u < v < w ⇒ u→v, u→w, v→w),
+    so wedges(u→v, v→w) ⋈ closing-edge(u→w) enumerates each triangle
+    once and total wedge work is O(m^{3/2}) regardless of skew — a
+    plain id-ordered join (the oracle's shape, fine single-node) blows
+    up on the first billion-degree hub because every hub pair becomes
+    a wedge. All three legs are equi-joins on vertex keys; the pair
+    table is localCheckpointed so the 3-way self-join re-reads a
+    materialized table instead of re-running the LSH pipeline per leg.
     Output: (doc_id, n_triangles) for every triangle-participating doc
     — exact integers, no float surface."""
-    t = _toks_df(spark, sf_dir).withColumn(
-        "toki", F.expr("transform(toks, t -> xxhash64(t))")
-    )
     pairs = (
-        _exact_tau_pairs(t, "toki")
+        q_dedup_minhash(spark, sf_dir)
         .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
         .localCheckpoint()
     )

@@ -1849,9 +1849,10 @@ def test_ts_interpolate_matches_python_recompute(spark):
 
 
 def test_graph_triangles_matches_python_recompute(spark):
-    """q_graph_triangles vs a brute-force recompute over q_dedup_near's
-    pair set: per-node triangle participation counts must match exactly
-    (same graph, so the degree-ordered enumeration must agree with the
+    """q_graph_triangles vs a brute-force recompute over
+    q_dedup_minhash's banded pair set (the graph the op consumes):
+    per-node triangle participation counts must match exactly (same
+    graph, so the degree-ordered enumeration must agree with the
     adjacency-set intersection count), and only triangle-participating
     nodes may appear."""
     from copy_databasetables_spark.operators import all_queries
@@ -1859,7 +1860,7 @@ def test_graph_triangles_matches_python_recompute(spark):
     sf = "/root/testdata/sf0.001"
     pairs = [
         (r["doc_id_a"], r["doc_id_b"])
-        for r in all_queries()["q_dedup_near"](spark, sf).collect()
+        for r in all_queries()["q_dedup_minhash"](spark, sf).collect()
     ]
     adj: dict[int, set] = {}
     for a, b in pairs:
@@ -1986,3 +1987,23 @@ def test_emb_covariance_matches_numpy(spark):
         else:
             bound = (var[r["i"]] * var[r["j"]]) ** 0.5 + 1e-6
             assert abs(r["cov"]) <= bound
+
+
+def test_cms_never_underestimates_and_top_set_is_true(spark):
+    """Count-Min guarantees: the estimate can only OVERcount (every
+    occurrence of the key hashes into all d of its cells), so
+    est_n >= true_n with err = est_n - true_n >= 0; the probed set must
+    be exactly the true top-10 users by (count DESC, user_id)."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    counts: dict[int, int] = {}
+    for r in load_table(spark, sf, "events").select("user_id").collect():
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+    want_top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = all_queries()["q_agg_cms_err"](spark, sf).collect()
+    assert {(r["user_id"], r["true_n"]) for r in rows} == set(want_top)
+    for r in rows:
+        assert r["est_n"] >= r["true_n"]
+        assert r["err"] == r["est_n"] - r["true_n"]
