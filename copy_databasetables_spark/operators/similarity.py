@@ -1886,3 +1886,178 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx_i").cast("double") / sc / n
     ) * (F.col("sx_j").cast("double") / sc / n)
     return agg.select("i", "j", "n_vectors", F.round(cov, 6).alias("cov"))
+
+
+# --------------------------------------------------------------------------
+# q_emb_top_eigvec — power iteration on the covariance (r9 continuation).
+# --------------------------------------------------------------------------
+
+_PI_ITERS = 6
+#: per-term quantization for the matrix-vector and norm sums: int64
+#: accumulation is associative, so the 64-term reductions are
+#: partition-order independent and bit-identical across engines.
+_PI_SCALE = 1_000_000_000_000  # 1e12
+
+
+def _eigvec_oracle() -> str:
+    """DuckDB oracle: the covariance CTE (same construction as
+    q_emb_covariance, mirrored to the full matrix), then _PI_ITERS
+    unrolled power-iteration rounds. Every CTE is MATERIALIZED —
+    DuckDB inlines plain CTEs at each reference and an unrolled
+    iteration chain explodes 3^n otherwise (the CC-oracle lesson)."""
+    parts = [
+        f"""ex AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(UNNEST(range(0, len(e))) AS INT) AS pos,
+             UNNEST(e) AS x
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+    s AS MATERIALIZED (
+      SELECT pos,
+             SUM(CAST(FLOOR(x * {_COV_SCALE} + 0.5) AS BIGINT)) AS sx,
+             COUNT(*) AS n
+      FROM ex GROUP BY pos),
+    p AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+             SUM(CAST(FLOOR(a.x * b.x * {_COV_SCALE} + 0.5) AS BIGINT)) AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      GROUP BY a.pos, b.pos),
+    cov AS MATERIALIZED (
+      SELECT p.i, p.j,
+             round((CAST(p.sxy AS DOUBLE) / {_COV_SCALE}) / si.n
+                   - (CAST(si.sx AS DOUBLE) / {_COV_SCALE} / si.n)
+                     * (CAST(sj.sx AS DOUBLE) / {_COV_SCALE} / sj.n),
+                   6) AS c
+      FROM p JOIN s si ON si.pos = p.i JOIN s sj ON sj.pos = p.j),
+    d AS MATERIALIZED (SELECT COUNT(*) AS d FROM s),
+    v0 AS MATERIALIZED (
+      SELECT pos, 1.0 / sqrt(d.d) AS val FROM s CROSS JOIN d)"""
+    ]
+    for k in range(_PI_ITERS):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT cov.i AS pos,
+             CAST(SUM(CAST(FLOOR(cov.c * v.val * {_PI_SCALE} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {_PI_SCALE} AS w
+      FROM cov JOIN v{k} v ON v.pos = cov.j
+      GROUP BY cov.i),
+    n{k} AS MATERIALIZED (
+      SELECT sqrt(CAST(SUM(CAST(FLOOR(w * w * {_PI_SCALE} + 0.5)
+                               AS BIGINT)) AS DOUBLE) / {_PI_SCALE}) AS nrm
+      FROM w{k}),
+    v{k + 1} AS MATERIALIZED (
+      SELECT pos,
+             CAST(FLOOR(w / nrm * {_COV_SCALE} + 0.5) AS DOUBLE)
+               / {_COV_SCALE} AS val
+      FROM w{k} CROSS JOIN n{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT v.pos, v.val AS eigvec_val, round(n.nrm, 6) AS eigenvalue
+    FROM v{_PI_ITERS} v CROSS JOIN n{_PI_ITERS - 1} n
+    """
+    )
+
+
+@register("q_emb_top_eigvec", oracle=_eigvec_oracle())
+def q_emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus embedding's TOP PRINCIPAL DIRECTION by power
+    iteration on the covariance matrix — the one-vector PCA every
+    embedding-health check starts from (the dominant-direction share
+    of variance is THE anisotropy number; subtracting this direction
+    is the classic all-but-the-top post-processing). Fourth iterative
+    exemplar after connected components, k-means, and PageRank.
+
+    The covariance comes from the same map-side partial-Gram
+    construction as q_emb_covariance (mirrored to the full matrix);
+    the iteration state is a d-row (pos, val) vector, so each of the
+    {_PI_ITERS} unrolled rounds is a d²-row broadcast-scale join + a
+    d-term reduction — at ANY corpus size the iteration cost is
+    O(d²), corpus size only enters the one-pass Gram build. Cross-
+    engine determinism uses the PageRank discipline: every multi-term
+    float reduction (the matvec and the norm) quantizes per-term to
+    int64 (FLOOR(x·10¹² + 0.5)) so partition order can't move a bit,
+    and the normalized vector re-quantizes to 10⁻⁹ at each iteration
+    boundary — both engines therefore iterate on IDENTICAL vectors,
+    and the final hash compares exact doubles, not approximations.
+    Sign convention: v₀ = 1/√d (all-positive) fixes the eigenvector's
+    sign deterministically. Output: (pos, eigvec_val, eigenvalue≈‖Cv‖
+    at the last round, the Rayleigh estimate for a unit v)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    partials = e.mapInPandas(
+        _gram_partials,
+        schema=(
+            "i int, j int, sxy_part long, sx_i_part long, "
+            "sx_j_part long, n_part long"
+        ),
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("sxy_part").alias("sxy"),
+        F.sum("sx_i_part").alias("sx_i"),
+        F.sum("sx_j_part").alias("sx_j"),
+        F.sum("n_part").alias("n"),
+    )
+    sc = float(_COV_SCALE)
+    cval = F.round(
+        (F.col("sxy").cast("double") / sc) / F.col("n")
+        - (F.col("sx_i").cast("double") / sc / F.col("n"))
+        * (F.col("sx_j").cast("double") / sc / F.col("n")),
+        6,
+    )
+    upper = agg.select("i", "j", cval.alias("c"))
+    # mirror the strict upper triangle so the matvec sees the full matrix
+    cov = upper.unionByName(
+        upper.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint()
+    d = cov.agg((F.max("i") + 1).alias("d")).collect()[0]["d"]  # bounded scalar
+    v = cov.select("i").distinct().select(
+        F.col("i").alias("pos"), F.lit(1.0 / (d ** 0.5)).alias("val")
+    )
+    nrm = None
+    for _ in range(_PI_ITERS):
+        w = (
+            cov.join(v, cov["j"] == v["pos"])
+            .groupBy(cov["i"].alias("pos"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("c") * F.col("val") * _PI_SCALE + F.lit(0.5)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / _PI_SCALE
+                ).alias("w")
+            )
+        )
+        nrm = F.broadcast(
+            w.agg(
+                F.sqrt(
+                    F.sum(
+                        F.floor(
+                            F.col("w") * F.col("w") * _PI_SCALE + F.lit(0.5)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / _PI_SCALE
+                ).alias("nrm")
+            )
+        )
+        v = w.crossJoin(nrm).select(
+            "pos",
+            (
+                F.floor(
+                    F.col("w") / F.col("nrm") * _COV_SCALE + F.lit(0.5)
+                ).cast("double")
+                / _COV_SCALE
+            ).alias("val"),
+        ).localCheckpoint()
+        lam = nrm
+    return v.crossJoin(lam).select(
+        "pos",
+        F.col("val").alias("eigvec_val"),
+        F.round("nrm", 6).alias("eigenvalue"),
+    )

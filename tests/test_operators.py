@@ -2007,3 +2007,75 @@ def test_cms_never_underestimates_and_top_set_is_true(spark):
     for r in rows:
         assert r["est_n"] >= r["true_n"]
         assert r["err"] == r["est_n"] - r["true_n"]
+
+
+def test_top_eigvec_matches_quantized_numpy_power_iteration(spark):
+    """q_emb_top_eigvec vs an exact numpy replica of the quantized
+    power iteration (same covariance rounding, same per-term 1e12
+    quantization, same 1e-9 re-quantization per round): components
+    must match to the output resolution, the vector is unit-norm, and
+    the eigenvalue estimate brackets numpy's true top eigenvalue."""
+    import numpy as np
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _COV_SCALE,
+        _PI_ITERS,
+        _PI_SCALE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    X = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, sf, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    n, d = X.shape
+    sxy = np.zeros((d, d), dtype=np.int64)
+    for lo in range(0, n, 512):
+        c = X[lo : lo + 512]
+        sxy += (
+            np.floor(c[:, :, None] * c[:, None, :] * _COV_SCALE + 0.5)
+            .astype(np.int64)
+            .sum(axis=0)
+        )
+    sx = np.floor(X * _COV_SCALE + 0.5).astype(np.int64).sum(axis=0)
+    cov = np.round(
+        (sxy.astype(np.float64) / _COV_SCALE) / n
+        - np.outer(sx / _COV_SCALE / n, sx / _COV_SCALE / n),
+        6,
+    )
+    v = np.full(d, 1.0 / d**0.5)
+    for _ in range(_PI_ITERS):
+        w = (
+            np.floor(cov * v[None, :] * _PI_SCALE + 0.5)
+            .astype(np.int64)
+            .sum(axis=1)
+            .astype(np.float64)
+            / _PI_SCALE
+        )
+        nrm = (
+            np.floor(w * w * _PI_SCALE + 0.5).astype(np.int64).sum()
+            / _PI_SCALE
+        ) ** 0.5
+        v = np.floor(w / nrm * _COV_SCALE + 0.5) / _COV_SCALE
+    rows = all_queries()["q_emb_top_eigvec"](spark, sf).collect()
+    assert len(rows) == d
+    got = np.empty(d)
+    for r in rows:
+        got[r["pos"]] = r["eigvec_val"]
+        assert r["eigenvalue"] == round(nrm, 6)
+    assert np.abs(got - v).max() <= 2e-9
+    assert abs(np.linalg.norm(got) - 1.0) <= 1e-6
+    # ‖Cv‖ ≤ λ_max exactly for any unit v (spectral norm); the random
+    # test embeddings have a near-flat Marchenko-Pastur-ish spectrum,
+    # so 6 rounds only REACH TOWARD the top — the op's deliverable is
+    # the deterministic iterate, and the estimate must sit in the top
+    # region of the spectrum, never above it.
+    true_top = np.linalg.eigvalsh(cov)[-1]
+    assert nrm <= true_top + 1e-6
+    assert nrm >= 0.75 * true_top
