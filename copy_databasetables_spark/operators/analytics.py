@@ -385,3 +385,88 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         is_anom.alias("is_anomaly"),
     )
+
+
+def _skew_leg_sql(table: str, key: str) -> str:
+    """One UNION leg of the q_skew_report oracle: group-size
+    distribution of ``table`` grouped by ``key``."""
+    return f"""
+    SELECT '{table}.{key}' AS key_col,
+           COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           round(quantile_cont(n, 0.90), 4) AS p90_n,
+           round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean_n,
+           round(CAST(MAX(n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 4) AS skew_ratio,
+           (SELECT k FROM (SELECT {key} AS k, COUNT(*) AS n2
+                           FROM {table} GROUP BY {key})
+            ORDER BY n2 DESC, k LIMIT 1) AS top_key
+    FROM (SELECT COUNT(*) AS n FROM {table} GROUP BY {key})"""
+
+
+_SKEW_LEGS = [
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+@register(
+    "q_skew_report",
+    oracle=" UNION ALL ".join(_skew_leg_sql(t, k) for t, k in _SKEW_LEGS),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-join report a 100 TB operator
+    runs BEFORE choosing a strategy (SCALE.md's salting/AQE-skew-split
+    decisions start from exactly these numbers): for each of the
+    engine's fact join keys, the group-size distribution (key count,
+    row count, max, exact p90, mean), the max/mean skew ratio, and the
+    single heaviest key (deterministic smallest-key tie-break). A
+    skew_ratio near 1 says hash-partitioning balances; 100+ says the
+    hot key needs salting or an AQE split.
+
+    Cost shape: one groupBy per fact (map-side combined to one row per
+    key per mapper), then an aggregate over the GROUP-SIZE table —
+    orders of magnitude smaller than the fact. The heaviest-key probe
+    is a TakeOrdered top-1 over the same size table. Exact p90 sorts
+    group sizes per leg; at extreme key cardinality swap in the KLL
+    row's sketch (q_agg_kll_mergeable) — the report's contract doesn't
+    change."""
+    legs = []
+    for table, key in _SKEW_LEGS:
+        sizes = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = (
+            sizes.orderBy(F.col("n").desc(), F.col(key))
+            .limit(1)
+            .select(F.col(key).cast("bigint").alias("top_key"))
+        )
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+            F.round(F.percentile("n", F.lit(0.90)), 4).alias("p90_n"),
+        ).select(
+            F.lit(f"{table}.{key}").alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_n",
+            "p90_n",
+            F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+                "mean_n"
+            ),
+            F.round(
+                F.col("max_n").cast("double")
+                / (F.col("n_rows").cast("double") / F.col("n_keys")),
+                4,
+            ).alias("skew_ratio"),
+        )
+        legs.append(stats.crossJoin(F.broadcast(top)))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

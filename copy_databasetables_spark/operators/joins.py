@@ -588,3 +588,95 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-key, and at 100 TB the band predicate is what makes the
     shuffle join's per-key work O(window), not O(history)."""
     return _asof(spark, sf_dir, tolerance_hours=_ASOF_TOL_HOURS)
+
+
+#: deterministic version boundaries for the synthetic SCD2 dimension
+#: (the events span Jan 2024 — see TESTDATA.md).
+_TDIM_T1 = "2024-01-11 00:00:00"
+_TDIM_T2 = "2024-01-21 00:00:00"
+
+
+@register(
+    "q_join_temporal_dim",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    dim AS (
+      SELECT u.user_id, v.version, v.tier,
+             v.valid_from, v.valid_to,
+             (u.user_id % 5) + v.version AS discount
+      FROM u CROSS JOIN (VALUES
+        (1, 'bronze', TIMESTAMP '1970-01-01 00:00:00',
+                      TIMESTAMP '{_TDIM_T1}'),
+        (2, 'silver', TIMESTAMP '{_TDIM_T1}',
+                      TIMESTAMP '{_TDIM_T2}'),
+        (3, 'gold',   TIMESTAMP '{_TDIM_T2}',
+                      TIMESTAMP '9999-12-31 00:00:00')
+      ) AS v(version, tier, valid_from, valid_to))
+    SELECT e.event_id, e.user_id,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+           d.version, d.tier, d.discount
+    FROM events e
+    JOIN dim d ON d.user_id = e.user_id
+              AND d.valid_from <= CAST(e.ts AS TIMESTAMP)
+              AND CAST(e.ts AS TIMESTAMP) < d.valid_to
+    """,
+)
+def q_join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) dimension join — the consumption side
+    of SCD2 (copy_table_scd2 is the PRODUCTION side): every event joins
+    the dimension VERSION that was valid at its event time, via
+    key-equi join + half-open [valid_from, valid_to) containment. This
+    is how a versioned customer/user dimension is read in every
+    warehouse fact pipeline; getting the half-open convention wrong
+    double-counts events landing exactly on a version boundary (the
+    oracle would hash-red on it).
+
+    The dimension here is synthesized deterministically (three tiers
+    over the Jan-2024 event span, a per-user modular attribute) so the
+    oracle can rebuild it exactly; swap in the SCD2 table's
+    (key, valid_from, valid_to) and nothing else changes.
+
+    Scale shape (100 TB): the join key is user_id, so the fact shuffles
+    once on the key it aggregates by downstream; the containment
+    predicate rides as a residual on the equi-join — per-key work is
+    O(versions), and versions-per-key is small by SCD2 construction.
+    Never express this as a pure range join: the equi key is what keeps
+    it hash-partitionable."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    users = ev.select("user_id").distinct()
+    versions = spark.createDataFrame(
+        [
+            (1, "bronze", "1970-01-01 00:00:00", _TDIM_T1),
+            (2, "silver", _TDIM_T1, _TDIM_T2),
+            (3, "gold", _TDIM_T2, "9999-12-31 00:00:00"),
+        ],
+        "version int, tier string, valid_from string, valid_to string",
+    ).select(
+        "version",
+        "tier",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = (
+        users.crossJoin(F.broadcast(versions))
+        .withColumn("discount", F.col("user_id") % 5 + F.col("version"))
+        # break the self-join lineage (users derives from ev): the dim
+        # side carries its own key name
+        .select(
+            F.col("user_id").alias("d_uid"), "version", "tier",
+            "valid_from", "valid_to", "discount",
+        )
+    )
+    cond = (
+        (ev["user_id"] == dim["d_uid"])
+        & (dim["valid_from"] <= ev["ts"])
+        & (ev["ts"] < dim["valid_to"])
+    )
+    return ev.join(dim, cond).select(
+        "event_id",
+        "user_id",
+        us("ts", "ts_us"),
+        "version",
+        "tier",
+        "discount",
+    )

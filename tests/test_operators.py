@@ -2079,3 +2079,50 @@ def test_top_eigvec_matches_quantized_numpy_power_iteration(spark):
     true_top = np.linalg.eigvalsh(cov)[-1]
     assert nrm <= true_top + 1e-6
     assert nrm >= 0.75 * true_top
+
+
+def test_temporal_dim_join_covers_every_event_exactly_once(spark):
+    """Half-open [valid_from, valid_to) versioning partitions time, so
+    every event must join EXACTLY one dimension version; tier follows
+    the event's position in the Jan-2024 span, and discount re-derives
+    from (user_id, version)."""
+    from datetime import datetime
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    n_events = load_table(spark, sf, "events").count()
+    rows = all_queries()["q_join_temporal_dim"](spark, sf).collect()
+    assert len(rows) == n_events  # exactly-once coverage
+    t1 = datetime(2024, 1, 11).timestamp() * 1e6
+    t2 = datetime(2024, 1, 21).timestamp() * 1e6
+    for r in rows:
+        want_version = 1 if r["ts_us"] < t1 else (2 if r["ts_us"] < t2 else 3)
+        assert r["version"] == want_version
+        assert r["tier"] == {1: "bronze", 2: "silver", 3: "gold"}[r["version"]]
+        assert r["discount"] == r["user_id"] % 5 + r["version"]
+
+
+def test_skew_report_internal_consistency(spark):
+    """Each leg's numbers must cohere: n_rows equals the table's row
+    count, max >= p90 >= mean >= 1, skew_ratio re-derives from
+    max/mean, and the reported top key really is a heaviest key."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.analytics import _SKEW_LEGS
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["key_col"]: r for r in all_queries()["q_skew_report"](spark, sf).collect()}
+    assert set(rows) == {f"{t}.{k}" for t, k in _SKEW_LEGS}
+    for table, key in _SKEW_LEGS:
+        r = rows[f"{table}.{key}"]
+        counts: dict[int, int] = {}
+        for x in load_table(spark, sf, table).select(key).collect():
+            counts[x[key]] = counts.get(x[key], 0) + 1
+        assert r["n_keys"] == len(counts)
+        assert r["n_rows"] == sum(counts.values())
+        assert r["max_n"] == max(counts.values())
+        assert r["max_n"] >= r["p90_n"] >= r["mean_n"] >= 1.0
+        assert abs(r["skew_ratio"] - round(r["max_n"] / (r["n_rows"] / r["n_keys"]), 4)) < 1e-9
+        assert counts[r["top_key"]] == r["max_n"]
