@@ -31,27 +31,29 @@ from tests.conftest import SF_SMOKE
 #: the shape-coverage test below, so a generator change that collapses
 #: the mix is caught rather than silently narrowing the gate). The
 #: extras pin variants the contiguous prefix happens not to draw under
-#: the 14-shape grammar (r9: +text_token_agg, +array_project_topk,
-#: +array_group_agg — the array/text surface over documents/
-#: embeddings): the subquery EXISTS/IN modes (29/34; NOT EXISTS in
-#: the prefix at 17), the COMPLETE outer-join join-type × key-mode
-#: 3×3 grid (40 FULL/plain, 50 FULL/null-safe, 75 FULL/null-plain,
-#: 387 LEFT/plain, 61 LEFT/null-safe, 133 LEFT/null-plain; INNER
-#: modes in the prefix at 9/11/12), the full window-function grid
-#: beyond the prefix's rangesum at 25 (92 row_number, 65 rank, 148
-#: dense_rank, 41 runsum, 159 lead/lag), the GROUPING SETS rollup
-#: mode (33; ROLLUP and CUBE in the prefix at 5/10), the full set-op
-#: variant grid beyond the prefix's UNION ALL (36 EXCEPT ALL, 199
-#: INTERSECT ALL, 172 UNION, 76 EXCEPT, 186 INTERSECT — the DISTINCT
-#: trio pins NULLs-compare-equal set identity), the scalar-subquery
-#: MIN mode (158; SUM and MAX in the prefix at 19/27), filter_topk's
-#: first draw (31), the text prefix keymode (68; token/length in the
-#: prefix at 20/26), and the array-expr kinds the prefix misses
-#: (74 smax, 275 smin, 179 group-ssum; ssum/elem/npos in the prefix
-#: at 0/2/6/23).
+#: the 15-shape grammar (r9 continuation: +text_phrase — positional
+#: phrase adjacency through operators.text.phrase_match, the REAL
+#: production helper; both its 2-term (prefix 22/23) and 3-term
+#: (prefix 20) draws land in the prefix): the subquery EXISTS/IN
+#: modes (29/34; NOT EXISTS in the prefix at 17), the COMPLETE
+#: outer-join join-type × key-mode 3×3 grid (40 FULL/plain, 50
+#: FULL/null-safe, 75 FULL/null-plain, 112 INNER/plain, 133
+#: LEFT/null-plain, 61 LEFT/null-safe, 387 LEFT/plain; INNER
+#: null modes in the prefix at 9/11), the full window-function grid
+#: beyond the prefix's rangesum at 25 (41 runsum, 65 rank, 92
+#: row_number, 148 dense_rank, 159 lead/lag), the GROUPING SETS
+#: rollup mode (33; ROLLUP and CUBE in the prefix at 5/10), the full
+#: set-op variant grid beyond the prefix's UNION ALL (36 EXCEPT ALL,
+#: 76 EXCEPT, 172 UNION, 186 INTERSECT, 199 INTERSECT ALL — the
+#: DISTINCT trio pins NULLs-compare-equal set identity), the
+#: scalar-subquery MIN mode (158; SUM and MAX in the prefix at
+#: 19/27), filter_topk's first draw (31), the text prefix keymode
+#: (68; token/length in the prefix at 24/26), and the array-expr
+#: kinds the prefix misses (74/77 smax, 86/216 ssum, 140/322 smin
+#: per project/group shape; elem/npos in the prefix at 0/2/6).
 SEEDS = list(range(28)) + [29, 31, 33, 34, 36, 40, 41, 50, 61, 65,
-                           68, 74, 75, 76, 92, 133, 148, 158, 159,
-                           172, 179, 186, 199, 275, 387]
+                           68, 74, 75, 76, 77, 86, 92, 112, 133, 140,
+                           148, 158, 159, 172, 186, 199, 216, 322, 387]
 
 
 @pytest.fixture(scope="module")

@@ -525,7 +525,8 @@ class Gen:
     SHAPES = ["filter_topk", "group_agg", "join_agg", "join_topk",
               "scalar_topk", "setop", "window_rank", "outer_join_agg",
               "subquery_filter", "rollup_agg", "scalar_subquery",
-              "text_token_agg", "array_project_topk", "array_group_agg"]
+              "text_token_agg", "array_project_topk", "array_group_agg",
+              "text_phrase"]
 
     def generate(self, seed: int) -> GenQuery:
         rng = random.Random(seed)
@@ -897,6 +898,45 @@ class Gen:
             return df
 
         return GenQuery(seed, "text_token_agg", "documents", sql, build)
+
+    #: phrase vocabulary: frequent corpus words (TESTDATA.md's generator
+    #: vocab), so random phrases actually match documents.
+    _PHRASE_VOCAB = ["table", "scan", "join", "data", "merge", "batch",
+                     "window", "stream", "key", "row", "filter", "sort"]
+
+    def _gen_text_phrase(self, rng: random.Random, seed: int) -> GenQuery:
+        """Positional phrase adjacency over documents (the r9c
+        q_text_phrase_search surface, randomized): a 2- or 3-term
+        phrase of corpus-vocab words, counted by posting-list
+        intersection on the Spark side (operators.text.phrase_match —
+        the SAME production helper, so the fuzzer exercises the real
+        code path) vs a DuckDB positional list scan. Counting is
+        positional, so self-overlapping repeated-word phrases (the
+        rng MAY draw duplicates) must agree too."""
+        from copy_databasetables_spark.operators.text import phrase_match
+
+        k = rng.choice([2, 2, 3])  # mostly bigrams, some trigrams
+        words = [rng.choice(self._PHRASE_VOCAB) for _ in range(k)]
+        conds = " AND ".join(
+            f"toks[p1 + {i}] = '{w}'" for i, w in enumerate(words)
+        )
+        sql = (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            f"p AS (SELECT doc_id, UNNEST(range(1, len(toks) - {k - 2})) "
+            "AS p1, toks FROM t) "
+            "SELECT doc_id, COUNT(*) AS n_matches, "
+            "CAST(MIN(p1) - 1 AS BIGINT) AS first_pos "
+            f"FROM p WHERE {conds} GROUP BY doc_id"
+        )
+
+        def build(spark, sf_dir, words=words):
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            return phrase_match(docs, words)
+
+        return GenQuery(seed, "text_phrase", "documents", sql, build)
 
     def _gen_array_project_topk(self, rng: random.Random, seed: int) -> GenQuery:
         """Per-row higher-order array projections over a filtered
