@@ -33,7 +33,13 @@ from copy_databasetables_spark.operators import (  # noqa: E402
     all_oracles,
     all_queries,
 )
-from copy_databasetables_spark.operators import dedup, similarity, text  # noqa: E402
+from copy_databasetables_spark.operators import (  # noqa: E402
+    aggregates,
+    dedup,
+    joins,
+    similarity,
+    text,
+)
 from tests.conftest import SF_SMOKE
 
 #: (module, constant, mutated value, gated key) — every row verified to
@@ -49,6 +55,11 @@ MUTATIONS = [
     (text, "_CASC_MIN_TOK", 25, "q_quality_cascade"),
     (text, "_CHUNK", 30, "q_text_chunk"),
     (text, "_FUZZY_D", 3, "q_text_fuzzy_match"),
+    # r9 continuation ops — each verified to KILL on sf0.001 on entry:
+    (aggregates, "_CMS_W", 4, "q_agg_cms_err"),  # 32 is data-insensitive at sf0.001 (15 keys rarely collide in all 4 rows)
+    (similarity, "_PI_ITERS", 5, "q_emb_top_eigvec"),
+    (text, "_PHRASE", ["table", "sort"], "q_text_phrase_search"),
+    (joins, "_TDIM_T1", "2024-01-12 00:00:00", "q_join_temporal_dim"),
 ]
 
 
