@@ -65,11 +65,17 @@ _loaded = False
 #: the 50 keys last attested in CORRECTNESS_r05.json, in sorted order.
 #: The remaining 2 r5-era keys (``q_win_lead_lag``,
 #: ``src_parquet_scan_nanos``) deliberately sit PAST slot 50 this round
-#: and lead the r10 rotation, together with any keys newly registered in
-#: r9 (never-driver-checked keys keep registration order after this
-#: list, ahead of everything already attested green — see
-#: ``_prior_driver_green``). After r9 lands green, no key's committed
-#: driver attestation predates r5, and only those two predate r6.
+#: and lead the r10 rotation, together with the keys newly registered in
+#: r9 — 19 of them after the continuation session (q_sim_rrf,
+#: q_dedup_minhash_est, the two q_ts_* fills, q_graph_triangles,
+#: copy_table_cdc_apply, q_multimodal_wav_frames, q_text_phrase_search,
+#: q_l_diversity, the four q_tpch_*, q_emb_covariance, q_agg_cms_err,
+#: q_emb_top_eigvec, q_join_temporal_dim, q_skew_report,
+#: q_dedup_containment) — never-driver-checked keys keep registration
+#: order after this list, ahead of everything already attested green
+#: (see ``_prior_driver_green``). After r9 lands green, no key's
+#: committed driver attestation predates r5, and only those two
+#: predate r6.
 DRIVER_WINDOW: list[str] = [
     # r4-era leftovers (rolled past slot 50 in the r8 window)
     "src_jdbc_decimal",
