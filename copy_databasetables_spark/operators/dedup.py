@@ -2592,3 +2592,50 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= _CONT_TAU)
         .select("doc_id_a", "doc_id_b", "containment")
     )
+
+
+#: containment pair chain for DuckDB, ending in pairs(doc_id_a,
+#: doc_id_b) — the UNDIRECTED subsumption graph: an edge when EITHER
+#: direction clears τ (q_dedup_containment's relation, symmetrized).
+_CONT_PAIRS_CTE = f"""t AS MATERIALIZED (
+      SELECT doc_id, lang, {_D_BIGRAMS} AS toks FROM documents),
+    s AS MATERIALIZED (
+      SELECT doc_id, lang, toks, len(toks) AS sz
+      FROM t WHERE len(toks) > 0),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE / a.sz
+              >= {_CONT_TAU}
+         OR len(list_intersect(a.toks, b.toks))::DOUBLE / b.sz
+              >= {_CONT_TAU})"""
+
+
+@register(
+    "q_dedup_cluster_containment",
+    oracle=_cc_oracle_prefix(pairs_cte=_CONT_PAIRS_CTE)
+    + """
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM comp
+    """,
+)
+def q_dedup_cluster_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SUBSUMPTION graph — the cluster
+    stage of the containment chain, mirroring near→cluster and
+    lsh→cluster: documents linked when either direction of bigram
+    containment clears τ=0.9 collapse into one keep-the-superset
+    group. Chains of partial quoting (A ⊂ B ⊂ C) merge transitively
+    even though A and C alone might not qualify — exactly the behavior
+    a subsumption dedup wants, and exactly what per-pair filtering
+    can't give. Same _cluster_over_pairs body (bounded-partition
+    min-label propagation + pointer jumping) on q_dedup_containment's
+    prefix-filtered pairs, undirected by least/greatest dedup; the
+    oracle runs the identical unrolled CC rounds over the naive
+    all-pairs either-direction graph."""
+    directed = q_dedup_containment(spark, sf_dir)
+    und = directed.select(
+        F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+        F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+    ).distinct()
+    return _cluster_over_pairs(spark, und)

@@ -1312,3 +1312,69 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings through the shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return phrase_match(docs, _PHRASE)
+
+
+_KW_TOP = 3
+
+
+@register(
+    "q_text_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank_pos
+      FROM sc)
+    SELECT doc_id, term AS keyword, tfidf, rank_pos
+    FROM r WHERE rank_pos <= {_KW_TOP}
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KEYWORD EXTRACTION: the top-{_KW_TOP} terms by
+    tf-idf (q_text_tfidf's corpus statistic turned into the per-doc
+    labeling every tagging/faceting pipeline derives from it).
+    Ranking runs on the 6-decimal-ROUNDED score with an ascending-term
+    tie-break — the rounded values are the cross-engine-identical
+    surface the tfidf op's hash already proves, so the top-k selection
+    cannot flip on a final-ulp difference the way raw-float ranking
+    could. Scale shape: the same two shared-scan aggregations as
+    tfidf (df side |vocab| rows, broadcast back), then one
+    WindowGroupLimit-pushed top-{_KW_TOP} per doc — the shuffle after
+    scoring carries at most {_KW_TOP} surviving rows per (doc,
+    mapper)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_raw = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * idf_raw, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _KW_TOP)
+        .select("doc_id", F.col("term").alias("keyword"), "tfidf", "rank_pos")
+    )

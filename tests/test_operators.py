@@ -2173,3 +2173,50 @@ def test_containment_matches_python_recompute_and_is_asymmetric(spark):
         # across every ordered pair pins the asymmetric semantics even
         # when the smoke corpus's pairs all happen to be mutual clones
         assert abs(v - want[k]) < 1e-12
+
+
+def test_cluster_containment_closes_subsumption_chains(spark):
+    """Every directed containment pair's endpoints share a cluster,
+    cluster_id is the minimum member, and sizes match membership — the
+    same closure invariants the Jaccard cluster tests pin, on the
+    subsumption graph."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q_dedup_cluster_containment"](spark, sf).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        assert r["cluster_id"] <= r["doc_id"]
+    sizes = {r["cluster_id"]: r["n_members"] for r in rows}
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert sizes[cid] == len(members)
+    pairs = all_queries()["q_dedup_containment"](spark, sf).collect()
+    assert pairs
+    for p in pairs:
+        assert label[p["doc_id_a"]] == label[p["doc_id_b"]]
+
+
+def test_keywords_are_each_docs_top_tfidf_terms(spark):
+    """q_text_keywords vs a recompute from q_text_tfidf's own output:
+    exactly 3 ranked keywords per doc, matching the (rounded-tfidf
+    DESC, term ASC) order of the full tfidf table."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    full: dict[int, list] = {}
+    for r in all_queries()["q_text_tfidf"](spark, sf).collect():
+        full.setdefault(r["doc_id"], []).append((-r["tfidf"], r["term"]))
+    want = {
+        d: [t for _, t in sorted(v)[:3]] for d, v in full.items()
+    }
+    got: dict[int, list] = {}
+    for r in all_queries()["q_text_keywords"](spark, sf).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank_pos"], r["keyword"]))
+    assert set(got) == set(want)
+    for d, ks in got.items():
+        ks.sort()
+        assert [k for _, k in ks] == want[d]
+        assert [p for p, _ in ks] == [1, 2, 3]
