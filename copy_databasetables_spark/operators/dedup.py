@@ -2535,9 +2535,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # verify sides) — materialize once
         .localCheckpoint()
     )
-    posting = t.select(
-        "doc_id", "lang", F.explode("toki").alias("tok")
-    ).localCheckpoint()
+    # the posting index is CORPUS-SIZED (Σ|doc| rows) — never
+    # materialize it: each of its three uses below is a narrow explode
+    # over the checkpointed doc table, so recompute is one codegen pass
+    # per use, while checkpointing it was a measured 100× OOM (heap-
+    # bound block storage of 150M rows at the 500k-doc stress step —
+    # the same failure mode the r6 PageRank fix closed).
+    posting = t.select("doc_id", "lang", F.explode("toki").alias("tok"))
     df_tab = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # p = sz − ceil(τ·sz) + 1, integer-exact: ceil(9·sz/10) = (9·sz+9)÷10
     p = (
@@ -2559,21 +2563,46 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("doc_id_a"),
             F.col("lang").alias("lang_a"),
             F.col("tok").alias("tok_a"),
+            F.col("df"),
         )
+        # TINY (≈(1−τ)·shingle volume) and consumed twice: once for the
+        # volume estimate, once as the join probe side
+        .localCheckpoint()
     )
+    # Volume-derived parallelism (the _pagerank_over_pairs discipline,
+    # extended to a two-stage pipeline): the candidate join emits
+    # Σ_tok prefix_count(tok)·df(tok) rows before dedup — ~727M at the
+    # 100× stress step, because this clone-dense corpus gives every
+    # "rare" shingle df ≈ clone-cluster size — and each VERIFY row then
+    # carries a shingle array. Fixed 32-partition shuffles put 100s of
+    # MB of hash/sort state in every task and OOM the default 8g JVM
+    # (measured, three ways: checkpointed-index read-ahead, shuffled-
+    # hash build, verify sort buffers). Both shuffle widths below are
+    # therefore derived from the ESTIMATED volume scalar — one cheap
+    # aggregate over the checkpointed prefix — keeping per-task state
+    # flat at any corpus size; on a real cluster this is just fan-out.
+    est_cand = (
+        prefix.agg(F.sum("df").alias("v")).first()["v"] or 0
+    )  # scalar: Σ pc·df ≥ distinct candidates
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cand_parts = max(shuffle_parts, min(2048, int(est_cand) // 1_000_000 + 1))
+    verify_parts = max(shuffle_parts, min(4096, int(est_cand) // 250_000 + 1))
     full = posting.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
         F.col("tok").alias("tok_b"),
     )
     cand = (
-        prefix.join(
+        # both sides corpus-scale → SPILL-SAFE sort-merge, never a
+        # per-partition hash build of the full index
+        prefix.drop("df").hint("merge").join(
             full,
             (F.col("tok_a") == F.col("tok_b"))
             & (F.col("lang_a") == F.col("lang_b")),
         )
         .where(F.col("doc_id_a") != F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
+        .repartition(cand_parts, "doc_id_a", "doc_id_b")
         .distinct()
     )
     ta = t.select(
@@ -2586,8 +2615,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
-        cand.join(ta, "doc_id_a")
-        .join(tb, "doc_id_b")
+        cand.repartition(verify_parts, "doc_id_a")
+        .hint("merge")
+        .join(ta.repartition(verify_parts, "doc_id_a"), "doc_id_a")
+        .repartition(verify_parts, "doc_id_b")
+        .hint("merge")
+        .join(tb.repartition(verify_parts, "doc_id_b"), "doc_id_b")
         .withColumn("containment", inter / F.col("sz_a"))
         .where(F.col("containment") >= _CONT_TAU)
         .select("doc_id_a", "doc_id_b", "containment")
