@@ -87,6 +87,12 @@ HEADLINE = [
     "q_dedup_substring",
     "q_graph_pagerank",
     "q_sim_hybrid_ivf",
+    # PROTOCOL NOTE (BASELINE.md §Round-9 heavy-op magnitudes):
+    # q_dedup_lsh_recall is an AUDIT op that computes exact all-pairs
+    # ground truth to measure LSH recall — quadratic in corpus size BY
+    # DESIGN (expected alpha ~2 per 10x). Its wall time growing across
+    # SFs is the op working as specified, not a regression; adjudicate
+    # it only against same-SF calibrated history.
     "q_dedup_lsh_recall",
     # r9 additions, benched from day one: RRF hybrid fusion and the
     # minhash estimator audit (10x stress rows in SCALE.md §r9)
@@ -380,6 +386,27 @@ def main() -> None:
         calib = min(calib, time.perf_counter() - t0)
     calib = round(calib, 4)
 
+    # Second anchor (VERDICT r9 item 2): a fixed SHUFFLE-shaped job —
+    # 10M rows hashed onto 1000 keys, exchanged, then aggregated — so
+    # cross-round adjudication can separate CPU drift from scheduler/
+    # shuffle contention. r9 proved the pure-CPU anchor alone cannot
+    # normalize many-small-job retrieval plans: the dedup family got
+    # FASTER calibrated while seven retrieval rows regressed ~2x on
+    # unchanged code in the same contended run.
+    calib_shuffle = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr("id % 1000 AS k", "id AS v")
+            .repartition(32, "k")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .collect()
+        )
+        calib_shuffle = min(calib_shuffle, time.perf_counter() - t0)
+    calib_shuffle = round(calib_shuffle, 4)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -397,6 +424,7 @@ def main() -> None:
         "runs": _RUNS,
         "sf": sf,
         "calibration_sec": calib,
+        "calibration_shuffle_sec": calib_shuffle,
         "protocol": _flagship_protocol(spark, queries, sf_dir),
         "skew_ab": _skew_ab(spark, sf_dir),
         "jdbc_copy": _jdbc_copy(spark, sf_dir),

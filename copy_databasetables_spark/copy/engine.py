@@ -666,6 +666,13 @@ def apply_cdc(
     state picks the same per-key winners, so an at-least-once delivery
     upstream cannot corrupt the target.
 
+    ``op_col``/``seq_col`` are change-log METADATA names and must not
+    collide with a data column in ``base`` — staging would silently
+    overwrite (then drop) that column, so a collision raises. An
+    out-of-contract change row at seq = -1 still loses to the staged
+    base deterministically via the ``__src`` tiebreak (changes rank
+    above base at equal seq).
+
     Scale shape (100 TB): ONE shuffle on the key; the per-key winner is
     row_number()=1 over (seq DESC), which Spark executes with
     WindowGroupLimit pushdown — partial top-1 per key map-side, so the
@@ -673,13 +680,26 @@ def apply_cdc(
     partition), not the whole log. On a partitioned target, join the
     change log's distinct keys against the partition scheme first and
     rewrite only affected partitions (same discipline as merge_table)."""
-    staged_base = base.withColumn(op_col, F.lit("I")).withColumn(
-        seq_col, F.lit(-1).cast("long")
+    collide = {op_col, seq_col} & set(base.columns)
+    if collide:
+        raise ValueError(
+            f"apply_cdc: base already has column(s) {sorted(collide)}; "
+            "pass op_col/seq_col names that do not collide with base "
+            "data columns"
+        )
+    staged_base = (
+        base.withColumn(op_col, F.lit("I"))
+        .withColumn(seq_col, F.lit(-1).cast("long"))
+        .withColumn("__src", F.lit(0))
     )
-    unioned = staged_base.unionByName(changes.select(*staged_base.columns))
-    w = W.partitionBy(key).orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
+    unioned = staged_base.unionByName(
+        changes.withColumn("__src", F.lit(1)).select(*staged_base.columns)
+    )
+    w = W.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col("__src").desc(), F.col(op_col).desc()
+    )
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .where((F.col("__rn") == 1) & (F.col(op_col) != "D"))
-        .drop("__rn", op_col, seq_col)
+        .drop("__rn", "__src", op_col, seq_col)
     )

@@ -1776,8 +1776,11 @@ def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: covariance quantization: products of unit-scale components carry ~1e-9
-#: resolution; int64 partial sums stay exact to ~1e12 rows (beyond that,
-#: swap the accumulator to DECIMAL — SURVEY.md §7.3#1's standing fallback).
+#: resolution. The int64 headroom claim assumes UNIT-NORM embeddings
+#: (per-component ~1/sqrt(d), so a cell gains ~1e9/d per row → exact to
+#: ~1e12 rows at d=64); in general the bound is ~2^63 / (max|x_i·x_j|·1e9)
+#: rows — O(1)-scale components overflow near ~9e9 rows, at which point
+#: swap the accumulator to DECIMAL (SURVEY.md §7.3#1's standing fallback).
 _COV_SCALE = 1_000_000_000
 
 

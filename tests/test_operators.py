@@ -402,29 +402,50 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert hits / total >= 0.8, f"recall {hits}/{total} too low"
 
 
-def test_decode_guard_error_path_is_pinned(spark):
-    """Golden error-path contract for the media-decode stub: non-text
-    modalities must raise NotImplementedError with the documented
-    message BOTH called directly and through the Spark mapInPandas
-    plumbing (the error must surface, not be swallowed into nulls), and
-    the text path must stay real."""
+def test_decode_media_dispatch_is_real(spark):
+    """Golden contract for decode_media (r10, post-stub): every kind
+    decodes FOR REAL — a valid PGM/WAV payload parses, a malformed one
+    raises ValueError from the byte parse (not NotImplementedError from
+    a stub), an unknown kind raises ValueError, and the failure
+    surfaces through the Spark mapInPandas plumbing rather than being
+    swallowed into nulls."""
+    import numpy as np
     import pytest as _pytest
-
-    from pyspark.sql import functions as F
 
     from copy_databasetables_spark.operators.multimodal import decode_media
 
-    # direct: the contract message names the missing capability
-    with _pytest.raises(NotImplementedError, match="kind='image'.*media libraries"):
-        decode_media(b"\x89PNG", "image")
-    with _pytest.raises(NotImplementedError, match="kind='audio'"):
-        decode_media(b"RIFF", "audio")
-    # text path is real, not a stub
+    # text path: features computed directly
     feats = decode_media(b"hello world", "text")
     assert feats["byte_len"] == 11 and feats["first_byte"] == ord("h")
 
-    # through Spark: an image payload in a mapInPandas batch must fail
-    # the job with the same error, not produce a null/empty row
+    # image path: a valid binary PGM decodes for real...
+    pgm = b"P5\n4 2\n255\n" + bytes(range(8))
+    feats = decode_media(pgm, "image")
+    assert feats["kind"] == "image" and feats["byte_len"] == len(pgm)
+    # ...and a non-PGM payload fails in the parser, not a stub
+    with _pytest.raises(ValueError, match="not a binary PGM"):
+        decode_media(b"\x89PNG", "image")
+
+    # audio path: a valid RIFF/PCM WAV decodes for real
+    import struct
+
+    data = np.arange(-4, 4, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    feats = decode_media(wav, "audio")
+    assert feats["kind"] == "audio"
+    with _pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        decode_media(b"RIFF", "audio")
+
+    with _pytest.raises(ValueError, match="unknown media kind"):
+        decode_media(b"x", "video")
+
+    # through Spark: a malformed image payload in a mapInPandas batch
+    # must fail the job with the parser's error, not yield a null row
     import pandas as pd
 
     def extract(batches):
@@ -440,7 +461,7 @@ def test_decode_guard_error_path_is_pinned(spark):
         extract,
         schema="doc_id long, byte_len int, first_byte int, head_digest string, kind string",
     )
-    with _pytest.raises(Exception, match="NotImplementedError|media libraries"):
+    with _pytest.raises(Exception, match="not a binary PGM"):
         df.collect()
 
 
