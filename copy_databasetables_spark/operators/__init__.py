@@ -68,9 +68,11 @@ _loaded = False
 #: driver's CORRECTNESS file) — and fill the remaining 27 slots with
 #: the stalest attested cohort (first 27 of the 50 keys whose latest
 #: row is CORRECTNESS_r06.json, sorted). The remaining 23 r6-era keys
-#: (q_sim_pq ... src_parquet_scan, sorted order) lead the r11 rotation.
-#: After r10 lands green, every registry key has a driver attestation
-#: and none predates r6.
+#: (q_sim_pq ... src_parquet_scan, sorted order) follow keys registered
+#: new in r10 (never-checked keys auto-sort ahead of attested ones —
+#: see ``_window_order``) in the r11 rotation. After r10 lands green,
+#: every key registered through r9 has a driver attestation and none
+#: predates r6.
 DRIVER_WINDOW: list[str] = [
     # r5-era stragglers (deliberately rolled past slot 50 in r9)
     "q_win_lead_lag",

@@ -1,6 +1,6 @@
-"""Classic TPC-H composite queries (beyond-survey coverage, r9).
+"""Classic TPC-H composite queries (beyond-survey coverage, r9/r10).
 
-The registry's §2 keys isolate one operator each; these four compose
+The registry's §2 keys isolate one operator each; these compose
 them into the canonical multi-join analytics shapes every warehouse
 benchmark runs — the end-to-end evidence that joins + aggregation +
 top-k compose correctly AND plan well together. Adapted to the
@@ -44,6 +44,7 @@ _Q3_DATE = "1997-06-15"
 _Q5_LO, _Q5_HI = "1996-01-01", "1997-01-01"
 _Q10_LO, _Q10_HI = "1996-01-01", "1996-04-01"
 _Q18_QTY = 250.0
+_Q17_TYPE = "MEDIUM"  # p_type stands in for the classic p_container
 
 
 def _rev(alias: str):
@@ -256,4 +257,76 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = '{_Q17_TYPE}'
+      AND 5 * CAST(l.l_quantity AS BIGINT)
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = p.p_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), per brand: yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    dropped. THE correlated-scalar-subquery composite (VERDICT r9 item
+    5): the classic form compares each lineitem row against a subquery
+    correlated on its own part — here decorrelated explicitly, the plan
+    Spark/Catalyst produces for the SQL form and the only shape that
+    scales: aggregate the filtered fact once per partkey (sum+count),
+    join the per-part thresholds back on the same key, filter, and
+    re-aggregate by brand. Two shuffles of the filtered fact total, both
+    on l_partkey (the second reuses the first's partitioning on the
+    threshold side).
+
+    Determinism: the classic ``l_quantity < 0.2 * avg(l_quantity)``
+    comparison is float-hazardous cross-engine (0.2 is inexact; e.g.
+    avg = 25.0 makes 0.2*avg land a hair ABOVE 5.0, flipping q = 5), so
+    both engines compare in exact integer arithmetic instead —
+    ``5·q·cnt < sum`` over bigint-cast integral quantities, the same
+    predicate as rationals. Revenue goes through the scaled-int dsum;
+    the /7.0 of identical doubles is deterministic on both sides.
+
+    Scale notes (100 TB): the p_type predicate pushes into the part
+    scan; the part side carries NO broadcast hint — at test SFs AQE
+    broadcasts it from runtime stats, at 100 TB (where part is ~20 GB)
+    it shuffle-joins on the same l_partkey key the threshold aggregation
+    already established, so the hint would be a regression, not a win."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == _Q17_TYPE)
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_f = li.join(p, li.l_partkey == p.p_partkey)
+    th = (
+        li_f.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sumq"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        li_f.join(th, li_f.l_partkey == th.t_partkey)
+        .where(
+            F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("cnt")
+            < F.col("sumq")
+        )
+        .groupBy("p_brand")
+        .agg(dsum("l_extendedprice", "rev"))
+        .select("p_brand", (F.col("rev") / F.lit(7.0)).alias("avg_yearly"))
     )

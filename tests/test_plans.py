@@ -678,3 +678,25 @@ def test_tpch_composites_plan_shapes(spark):
     p18 = plan(all_queries()["q_tpch_q18"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p18
     assert "LeftSemi" in p18
+
+
+def test_tpch_q17_decorrelated_plan_shape(spark):
+    """q_tpch_q17 (the correlated-scalar-subquery composite) must run
+    as the decorrelated two-pass plan its docstring promises: the
+    p_type predicate pushed into the part scan, the per-part threshold
+    via hash aggregate (never a window over the corpus), the threshold
+    join as an equi hash join on l_partkey — and no nested-loop or
+    cartesian fallback anywhere (the symptom of a correlated subquery
+    that did NOT decorrelate)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    df = all_queries()["q_tpch_q17"](spark, SF_SMOKE)
+    fp = full_plan(df)
+    assert "CartesianProduct" not in fp
+    assert "BroadcastNestedLoopJoin" not in fp
+    assert "HashAggregate" in fp
+    # p_type filter reaches the part scan's pushed filters
+    pushed = fp.split("PushedFilters", 1)[1][:400] if "PushedFilters" in fp else ""
+    assert "p_type" in pushed or "p_type" in fp.replace(" ", "")
+    # exact-integer threshold comparison present (not the float 0.2*avg)
+    assert "sumq" in fp and "cnt" in fp
