@@ -105,6 +105,9 @@ HEADLINE = [
     "q_graph_triangles",
     "q_ts_interpolate",
     "q_tpch_q18",
+    # r10: the correlated-subquery composite (decorrelated two-pass
+    # plan), benched from day one
+    "q_tpch_q17",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
