@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import dsum, us
+from copy_databasetables_spark.operators._helpers import davg, dsum, us
 
 #: DuckDB fragment for the exact revenue sum (the oracle-side dsum).
 _D_REV = (
@@ -329,4 +329,137 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(dsum("l_extendedprice", "rev"))
         .select("p_brand", (F.col("rev") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_Q4_LO, _Q4_HI = "1996-07-01", "1996-10-01"
+_Q4_LATE_DAYS = 90  # l_shipdate > o_orderdate + 90d stands in for the
+#                     classic l_commitdate < l_receiptdate (no commit/
+#                     receipt columns in the testdata)
+_Q22_CUTOFF = "1999-01-01"
+
+
+@register(
+    "q_tpch_q4",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q4_HI} 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders placed in one quarter
+    with at least one late lineitem, counted per priority. The
+    correlated EXISTS composite: the subquery references BOTH tables'
+    columns (l_shipdate > o_orderdate + 90d), so it decorrelates to a
+    LEFT SEMI join with the cross-table comparison riding the
+    l_orderkey equi-key as a residual condition — one shuffle pair on
+    the key, no nested loop, and EXISTS-semantics (no duplicate orders)
+    come from the semi join for free. Quarter predicate pushes into the
+    orders scan; lineitem carries no local predicate (the residual
+    needs o_orderdate), so its scan prunes columns only."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAY")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one filtered global
+    aggregate, zero joins — the pure scan-efficiency probe. All three
+    predicates (date range, discount band, quantity cap) push into the
+    parquet scan as PushedFilters, the read schema prunes to the three
+    referenced columns, and the single-row answer comes from one
+    partial+final aggregate pair (no real shuffle — 1-row exchange).
+    Discount bounds compare double literals against the file's doubles
+    (both engines resolve 0.05/0.07 to the identical nearest double),
+    and the sum is the scaled-int dsum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT (CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+              / COUNT(c_acctbal)) AS ab
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): per nation, the count and
+    total balance of above-average-balance customers with no recent
+    orders. Composes BOTH remaining subquery decorrelations in one
+    plan: the scalar subquery (corpus-wide positive-balance average)
+    becomes a 1-row broadcast cross join — never a driver collect —
+    and the NOT EXISTS becomes a LEFT ANTI join against the
+    date-filtered orders keys. The avg comparison is davg-exact on
+    both engines (identical double, so the > cut is deterministic);
+    balances aggregate via scaled-int dsum.
+
+    Scale shape (100 TB): the scalar side is one partial+final
+    aggregate then a broadcast of ONE row; the anti join shuffles on
+    o_custkey/c_custkey with the date filter pushed into the orders
+    scan so the anti side carries only recent order keys."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "ab"))
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
     )

@@ -700,3 +700,32 @@ def test_tpch_q17_decorrelated_plan_shape(spark):
     assert "p_type" in pushed or "p_type" in fp.replace(" ", "")
     # exact-integer threshold comparison present (not the float 0.2*avg)
     assert "sumq" in fp and "cnt" in fp
+
+
+def test_tpch_q4_q6_q22_plan_shapes(spark):
+    """The r10 subquery composites must show their decorrelated plan
+    grammar: Q4's correlated EXISTS as a LEFT SEMI join (residual
+    cross-table date comparison riding the equi key, no nested loop);
+    Q6 as a single pushed-filter scan + aggregate with a pruned read
+    schema; Q22's scalar subquery as a 1-row broadcast (never a
+    driver collect) and its NOT EXISTS as a LEFT ANTI join."""
+    from copy_databasetables_spark.operators import all_queries
+
+    p4 = full_plan(all_queries()["q_tpch_q4"](spark, SF_SMOKE))
+    assert "LeftSemi" in p4
+    assert "CartesianProduct" not in p4 and "BroadcastNestedLoopJoin" not in p4
+
+    q6 = all_queries()["q_tpch_q6"](spark, SF_SMOKE)
+    p6 = full_plan(q6)
+    assert "Join" not in p6  # zero joins: scan -> filter -> agg
+    pushed = p6.split("PushedFilters", 1)[1][:500]
+    assert "l_shipdate" in pushed or "l_discount" in pushed
+    sch = p6.split("ReadSchema", 1)[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_extendedprice", "l_quantity"):
+        assert col in sch
+    assert "l_orderkey" not in sch  # column pruning held
+
+    p22 = full_plan(all_queries()["q_tpch_q22"](spark, SF_SMOKE))
+    assert "LeftAnti" in p22
+    # scalar side broadcast, not collected: a broadcast exchange exists
+    assert "BroadcastExchange" in p22 or "BroadcastQueryStage" in p22

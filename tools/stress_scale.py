@@ -76,7 +76,7 @@ def build_blowup(
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    from copy_databasetables_spark.operators.text import _BM25_QUERY
+    from copy_databasetables_spark.operators.text import _BM25_QUERY, _PHRASE
 
     # 4 output files at the classic 10× scale; grow with the blowup so a
     # 1000× build doesn't funnel ~600 MB through 4 writer tasks and the
@@ -86,7 +86,12 @@ def build_blowup(
     docs = load_table(spark, src_dir, "documents")
     n_docs = docs.count()
     copies_df = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
-    keep = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    # Tokens that survive salting: the BM25 query terms AND the demo
+    # phrase terms (r10 — q_text_phrase_search's alpha needs its
+    # matches to scale with the corpus, same reasoning as the r6 BM25
+    # fix above). Still <=5 shared tokens/doc across copies — two
+    # orders below any dedup tau in use.
+    keep = ", ".join(f"'{t}'" for t in (*_BM25_QUERY, *_PHRASE))
     blown_docs = (
         docs.crossJoin(F.broadcast(copies_df))
         .select(
