@@ -2064,3 +2064,77 @@ def q_emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("eigvec_val"),
         F.round("nrm", 6).alias("eigenvalue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (r10): the training-data op that turns a corpus
+# + labels into contrastive-learning negatives — for each probe, the
+# top-k most-similar vectors with a DIFFERENT label (similar enough to
+# confuse the model, labeled differently: the standard retrieval/
+# embedding-finetune mining step, e.g. DPR/Contriever pipelines).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_hard_negatives",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             v.vec_id AS negative_id, v.label AS negative_label,
+             list_cosine_similarity(p.e, v.e) AS cos_raw,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_cosine_similarity(p.e, v.e) DESC,
+                                         v.vec_id ASC) AS rank_pos
+      FROM p JOIN v ON v.vec_id <> p.vec_id AND v.label <> p.label)
+    SELECT probe_id, probe_label, negative_id, negative_label,
+           round(cos_raw, 4) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_K}
+    """,
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe top-k hard negatives: nearest-by-cosine vectors whose
+    label differs from the probe's. Same brute-exact shape as
+    q_sim_topk (broadcast probes, one corpus pass, per-probe window)
+    with the label-mismatch predicate riding the join — evaluated
+    BEFORE scoring, so disqualified (same-label) rows never pay the
+    dot product. At corpus scale the candidate generation swaps to the
+    IVF/LSH paths exactly as for q_sim_topk (the mining step only
+    changes the join predicate); rank_pos ties break on negative_id on
+    both engines."""
+    v = _vecs(spark, sf_dir)
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("negative_id").asc()
+    )
+    return (
+        F.broadcast(p)
+        .join(
+            v,
+            (F.col("vec_id") != F.col("probe_id"))
+            & (F.col("label") != F.col("probe_label")),
+        )
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _K)
+        .select(
+            "probe_id",
+            "probe_label",
+            "negative_id",
+            "negative_label",
+            F.round("cos_raw", 4).alias("cosine"),
+            "rank_pos",
+        )
+    )

@@ -2241,3 +2241,54 @@ def test_keywords_are_each_docs_top_tfidf_terms(spark):
         ks.sort()
         assert [k for _, k in ks] == want[d]
         assert [p for p, _ in ks] == [1, 2, 3]
+
+
+def test_hard_negatives_semantics_and_plan(spark):
+    """q_sim_hard_negatives: every returned negative has a label
+    different from its probe's; per probe the cosines are
+    non-increasing by rank; and each returned row's cosine is >= the
+    best cosine of any EXCLUDED different-label vector beyond rank k
+    (i.e. the top-k really is the top-k of the different-label set) —
+    cross-checked against q_sim_topk's unrestricted ranking. Plan: the
+    probe side broadcasts; no cartesian fallback."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    df = all_queries()["q_sim_hard_negatives"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    rows = df.collect()
+    assert rows
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["negative_label"] != r["probe_label"]
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r["rank_pos"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert [r["rank_pos"] for r in rs] == list(range(1, len(rs) + 1))
+
+    # exactness cross-check vs the unrestricted top-k: any unrestricted
+    # neighbor with a DIFFERENT label must appear in the hard-negative
+    # set at the same-or-better cosine (the restricted ranking can only
+    # promote different-label rows, never drop one the unrestricted
+    # ranking already surfaced).
+    topk = all_queries()["q_sim_topk"](spark, sf).collect()
+    hn = {(r["probe_id"], r["negative_id"]) for r in rows}
+    probe_label = {r["probe_id"]: r["probe_label"] for r in rows}
+    neg_label = {}
+    for r in rows:
+        neg_label[r["negative_id"]] = r["negative_label"]
+    for r in topk:
+        pid = r["probe_id"]
+        if pid not in probe_label:
+            continue
+        nid = r["neighbor_id"]
+        if nid in neg_label and neg_label[nid] != probe_label[pid]:
+            assert (pid, nid) in hn, (
+                f"unrestricted neighbor {nid} (different label) missing "
+                f"from hard negatives of probe {pid}"
+            )
