@@ -463,3 +463,206 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "AMERICA"
+_Q8_TYPE = "STANDARD"
+_Q8_LO, _Q8_HI = "1996-01-01", "1998-01-01"
+_Q14_LO, _Q14_HI = "1996-09-01", "1996-10-01"
+#: Q19's three disjunctive (brand, size-band, quantity-band) arms.
+_Q19_ARMS = [
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#3", 1, 15, 20.0, 30.0),
+]
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = '{_Q8_REGION}'
+        AND p.p_type = '{_Q8_TYPE}'
+        AND o.o_orderdate >= TIMESTAMP '{_Q8_LO} 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '{_Q8_HI} 00:00:00')
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                          THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    {_Q8_REGION}-customer revenue in one part type, per order year —
+    the widest composite in the suite: SEVEN joins around one fact.
+    Plan grammar: every dimension is filtered before touching
+    lineitem; region→nation(customer) collapses to a broadcast key
+    list; the supplier-nation name n2 broadcasts onto supplier; part's
+    type filter pushes into its scan and prunes the fact via the
+    l_partkey join (at 100 TB a runtime bloom/DPP filter — the
+    q_join_bloom_prune pattern — would seed the fact scan). The share
+    is a conditional dsum over the SAME rows as the total dsum (one
+    aggregate pass, no self-join), and the final divide of two exact
+    doubles is deterministic on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == _Q8_TYPE
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q8_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q8_HI).cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == _Q8_REGION)
+    # customer-side nation keys inside the region: a handful of rows
+    cust_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cust_nationkey")
+        )
+    )
+    supp_nation = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cust_nations, F.col("c_nationkey") == F.col("cust_nationkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(supp_nation, "s_nationkey")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = dsum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume")).otherwise(
+            0.0
+        ),
+        "num",
+    )
+    den = dsum("volume", "den")
+    return (
+        flat.groupBy("o_year")
+        .agg(num, den)
+        .select(
+            "o_year",
+            F.round(F.col("num") / F.col("den"), 6).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT round(
+      100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(38,6))) AS DOUBLE), 6)
+      AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO} 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '{_Q14_HI} 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    revenue — the conditional-aggregation-ratio composite. The month
+    predicate pushes into the lineitem scan; part joins as a broadcast
+    (id + type only); numerator and denominator come from ONE aggregate
+    pass (a CASE inside the first dsum), and the 100× ratio of two
+    exact doubles is deterministic cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem").where(  # noqa: E741
+        (F.col("l_shipdate") >= F.lit(_Q14_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q14_HI).cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            dsum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0), "num"
+            ),
+            dsum(vol, "den"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("num") / F.col("den"), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+def _q19_arm_sql(brand: str, s_lo: int, s_hi: int, q_lo: float, q_hi: float) -> str:
+    return (
+        f"(p.p_brand = '{brand}' AND p.p_size BETWEEN {s_lo} AND {s_hi} "
+        f"AND l.l_quantity BETWEEN {q_lo!r} AND {q_hi!r})"
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT {_D_REV} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(_q19_arm_sql(*a) for a in _Q19_ARMS)}
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue from lines matching any
+    of three (brand, size-band, quantity-band) arms — the disjunctive-
+    predicate composite. The OR-of-ANDs straddles both tables, so no
+    single-table residual can express it; what CAN push down does: each
+    side's scan gets the union envelope of its arms (p_brand IN the
+    three brands / p_size <= 15 on part; l_quantity BETWEEN 1 AND 30 on
+    lineitem) while the exact disjunction evaluates on the joined row.
+    The envelope predicates are added explicitly — they are implied by
+    the disjunction, cost nothing, and at 100 TB they are the
+    difference between scanning all of part/lineitem and scanning the
+    qualifying slivers (row-group pruning on p_size/l_quantity)."""
+    brands = sorted({a[0] for a in _Q19_ARMS})
+    max_size = max(a[2] for a in _Q19_ARMS)
+    min_q = min(a[3] for a in _Q19_ARMS)
+    max_q = max(a[4] for a in _Q19_ARMS)
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin(brands) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    l = load_table(spark, sf_dir, "lineitem").where(  # noqa: E741
+        F.col("l_quantity").between(min_q, max_q)
+    )
+    arm = lambda b, slo, shi, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(slo, shi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    disj = arm(*_Q19_ARMS[0]) | arm(*_Q19_ARMS[1]) | arm(*_Q19_ARMS[2])
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(disj)
+        .agg(_rev("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )

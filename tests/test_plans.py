@@ -729,3 +729,32 @@ def test_tpch_q4_q6_q22_plan_shapes(spark):
     assert "LeftAnti" in p22
     # scalar side broadcast, not collected: a broadcast exchange exists
     assert "BroadcastExchange" in p22 or "BroadcastQueryStage" in p22
+
+
+def test_tpch_q8_q14_q19_plan_shapes(spark):
+    """The r10 wide composites: Q8 (seven joins around one fact) must
+    run cartesian-free with its dimensions broadcast and one aggregate
+    pass (conditional + total dsum together — no self-join for the
+    ratio); Q14's month predicate must reach the lineitem scan; Q19's
+    pushdown ENVELOPE of the cross-table disjunction must reach BOTH
+    scans (p_brand/p_size on part, l_quantity on lineitem)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    p8 = full_plan(all_queries()["q_tpch_q8"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p8
+    assert "BroadcastHashJoin" in p8
+    # single aggregate pass: exactly one final HashAggregate pair over
+    # the flat join (no union/self-join of two aggregates)
+    assert "Union" not in p8
+
+    p14 = full_plan(all_queries()["q_tpch_q14"](spark, SF_SMOKE))
+    pushed14 = p14.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed14
+
+    p19 = full_plan(all_queries()["q_tpch_q19"](spark, SF_SMOKE))
+    compact = p19.replace(" ", "")
+    # part-side envelope: brand IN-set and size cap pushed
+    assert "p_brand" in compact and "p_size" in compact
+    # lineitem-side envelope: quantity band pushed into that scan
+    li_scan = [s for s in p19.split("PushedFilters") if "l_quantity" in s[:400]]
+    assert li_scan, "l_quantity envelope not pushed to the lineitem scan"
