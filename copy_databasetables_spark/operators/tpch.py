@@ -666,3 +666,215 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(disj)
         .agg(_rev("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+_Q12_LO, _Q12_HI = "1996-01-01", "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    WITH flat AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+               AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+          OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+        AND l.l_shipdate >= TIMESTAMP '{_Q7_LO} 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '{_Q7_HI} 00:00:00')
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM flat GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations per direction per year — the symmetric-disjunction
+    composite. The two-nation filter restricts BOTH ends before the
+    fact: supplier and customer each pre-join a broadcast 2-row nation
+    slice (cutting each side to ~2/25 of its rows), and the cross-pair
+    disjunction — which needs both ends at once — evaluates as a cheap
+    residual on the joined row. Same grammar as the other composites:
+    dims first, fact shuffles on its join keys, one aggregate pass."""
+    two = [_Q7_N1, _Q7_N2]
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(two))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        "s_nationkey",
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        "c_nationkey",
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(  # noqa: E741
+        (F.col("l_shipdate") >= F.lit(_Q7_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q7_HI).cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_rev("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle=f"""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                    ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                    ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= TIMESTAMP '{_Q12_LO} 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '{_Q12_HI} 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority), adapted: the testdata has no
+    l_shipmode, so l_returnflag classes stand in for the mode IN-list —
+    the composite's SHAPE (fact IN-list + date band pushed to the scan,
+    join to orders, two complementary conditional counts in one
+    aggregate pass) is the classic one. The priority split is a CASE
+    inside SUM, so high/low come from the same rows with no second
+    pass; counts are exact integers — nothing to drift."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(  # noqa: E741
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp_ntz"))
+    )
+    is_high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the order-count histogram
+    over ALL customers — including zero-order ones, which is why the
+    filter ('1-URGENT' excluded, standing in for the classic comment
+    NOT LIKE) must live in the LEFT JOIN's ON clause, not WHERE (a
+    WHERE would silently drop customers whose only orders are urgent
+    AND shift the zero bucket). COUNT(o_orderkey) counts non-null
+    matches only, so never-matched customers land in c_count = 0. Two
+    aggregate passes: per-customer (shuffles on c_custkey) then the
+    count-of-counts (a few hundred groups). Deterministic output order
+    (custdist desc, c_count desc) on both engines."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_D_REV} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_LO} 00:00:00'
+        AND l_shipdate < TIMESTAMP '{_Q15_HI} 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with the maximum
+    quarterly revenue — the aggregate-then-self-referencing-scalar
+    composite. The revenue CTE computes once; Spark reuses the cached
+    logical subtree for both the max (1-row broadcast) and the
+    equality filter, so the fact scans once per branch under one
+    shuffle key (at 100 TB, persist the quarter aggregate — it is
+    |suppliers| rows). The equality compares two dsum-exact doubles
+    derived from the SAME aggregation — identical on both engines, so
+    max-ties surface identically (ORDER BY s_suppkey makes any tie
+    set deterministic)."""
+    l = load_table(spark, sf_dir, "lineitem").where(  # noqa: E741
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp_ntz"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

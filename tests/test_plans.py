@@ -758,3 +758,29 @@ def test_tpch_q8_q14_q19_plan_shapes(spark):
     # lineitem-side envelope: quantity band pushed into that scan
     li_scan = [s for s in p19.split("PushedFilters") if "l_quantity" in s[:400]]
     assert li_scan, "l_quantity envelope not pushed to the lineitem scan"
+
+
+def test_tpch_q7_q13_q15_plan_shapes(spark):
+    """Q7: both fact ends pre-filtered through broadcast 2-row nation
+    slices, no cartesian; Q13: the priority filter must NOT collapse
+    the left join (outer-preserved — a zero-order customer bucket
+    exists); Q15: the max is a 1-row broadcast against the reused
+    revenue aggregate, not a collected literal."""
+    from copy_databasetables_spark.operators import all_queries
+
+    p7 = full_plan(all_queries()["q_tpch_q7"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p7
+    assert "BroadcastHashJoin" in p7
+
+    q13 = all_queries()["q_tpch_q13"](spark, SF_SMOKE)
+    assert "LeftOuter" in full_plan(q13)
+    # outer preservation: every customer lands in exactly one bucket,
+    # so Σ custdist == |customer| (a WHERE-placed filter would leak
+    # customers whose only orders are urgent and break this identity)
+    from copy_databasetables_spark.io import load_table
+
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r["custdist"] for r in q13.collect()) == n_cust
+
+    p15 = full_plan(all_queries()["q_tpch_q15"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in p15 or "BroadcastQueryStage" in p15
