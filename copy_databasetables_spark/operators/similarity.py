@@ -2138,3 +2138,168 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_pos",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval (r10): Maximal Marginal Relevance
+# (Carbonell & Goldstein 1998) — the standard diversification re-rank:
+# greedily pick the candidate maximizing λ·rel(p,c) − (1−λ)·max
+# similarity to the already-selected set. Deployed wherever raw top-k
+# returns near-duplicates (RAG context assembly, dedup-aware search).
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 10  # candidate pool: exact top-10 per probe
+_MMR_K = 3      # greedy selections, unrolled
+_MMR_LAMBDA = 0.5
+
+
+@register(
+    "q_sim_mmr",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    p AS (SELECT * FROM v WHERE {_PROBE_FILTER}),
+    cand AS (
+      SELECT p.vec_id AS probe_id, v.vec_id AS cid, v.e AS ce,
+             list_cosine_similarity(p.e, v.e) AS cos_pc,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_cosine_similarity(p.e, v.e) DESC,
+                                         v.vec_id ASC) AS rk
+      FROM p JOIN v ON v.vec_id <> p.vec_id),
+    pool AS (SELECT * FROM cand WHERE rk <= {_MMR_POOL}),
+    s1 AS (SELECT probe_id, cid, ce, cos_pc FROM pool WHERE rk = 1),
+    sc2 AS (
+      SELECT c.probe_id, c.cid, c.ce, c.cos_pc,
+             {_MMR_LAMBDA} * c.cos_pc
+               - {1 - _MMR_LAMBDA} * list_cosine_similarity(c.ce, s1.ce) AS sc
+      FROM pool c JOIN s1 ON c.probe_id = s1.probe_id
+      WHERE c.cid <> s1.cid),
+    s2 AS (SELECT probe_id, cid, ce, cos_pc FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY sc DESC, cid ASC) AS r FROM sc2)
+           WHERE r = 1),
+    sc3 AS (
+      SELECT c.probe_id, c.cid, c.cos_pc,
+             {_MMR_LAMBDA} * c.cos_pc
+               - {1 - _MMR_LAMBDA} * GREATEST(
+                   list_cosine_similarity(c.ce, s1.ce),
+                   list_cosine_similarity(c.ce, s2.ce)) AS sc
+      FROM pool c
+      JOIN s1 ON c.probe_id = s1.probe_id
+      JOIN s2 ON c.probe_id = s2.probe_id
+      WHERE c.cid <> s1.cid AND c.cid <> s2.cid),
+    s3 AS (SELECT probe_id, cid, cos_pc FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY sc DESC, cid ASC) AS r FROM sc3)
+           WHERE r = 1)
+    SELECT probe_id, cid AS selected_id, CAST(1 AS INT) AS mmr_rank,
+           round(cos_pc, 4) AS relevance FROM s1
+    UNION ALL
+    SELECT probe_id, cid, CAST(2 AS INT), round(cos_pc, 4) FROM s2
+    UNION ALL
+    SELECT probe_id, cid, CAST(3 AS INT), round(cos_pc, 4) FROM s3
+    """,
+)
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-{_MMR_K} per probe over an exact top-{_MMR_POOL} pool:
+    selection 1 is the plain best; selections 2..k maximize
+    λ·cos(p,c) − (1−λ)·max cos(c, selected). The greedy loop is
+    UNROLLED (k is a small constant — the production pattern for
+    context assembly), so the whole op is joins + windows, no
+    iteration state. Determinism: every argmax breaks ties on cid on
+    both engines; both engines compute the same sequential-fold dot
+    products (the q_sim_topk precedent) and the same λ-arithmetic, so
+    raw-score comparisons agree; output relevance rounds to 4dp.
+
+    Scale shape (100 TB): the pool build is the exact brute-force
+    top-k — at corpus scale swap it for the IVF/LSH candidate stage
+    (exactly as q_sim_topk → q_sim_ivf); everything AFTER the pool is
+    O(probes · pool²) — corpus-size-INDEPENDENT re-ranking (100 rows
+    per probe here), joined per probe-key with the 32-row probe side
+    broadcast throughout, no corpus-sized shuffle after the pool."""
+    lam = _MMR_LAMBDA
+    v = _vecs(spark, sf_dir)
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    wrk = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_pc").desc(), F.col("cid").asc()
+    )
+    pool = (
+        F.broadcast(p)
+        .join(v, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cid"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cn"),
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_pc"),
+        )
+        .withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") <= _MMR_POOL)
+        # the pool feeds three selection joins; localCheckpoint keeps
+        # the corpus-sized top-k build from re-executing per branch
+        # (probes·pool rows — 320 here, bounded by the probe cap).
+        .localCheckpoint()
+    )
+    s1 = pool.where(F.col("rk") == 1).select(
+        "probe_id",
+        F.col("cid").alias("s1_cid"),
+        F.col("ce").alias("s1_e"),
+        F.col("cn").alias("s1_n"),
+        F.col("cos_pc").alias("s1_cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sc").desc(), F.col("cid").asc()
+    )
+    sc2 = (
+        pool.join(F.broadcast(s1), "probe_id")
+        .where(F.col("cid") != F.col("s1_cid"))
+        .withColumn(
+            "sc",
+            F.lit(lam) * F.col("cos_pc")
+            - F.lit(1 - lam) * _cosine_pre("ce", "s1_e", "cn", "s1_n"),
+        )
+    )
+    s2 = (
+        sc2.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "probe_id",
+            F.col("cid").alias("s2_cid"),
+            F.col("ce").alias("s2_e"),
+            F.col("cn").alias("s2_n"),
+            F.col("cos_pc").alias("s2_cos"),
+        )
+    )
+    sc3 = (
+        pool.join(F.broadcast(s1), "probe_id")
+        .join(F.broadcast(s2), "probe_id")
+        .where((F.col("cid") != F.col("s1_cid")) & (F.col("cid") != F.col("s2_cid")))
+        .withColumn(
+            "sc",
+            F.lit(lam) * F.col("cos_pc")
+            - F.lit(1 - lam)
+            * F.greatest(
+                _cosine_pre("ce", "s1_e", "cn", "s1_n"),
+                _cosine_pre("ce", "s2_e", "cn", "s2_n"),
+            ),
+        )
+    )
+    s3 = (
+        sc3.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("probe_id", F.col("cid").alias("s3_cid"), F.col("cos_pc").alias("s3_cos"))
+    )
+    out = lambda df, cidc, cosc, rank: df.select(  # noqa: E731
+        "probe_id",
+        F.col(cidc).alias("selected_id"),
+        F.lit(rank).cast("int").alias("mmr_rank"),
+        F.round(cosc, 4).alias("relevance"),
+    )
+    return (
+        out(s1, "s1_cid", "s1_cos", 1)
+        .unionByName(out(s2, "s2_cid", "s2_cos", 2))
+        .unionByName(out(s3, "s3_cid", "s3_cos", 3))
+    )

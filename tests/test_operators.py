@@ -2292,3 +2292,79 @@ def test_hard_negatives_semantics_and_plan(spark):
                 f"unrestricted neighbor {nid} (different label) missing "
                 f"from hard negatives of probe {pid}"
             )
+
+
+def test_mmr_matches_numpy_greedy_and_diversifies(spark):
+    """q_sim_mmr re-derived in plain numpy: exact top-10 pool per
+    probe, then the greedy λ=0.5 MMR unroll with id tie-breaks — the
+    selected ids and ranks must match the operator exactly. Also pins
+    the diversification property on aggregate: the MMR set's mean
+    pairwise cosine is <= the plain top-3's (equality only if they
+    coincide everywhere)."""
+    import numpy as np
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    emb = {k: v for k, v in emb.items() if np.dot(v, v) > 0}
+    ids = sorted(emb)
+    probes = [i for i in ids if i % 50 == 0]
+
+    def cos(a, b):
+        return float(
+            np.dot(emb[a], emb[b])
+            / (np.sqrt(np.dot(emb[a], emb[a])) * np.sqrt(np.dot(emb[b], emb[b])))
+        )
+
+    expected = {}
+    plain_sets, mmr_sets = {}, {}
+    for p in probes:
+        scored = sorted(
+            ((cos(p, c), -c) for c in ids if c != p), reverse=True
+        )
+        pool = [-negid for _, negid in scored[:_MMR_POOL]]
+        rel = {c: cos(p, c) for c in pool}
+        sel = [pool[0]]
+        while len(sel) < _MMR_K:
+            best = max(
+                (
+                    (
+                        _MMR_LAMBDA * rel[c]
+                        - (1 - _MMR_LAMBDA) * max(cos(c, s) for s in sel),
+                        -c,
+                    )
+                    for c in pool
+                    if c not in sel
+                ),
+            )
+            sel.append(-best[1])
+        expected[p] = sel
+        plain_sets[p] = pool[:_MMR_K]
+        mmr_sets[p] = sel
+
+    rows = all_queries()["q_sim_mmr"](spark, sf).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["probe_id"], {})[r["mmr_rank"]] = r["selected_id"]
+    assert set(got) == set(expected)
+    for p, sel in expected.items():
+        assert [got[p][k] for k in (1, 2, 3)] == sel, f"probe {p}"
+
+    def mean_pairwise(s):
+        return np.mean(
+            [cos(a, b) for i, a in enumerate(s) for b in s[i + 1:]]
+        )
+
+    mmr_div = np.mean([mean_pairwise(mmr_sets[p]) for p in probes])
+    plain_div = np.mean([mean_pairwise(plain_sets[p]) for p in probes])
+    assert mmr_div <= plain_div + 1e-12
