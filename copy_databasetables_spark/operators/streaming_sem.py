@@ -242,3 +242,61 @@ def q_stream_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("value", "avg_value"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+    FROM events p
+    JOIN events c ON c.user_id = p.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts <= p.ts
+      AND c.ts > p.ts - INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-checked (r10 — the §2.9 join
+    family's hash-checked oracle twin): every purchase paired with the
+    same user's clicks in the preceding 10 minutes — the attribution
+    shape. The REAL streaming form already exists and is
+    readStream-tested (streaming/jobs.py:purchase_click_join_stream,
+    watermarks on both sides so click state evicts once the purchase
+    watermark passes the range); this registry twin pins the join
+    SEMANTICS against the DuckDB oracle, which the driver gate can
+    hash — the condition (equi user key + bounded event-time range) is
+    exactly what lets the streaming engine bound state. Batch
+    execution: one shuffle of each filtered side on user_id; the range
+    rides as a residual. Skewed hot users are the hazard at 100 TB —
+    AQE skew-split applies since the join is a plain sort-merge on the
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTE")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            us("p_ts", "purchase_ts_us"),
+            us("c_ts", "click_ts_us"),
+        )
+    )
