@@ -106,8 +106,10 @@ HEADLINE = [
     "q_ts_interpolate",
     "q_tpch_q18",
     # r10: the correlated-subquery composite (decorrelated two-pass
-    # plan), benched from day one
+    # plan) and the widest composite (Q8: seven joins around one fact),
+    # benched from day one
     "q_tpch_q17",
+    "q_tpch_q8",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -3,10 +3,15 @@
 The registry's §2 keys isolate one operator each; these compose
 them into the canonical multi-join analytics shapes every warehouse
 benchmark runs — the end-to-end evidence that joins + aggregation +
-top-k compose correctly AND plan well together. Adapted to the
-testdata's column subset (no o_shippriority / c_address, so Q3/Q10
-project the available analogs); the join/agg/ordering structure is the
-classic one.
+top-k + every subquery decorrelation compose correctly AND plan well
+together. SIXTEEN shapes as of r10 — Q3/Q4/Q5/Q6/Q7/Q8/Q10/Q12/Q13/
+Q14/Q15/Q17/Q18/Q19/Q22 plus the Q1-shape flagship (q_agg_group) —
+every classic query expressible over the testdata's columns (the
+remaining six need partsupp or l_commitdate/l_receiptdate/l_shipmode;
+Q12 adapts returnflag for the mode list, Q17 p_type for p_container).
+Adapted to the column subset (no o_shippriority / c_address, so
+Q3/Q10 project the available analogs); the join/agg/ordering
+structure is the classic one.
 
 Determinism discipline: revenue-style sums go through the scaled-int
 ``dsum`` (partition-order independent, equal to the oracle's
