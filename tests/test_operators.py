@@ -2368,3 +2368,45 @@ def test_mmr_matches_numpy_greedy_and_diversifies(spark):
     mmr_div = np.mean([mean_pairwise(mmr_sets[p]) for p in probes])
     plain_div = np.mean([mean_pairwise(plain_sets[p]) for p in probes])
     assert mmr_div <= plain_div + 1e-12
+
+
+def test_tpch_q19_envelopes_are_semantics_preserving(spark):
+    """q_tpch_q19 adds single-table pushdown ENVELOPES implied by its
+    cross-table disjunction (p_brand IN + p_size cap on part;
+    l_quantity band on lineitem). This test recomputes the query with
+    NO envelopes — the bare join + disjunction — and asserts identical
+    results, so a future edit to an arm that forgets to widen the
+    envelopes (which would silently DROP qualifying rows) fails here
+    rather than in production."""
+    from pyspark.sql import functions as F
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.tpch import _Q19_ARMS
+
+    sf = "/root/testdata/sf0.01"
+    got = all_queries()["q_tpch_q19"](spark, sf).collect()[0]
+
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    l = load_table(spark, sf, "lineitem")  # noqa: E741
+    arm = lambda b, slo, shi, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(slo, shi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    disj = arm(*_Q19_ARMS[0]) | arm(*_Q19_ARMS[1]) | arm(*_Q19_ARMS[2])
+    from copy_databasetables_spark.operators._helpers import dsum
+
+    bare = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .where(disj)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .collect()[0]
+    )
+    assert bare["n_lines"] == got["n_lines"]
+    assert abs(bare["revenue"] - got["revenue"]) < 1e-9
