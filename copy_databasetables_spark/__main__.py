@@ -95,6 +95,32 @@ def main(argv: list[str] | None = None) -> int:
         help="snapshot effective date (with --scd2)",
     )
     ap.add_argument(
+        "--cdc",
+        metavar="KEY",
+        default=None,
+        help="CDC mode: apply the ordered I/U/D change log at "
+        "--source/<table> (full row images + op + seq columns) onto the "
+        "base table at --target/<table> (staged, count-verified publish; "
+        "a missing target bootstraps from an empty base); exactly one "
+        "--tables entry",
+    )
+    ap.add_argument(
+        "--op-col",
+        dest="op_col",
+        default="op",
+        metavar="COL",
+        help="change-log operation column, 'I'|'U'|'D' (with --cdc; "
+        "default 'op')",
+    )
+    ap.add_argument(
+        "--seq-col",
+        dest="seq_col",
+        default="seq",
+        metavar="COL",
+        help="change-log per-key strictly-increasing sequence column "
+        "(with --cdc; default 'seq')",
+    )
+    ap.add_argument(
         "--delete",
         metavar="KEY",
         default=None,
@@ -146,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.tracked is not None
             or args.as_of is not None
             or args.keys is not None
+            or args.cdc is not None
         ):
             print(
                 "FAILED: --profile takes only --source and --tables",
@@ -218,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.tracked is not None
             or args.as_of is not None
             or args.keys is not None
+            or args.cdc is not None
         ):
             print(
                 "FAILED: --verify-only takes only --source/--target/--tables/"
@@ -280,6 +308,64 @@ def main(argv: list[str] | None = None) -> int:
             f"{len(mismatched)} mismatched in {time.time() - t0:.1f}s"
         )
         return 1 if mismatched else 0
+
+    # CDC mode: apply the change log at --source onto the base at --target
+    if args.cdc:
+        if not args.source or not args.tables or len(args.tables) != 1:
+            print(
+                "FAILED: --cdc requires --source and exactly one --tables "
+                "entry",
+                file=sys.stderr,
+            )
+            return 2
+        if (
+            args.checksum
+            or args.partitions is not None
+            or args.incremental is not None
+            or args.delete is not None
+            or args.scd2 is not None
+            or args.keys is not None
+        ):
+            print(
+                "FAILED: --checksum/--partitions/--incremental/--delete/"
+                "--scd2 are not supported with --cdc",
+                file=sys.stderr,
+            )
+            return 2
+        if args.source.startswith("jdbc:") or args.target.startswith("jdbc:"):
+            print(
+                "FAILED: --cdc operates on parquet table directories, not "
+                "jdbc: URLs",
+                file=sys.stderr,
+            )
+            return 2
+        from copy_databasetables_spark.copy.engine import cdc_apply_table
+
+        spark = get_spark("copy-cli")
+        t0 = time.time()
+        t = args.tables[0]
+        try:
+            res = cdc_apply_table(
+                spark,
+                os.path.join(args.source, t),
+                t,
+                os.path.join(args.target, t),
+                key=args.cdc,
+                op_col=args.op_col,
+                seq_col=args.seq_col,
+            )
+        except CopyVerificationError as err:
+            print(f"FAILED: {err}", file=sys.stderr)
+            return 1
+        except Exception as err:
+            first_line = str(err).split("\n")[0]
+            print(f"FAILED: {type(err).__name__}: {first_line}", file=sys.stderr)
+            return 3
+        print(
+            f"cdc {res.table}: base now {res.rows_copied} row(s) at "
+            f"{res.target_path} ({time.time() - t0:.1f}s, verified)"
+        )
+        return 0
 
     # SCD2 sync mode: one table, tracked columns, an effective date
     if args.scd2 or args.tracked or args.as_of:

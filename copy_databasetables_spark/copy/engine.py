@@ -585,6 +585,40 @@ def scd2_table(
     return CopyResult(table, target_path, n, True)
 
 
+def cdc_apply_table(
+    spark: SparkSession,
+    changes_path: str,
+    table: str,
+    target_path: str,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> CopyResult:
+    """Apply the CDC change log at ``changes_path`` onto the base table
+    at ``target_path`` (the CLI surface over ``apply_cdc``), through the
+    same staged two-phase publish as merge/scd2 — the plan reads the
+    old target while staging writes elsewhere, so an interrupted run
+    leaves the previous state intact. A missing target bootstraps from
+    an empty base (a pure-insert log materializes the initial state);
+    the published count is verified against the computed state's."""
+    changes = spark.read.parquet(changes_path)
+    missing = [c for c in (key, op_col, seq_col) if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"{table}: change log at {changes_path} lacks column(s) {missing}"
+        )
+    _recover_interrupted_publish(target_path)
+    base = _read_target_if_exists(spark, target_path)
+    if base is None:
+        base = spark.createDataFrame(
+            [], changes.drop(op_col, seq_col).schema
+        )
+    state = apply_cdc(base, changes, key, op_col=op_col, seq_col=seq_col)
+    n_expect = state.count()
+    n = _staged_publish(spark, state, target_path, n_expect, f"{table}: cdc")
+    return CopyResult(table, target_path, n, True)
+
+
 def profile_frame(df: DataFrame) -> DataFrame:
     """Generic per-column profile of ANY frame: row count and, per
     column, non-null count, approximate distinct count, min/max (cast

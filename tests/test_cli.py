@@ -262,3 +262,63 @@ def test_cli_verify_only_schema_drift_reports_mismatch(spark, capsys, tmp_path):
     assert "MISMATCH region: schema/content error:" in out
     assert "verified nation: 25 rows (rows+checksum)" in out
     assert "FAILED: verified 2 table(s), 1 mismatched" in out
+
+
+def test_cli_cdc_mode(spark, capsys, tmp_path):
+    """--cdc end to end: bootstrap a base from a pure-insert log, apply
+    a second log (update + delete + new key), verify the final state
+    and the staged-publish survivor; flag misuse exits 2."""
+    src1 = str(tmp_path / "log1")
+    src2 = str(tmp_path / "log2")
+    tgt = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 2), (3, "c", "I", 3)],
+        "k long, v string, op string, seq long",
+    ).write.parquet(f"{src1}/t")
+    rc = main(["--source", src1, "--target", tgt, "--tables", "t", "--cdc", "k"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cdc t: base now 3 row(s)" in out
+
+    spark.createDataFrame(
+        [(1, "a2", "U", 10), (2, "b", "D", 11), (9, "z", "I", 12)],
+        "k long, v string, op string, seq long",
+    ).write.parquet(f"{src2}/t")
+    rc = main(["--source", src2, "--target", tgt, "--tables", "t", "--cdc", "k"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cdc t: base now 3 row(s)" in out
+    state = {r["k"]: r["v"] for r in spark.read.parquet(f"{tgt}/t").collect()}
+    assert state == {1: "a2", 3: "c", 9: "z"}
+
+    # custom metadata column names route through
+    src3 = str(tmp_path / "log3")
+    spark.createDataFrame(
+        [(3, "c9", "U", 1)], "k long, v string, kind string, version long"
+    ).write.parquet(f"{src3}/t")
+    rc = main(
+        [
+            "--source", src3, "--target", tgt, "--tables", "t",
+            "--cdc", "k", "--op-col", "kind", "--seq-col", "version",
+        ]
+    )
+    assert rc == 0
+    state = {r["k"]: r["v"] for r in spark.read.parquet(f"{tgt}/t").collect()}
+    assert state[3] == "c9"
+
+    # misuse: multiple tables, missing source, unsupported combos
+    capsys.readouterr()
+    assert main(["--source", src1, "--target", tgt, "--cdc", "k",
+                 "--tables", "a", "b"]) == 2
+    assert main(["--target", tgt, "--cdc", "k", "--tables", "t"]) == 2
+    assert main(["--source", src1, "--target", tgt, "--cdc", "k",
+                 "--tables", "t", "--checksum"]) == 2
+    # a change log missing the op/seq columns is a hard error (3)
+    src4 = str(tmp_path / "log4")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        f"{src4}/t"
+    )
+    capsys.readouterr()
+    assert main(["--source", src4, "--target", tgt, "--tables", "t",
+                 "--cdc", "k"]) == 3
+    assert "lacks column" in capsys.readouterr().err
