@@ -82,12 +82,30 @@ def ds(c: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def rz(c: Column | str, scale: int) -> Column:
+    """round(x, scale) with the IEEE signed zero normalized away.
+
+    Spark's F.round on a double routes through Java BigDecimal, which
+    has NO signed zero — round(-1e-9, 6) comes back +0.0. DuckDB's
+    round() is IEEE and PRESERVES the sign: the same cell is -0.0, and
+    the driver's value hasher distinguishes the two (the exact
+    q_emb_covariance r10 hash miss). `+ 0.0` is the standard IEEE
+    normalization (-0.0 + 0.0 = +0.0; every other value unchanged), so
+    applying it on BOTH engines pins the cross-system representation:
+    use this for every rounded FINAL output whose value can be a tiny
+    negative (covariances, correlations, cosines, idf/bm25 scores,
+    z-scores), and mirror the oracle side with SQL_RZ / `+ 0.0`."""
+    return F.round(_col(c), scale) + F.lit(0.0)
+
+
 #: DuckDB-side fragments mirroring the helpers above (used in oracle SQL
 #: via ordinary string interpolation at registration time).
 SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 SQL_DAVG = "(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x}))"
 SQL_US = "epoch_us(CAST({x} AS TIMESTAMP))"
 SQL_DS = "strftime(CAST({x} AS TIMESTAMP), '%Y-%m-%d')"
+#: oracle twin of ``rz``: DuckDB round() keeps IEEE -0.0; + 0.0 drops it.
+SQL_RZ = "(round({x}, {n}) + 0.0)"
 
 
 # --- SQL-expression bloom filter -------------------------------------

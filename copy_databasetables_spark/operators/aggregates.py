@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import DEC, davg, dsum
+from copy_databasetables_spark.operators._helpers import DEC, davg, dsum, rz
 
 # --------------------------------------------------------------------------
 # q_agg_global — whole-table aggregates (single global group).
@@ -225,8 +225,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_returnflag,
       ROUND(STDDEV_SAMP(l_extendedprice), 1) AS sd_price,
       ROUND(VAR_SAMP(l_extendedprice), 0) AS var_price,
-      ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty,
-      ROUND(COVAR_SAMP(l_extendedprice, l_discount), 2) AS cov_price_disc,
+      (ROUND(CORR(l_extendedprice, l_quantity), 4) + 0.0) AS corr_price_qty,
+      (ROUND(COVAR_SAMP(l_extendedprice, l_discount), 2) + 0.0) AS cov_price_disc,
       ROUND(STDDEV_POP(l_discount), 6) AS sd_disc
     FROM lineitem
     GROUP BY l_returnflag
@@ -237,8 +237,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 1).alias("sd_price"),
         F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
-        F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("cov_price_disc"),
+        rz(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        rz(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("cov_price_disc"),
         F.round(F.stddev_pop("l_discount"), 6).alias("sd_disc"),
     )
 

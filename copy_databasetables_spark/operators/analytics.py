@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import dsum, us
+from copy_databasetables_spark.operators._helpers import dsum, rz, us
 
 
 @register(
@@ -299,9 +299,9 @@ _ANOM_Z = 3
                    ROWS BETWEEN {_ANOM_TRAIL} PRECEDING AND 1 PRECEDING))
     SELECT epoch_us(hr) AS hour_us, n_events,
            CASE WHEN n_hist >= 2 AND n_hist * ss > s * s THEN
-             round((n_events - CAST(s AS DOUBLE) / n_hist)
+             (round((n_events - CAST(s AS DOUBLE) / n_hist)
                    / sqrt((ss - CAST(s AS DOUBLE) * s / n_hist)
-                          / (n_hist - 1)), 4)
+                          / (n_hist - 1)), 4) + 0.0)
            END AS z,
            COALESCE(n_hist >= {_ANOM_MIN_HISTORY}
              AND n_hist * n_events - s > 0
@@ -361,7 +361,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = F.col("n_hist") * F.col("ss") - F.col("s") * F.col("s")
     z = F.when(
         (F.col("n_hist") >= 2) & (var_num > 0),
-        F.round(
+        rz(
             (F.col("n_events") - F.col("s").cast("double") / F.col("n_hist"))
             / F.sqrt(
                 (

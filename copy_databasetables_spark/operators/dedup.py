@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import rz
 
 # --- shared fragments ----------------------------------------------------
 
@@ -720,7 +721,7 @@ _EMBED_TAU = 0.40  # demonstration threshold: testdata vectors are random
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-           round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+           (round(list_cosine_similarity(a.e, b.e), 4) + 0.0) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.e, b.e) >= {_EMBED_TAU}
     """,
@@ -764,7 +765,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cos)
         .where(F.col("cos_raw") >= _EMBED_TAU)
         .select(
-            "vec_id_a", "vec_id_b", F.round(F.col("cos_raw"), 4).alias("cosine")
+            "vec_id_a", "vec_id_b", rz(F.col("cos_raw"), 4).alias("cosine")
         )
     )
 
@@ -843,7 +844,7 @@ def _rhp_oracle(cap: int | None) -> str:
       FROM {src} a JOIN {src} b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT vec_id_a, vec_id_b,
-           round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+           (round(list_cosine_similarity(va.e, vb.e), 4) + 0.0) AS cosine
     FROM cand
     JOIN v va ON va.vec_id = cand.vec_id_a
     JOIN v vb ON vb.vec_id = cand.vec_id_b
@@ -946,7 +947,7 @@ def _rhp_pairs(keyed: DataFrame, vecs: DataFrame) -> DataFrame:
         )
         .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos_raw") >= _EMBED_TAU)
-        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
+        .select("vec_id_a", "vec_id_b", rz("cos_raw", 4).alias("cosine"))
     )
 
 
@@ -1086,7 +1087,7 @@ _RHP_SC_CANDS = f"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e F
 _RHP_SC_ORACLE = f"""
     WITH {_RHP_SC_CANDS}
     SELECT vec_id_a, vec_id_b,
-           round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+           (round(list_cosine_similarity(va.e, vb.e), 4) + 0.0) AS cosine
     FROM cand
     JOIN v va ON va.vec_id = cand.vec_id_a
     JOIN v vb ON vb.vec_id = cand.vec_id_b

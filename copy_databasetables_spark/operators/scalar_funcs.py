@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import ds
+from copy_databasetables_spark.operators._helpers import ds, rz
 
 
 @register(
@@ -274,8 +274,8 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 4)
              AS l2_norm,
            len(list_filter(v, x -> x > 0)) AS n_positive,
-           round(list_aggregate(v, 'sum'), 4) AS comp_sum,
-           round(list_dot_product(v, list_reverse(v)), 4) AS rev_dot
+           (round(list_aggregate(v, 'sum'), 4) + 0.0) AS comp_sum,
+           (round(list_dot_product(v, list_reverse(v)), 4) + 0.0) AS rev_dot
     FROM t
     """,
 )
@@ -299,8 +299,8 @@ def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(l2, 4).alias("l2_norm"),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
-        F.round(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 4).alias("comp_sum"),
-        F.round(rev_dot, 4).alias("rev_dot"),
+        rz(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 4).alias("comp_sum"),
+        rz(rev_dot, 4).alias("rev_dot"),
     )
 
 

@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import _SCALE, _scaled
+from copy_databasetables_spark.operators._helpers import _SCALE, _scaled, rz
 
 _K = 5
 _IVF_K = 3
@@ -171,7 +171,7 @@ def _cosine_pre(a: str, b: str, na: str, nb: str) -> Column:
                                 ORDER BY list_cosine_similarity(p.e, v.e) DESC,
                                          v.vec_id ASC) AS rank_pos
       FROM p JOIN v ON v.vec_id <> p.vec_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_K}
     """,
 )
@@ -199,7 +199,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_pos", F.row_number().over(w))
         .where(F.col("rank_pos") <= _K)
         .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+            "probe_id", "neighbor_id", rz("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
 
@@ -209,7 +209,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS ({_V_SQL})
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-           round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+           (round(list_cosine_similarity(a.e, b.e), 4) + 0.0) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.e, b.e) >= {_SIM_TAU}
     """,
@@ -238,7 +238,7 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
         .withColumn("cos_raw", _cosine_pre("ea", "eb", "na", "nb"))
         .where(F.col("cos_raw") >= _SIM_TAU)
-        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
+        .select("vec_id_a", "vec_id_b", rz("cos_raw", 4).alias("cosine"))
     )
 
 
@@ -256,7 +256,7 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v CROSS JOIN c)
       WHERE rn = 1)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-           round(list_cosine_similarity(av.e, bv.e), 4) AS cosine
+           (round(list_cosine_similarity(av.e, bv.e), 4) + 0.0) AS cosine
     FROM assign a
     JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
     JOIN v av ON av.vec_id = a.vec_id
@@ -303,7 +303,7 @@ def q_sim_threshold_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.cid == b.cid_b) & (F.col("vec_id_a") < F.col("vec_id_b")))
         .withColumn("cos_raw", _cosine_pre("ea", "eb", "na", "nb"))
         .where(F.col("cos_raw") >= _SIM_TAU)
-        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cosine"))
+        .select("vec_id_a", "vec_id_b", rz("cos_raw", 4).alias("cosine"))
     )
 
 
@@ -378,7 +378,7 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY list_cosine_similarity(p.e, v.e) DESC,
                                          v.vec_id ASC) AS rank_pos
       FROM p JOIN v ON v.vec_id <> p.vec_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_K}
     """,
 )
@@ -433,7 +433,7 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_pos", F.row_number().over(w))
         .where(F.col("rank_pos") <= _K)
         .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+            "probe_id", "neighbor_id", rz("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
 
@@ -536,7 +536,7 @@ def _ivf_search(
             "probe_id",
             "neighbor_id",
             *carry,
-            F.round("cos_raw", 4).alias("cosine"),
+            rz("cos_raw", 4).alias("cosine"),
             "rank_pos",
         )
     )
@@ -570,7 +570,7 @@ def _ivf_oracle(c_cte: str) -> str:
       JOIN assign pa ON pa.vec_id = p.probe_id
       JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
       JOIN v nv      ON nv.vec_id = n.vec_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_IVF_K}
     """
 
@@ -730,7 +730,7 @@ _NPROBE = 2
       JOIN pcells pa ON pa.vec_id = p.probe_id
       JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
       JOIN v nv      ON nv.vec_id = n.vec_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_IVF_K}
     """,
 )
@@ -774,7 +774,7 @@ def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          / (p.pn * n.nrm) DESC,
                                          n.vec_id ASC) AS rank_pos
       FROM p JOIN n ON n.vec_id <> p.probe_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_K}
     """,
 )
@@ -825,7 +825,7 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_pos", F.row_number().over(w))
         .where(F.col("rank_pos") <= _K)
         .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+            "probe_id", "neighbor_id", rz("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
 
@@ -837,8 +837,8 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT label, unnest(range(0, len(e))) AS pos, unnest(e) AS x
            FROM v)
     SELECT label, CAST(pos AS INT) AS pos,
-           round(CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / (1e6 * COUNT(*)), 6) AS centroid_val,
+           (round(CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (1e6 * COUNT(*)), 6) + 0.0) AS centroid_val,
            COUNT(*) AS n_vectors
     FROM ex GROUP BY label, pos
     """,
@@ -860,7 +860,7 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(_SCALE)) * F.count(F.lit(1))
     )
     return ex.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
-        F.round(raw, 6).alias("centroid_val"),
+        rz(raw, 6).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
 
@@ -1074,7 +1074,7 @@ def _pq_index(v: DataFrame) -> DataFrame:
                                        'sum')) * n.nrm) DESC,
                                          n.vec_id ASC) AS rank_pos
       FROM p JOIN n ON n.vec_id <> p.probe_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_K}
     """,
 )
@@ -1127,7 +1127,7 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_pos", F.row_number().over(w))
         .where(F.col("rank_pos") <= _K)
         .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+            "probe_id", "neighbor_id", rz("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
 
@@ -1162,7 +1162,7 @@ _PQ_RERANK_R = 25
       FROM cand c
       JOIN p ON p.probe_id = c.probe_id
       JOIN v nv ON nv.vec_id = c.neighbor_id)
-    SELECT probe_id, neighbor_id, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM rescored WHERE rank_pos <= {_K}
     """,
 )
@@ -1219,7 +1219,7 @@ def q_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_pos", F.row_number().over(rw))
         .where(F.col("rank_pos") <= _K)
         .select(
-            "probe_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank_pos"
+            "probe_id", "neighbor_id", rz("cos_raw", 4).alias("cosine"), "rank_pos"
         )
     )
 
@@ -1352,7 +1352,7 @@ _HYBRID_PRED_SQL = "lang IN ('en', 'de') AND n_chars >= 100"
                                 ORDER BY list_cosine_similarity(p.e, c.e) DESC,
                                          c.vec_id ASC) AS rank_pos
       FROM p JOIN corpus c ON c.vec_id <> p.vec_id)
-    SELECT probe_id, neighbor_id, lang, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, lang, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_K}
     """,
 )
@@ -1409,7 +1409,7 @@ def q_sim_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "neighbor_id",
             "lang",
-            F.round("cos_raw", 4).alias("cosine"),
+            rz("cos_raw", 4).alias("cosine"),
             "rank_pos",
         )
     )
@@ -1594,7 +1594,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
       JOIN meta      ON meta.doc_id = n.vec_id
       JOIN v nv      ON nv.vec_id = n.vec_id)
-    SELECT probe_id, neighbor_id, lang, round(cos_raw, 4) AS cosine, rank_pos
+    SELECT probe_id, neighbor_id, lang, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_IVF_K}
     """,
 )
@@ -1841,10 +1841,10 @@ def _gram_partials(batches):
             ON a.vec_id = b.vec_id AND b.pos >= a.pos
           GROUP BY a.pos, b.pos)
     SELECT p.i, p.j, si.n AS n_vectors,
-           round((CAST(p.sxy AS DOUBLE) / {_COV_SCALE}) / si.n
+           (round((CAST(p.sxy AS DOUBLE) / {_COV_SCALE}) / si.n
                  - (CAST(si.sx AS DOUBLE) / {_COV_SCALE} / si.n)
                    * (CAST(sj.sx AS DOUBLE) / {_COV_SCALE} / sj.n),
-                 6) AS cov
+                 6) + 0.0) AS cov
     FROM p JOIN s si ON si.pos = p.i JOIN s sj ON sj.pos = p.j
     """,
 )
@@ -1888,7 +1888,7 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = (F.col("sxy").cast("double") / sc) / n - (
         F.col("sx_i").cast("double") / sc / n
     ) * (F.col("sx_j").cast("double") / sc / n)
-    return agg.select("i", "j", "n_vectors", F.round(cov, 6).alias("cov"))
+    return agg.select("i", "j", "n_vectors", rz(cov, 6).alias("cov"))
 
 
 # --------------------------------------------------------------------------
@@ -1926,10 +1926,10 @@ def _eigvec_oracle() -> str:
       GROUP BY a.pos, b.pos),
     cov AS MATERIALIZED (
       SELECT p.i, p.j,
-             round((CAST(p.sxy AS DOUBLE) / {_COV_SCALE}) / si.n
+             (round((CAST(p.sxy AS DOUBLE) / {_COV_SCALE}) / si.n
                    - (CAST(si.sx AS DOUBLE) / {_COV_SCALE} / si.n)
                      * (CAST(sj.sx AS DOUBLE) / {_COV_SCALE} / sj.n),
-                   6) AS c
+                   6) + 0.0) AS c
       FROM p JOIN s si ON si.pos = p.i JOIN s sj ON sj.pos = p.j),
     d AS MATERIALIZED (SELECT COUNT(*) AS d FROM s),
     v0 AS MATERIALIZED (
@@ -2004,7 +2004,7 @@ def q_emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_part").alias("n"),
     )
     sc = float(_COV_SCALE)
-    cval = F.round(
+    cval = rz(
         (F.col("sxy").cast("double") / sc) / F.col("n")
         - (F.col("sx_i").cast("double") / sc / F.col("n"))
         * (F.col("sx_j").cast("double") / sc / F.col("n")),
@@ -2089,7 +2089,7 @@ def q_emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          v.vec_id ASC) AS rank_pos
       FROM p JOIN v ON v.vec_id <> p.vec_id AND v.label <> p.label)
     SELECT probe_id, probe_label, negative_id, negative_label,
-           round(cos_raw, 4) AS cosine, rank_pos
+           (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_K}
     """,
 )
@@ -2134,7 +2134,7 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_label",
             "negative_id",
             "negative_label",
-            F.round("cos_raw", 4).alias("cosine"),
+            rz("cos_raw", 4).alias("cosine"),
             "rank_pos",
         )
     )
@@ -2192,11 +2192,11 @@ _MMR_LAMBDA = 0.5
                         ORDER BY sc DESC, cid ASC) AS r FROM sc3)
            WHERE r = 1)
     SELECT probe_id, cid AS selected_id, CAST(1 AS INT) AS mmr_rank,
-           round(cos_pc, 4) AS relevance FROM s1
+           (round(cos_pc, 4) + 0.0) AS relevance FROM s1
     UNION ALL
-    SELECT probe_id, cid, CAST(2 AS INT), round(cos_pc, 4) FROM s2
+    SELECT probe_id, cid, CAST(2 AS INT), (round(cos_pc, 4) + 0.0) FROM s2
     UNION ALL
-    SELECT probe_id, cid, CAST(3 AS INT), round(cos_pc, 4) FROM s3
+    SELECT probe_id, cid, CAST(3 AS INT), (round(cos_pc, 4) + 0.0) FROM s3
     """,
 )
 def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,7 +2296,7 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id",
         F.col(cidc).alias("selected_id"),
         F.lit(rank).cast("int").alias("mmr_rank"),
-        F.round(cosc, 4).alias("relevance"),
+        rz(cosc, 4).alias("relevance"),
     )
     return (
         out(s1, "s1_cid", "s1_cos", 1)

@@ -46,8 +46,10 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        if v == 0.0:
-            v = 0.0  # collapse -0.0
+        # Deliberately DO NOT collapse -0.0: the driver's hasher
+        # distinguishes IEEE signed zero (the q_emb_covariance r10 miss
+        # slipped through a weaker local gate that collapsed it). repr
+        # keeps the sign, so the local gate is now at least as strict.
         return repr(v)
     if isinstance(v, bool):
         return str(v)
