@@ -325,10 +325,12 @@ def main(argv: list[str] | None = None) -> int:
             or args.delete is not None
             or args.scd2 is not None
             or args.keys is not None
+            or args.tracked is not None
+            or args.as_of is not None
         ):
             print(
                 "FAILED: --checksum/--partitions/--incremental/--delete/"
-                "--scd2 are not supported with --cdc",
+                "--scd2/--tracked/--as-of are not supported with --cdc",
                 file=sys.stderr,
             )
             return 2

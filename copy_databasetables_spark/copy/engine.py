@@ -700,12 +700,12 @@ def apply_cdc(
     state picks the same per-key winners, so an at-least-once delivery
     upstream cannot corrupt the target.
 
-    ``op_col``/``seq_col`` are change-log METADATA names and must not
-    collide with a data column in ``base`` — staging would silently
-    overwrite (then drop) that column, so a collision raises. An
-    out-of-contract change row at seq = -1 still loses to the staged
-    base deterministically via the ``__src`` tiebreak (changes rank
-    above base at equal seq).
+    ``op_col``/``seq_col`` — and the internal staging names ``__src``/
+    ``__rn`` — are change-log METADATA names and must not collide with
+    a data column in either input: staging would silently overwrite
+    (then drop) that column, so a collision raises. An out-of-contract
+    change row at seq = -1 deterministically BEATS the staged base via
+    the ``__src`` tiebreak (changes rank above base at equal seq).
 
     Scale shape (100 TB): ONE shuffle on the key; the per-key winner is
     row_number()=1 over (seq DESC), which Spark executes with
@@ -714,12 +714,16 @@ def apply_cdc(
     partition), not the whole log. On a partitioned target, join the
     change log's distinct keys against the partition scheme first and
     rewrite only affected partitions (same discipline as merge_table)."""
-    collide = {op_col, seq_col} & set(base.columns)
+    reserved = {op_col, seq_col, "__src", "__rn"}
+    collide = reserved & set(base.columns)
+    # changes legitimately carries op_col/seq_col — only the staging
+    # names are reserved on that side.
+    collide |= {"__src", "__rn"} & set(changes.columns)
     if collide:
         raise ValueError(
-            f"apply_cdc: base already has column(s) {sorted(collide)}; "
-            "pass op_col/seq_col names that do not collide with base "
-            "data columns"
+            f"apply_cdc: input already has column(s) {sorted(collide)}; "
+            "op_col/seq_col and the internal staging names __src/__rn "
+            "must not collide with data columns"
         )
     staged_base = (
         base.withColumn(op_col, F.lit("I"))

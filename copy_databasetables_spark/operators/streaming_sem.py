@@ -255,25 +255,29 @@ def q_stream_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events p
     JOIN events c ON c.user_id = p.user_id
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-      AND c.ts <= p.ts
-      AND c.ts > p.ts - INTERVAL 10 MINUTE
+      AND c.ts < p.ts
+      AND c.ts >= p.ts - INTERVAL 1 HOUR
     """,
 )
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join, batch-checked (r10 — the §2.9 join
     family's hash-checked oracle twin): every purchase paired with the
-    same user's clicks in the preceding 10 minutes — the attribution
-    shape. The REAL streaming form already exists and is
-    readStream-tested (streaming/jobs.py:purchase_click_join_stream,
-    watermarks on both sides so click state evicts once the purchase
-    watermark passes the range); this registry twin pins the join
-    SEMANTICS against the DuckDB oracle, which the driver gate can
-    hash — the condition (equi user key + bounded event-time range) is
-    exactly what lets the streaming engine bound state. Batch
-    execution: one shuffle of each filtered side on user_id; the range
-    rides as a residual. Skewed hot users are the hazard at 100 TB —
-    AQE skew-split applies since the join is a plain sort-merge on the
-    key."""
+    same user's clicks in the preceding hour — the attribution shape.
+    The REAL streaming form already exists and is readStream-tested
+    (streaming/jobs.py:purchase_click_join_stream, watermarks on both
+    sides so click state evicts once the purchase watermark passes the
+    range); this registry twin pins the join SEMANTICS against the
+    DuckDB oracle, which the driver gate can hash — the PREDICATE IS
+    SHARED CODE (streaming/jobs.py:purchase_click_cond, same window
+    constant and boundary operators), so a window or inclusivity
+    regression in the streaming job fails this hash row. The condition
+    (equi user key + bounded event-time range) is exactly what lets
+    the streaming engine bound state. Batch execution: one shuffle of
+    each filtered side on user_id; the range rides as a residual.
+    Skewed hot users are the hazard at 100 TB — AQE skew-split applies
+    since the join is a plain sort-merge on the key."""
+    from copy_databasetables_spark.streaming.jobs import purchase_click_cond
+
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
@@ -288,9 +292,12 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(
             c,
-            (F.col("user_id") == F.col("c_user_id"))
-            & (F.col("c_ts") <= F.col("p_ts"))
-            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTE")),
+            purchase_click_cond(
+                F.col("user_id"),
+                F.col("p_ts"),
+                F.col("c_user_id"),
+                F.col("c_ts"),
+            ),
         )
         .select(
             "user_id",

@@ -4,14 +4,16 @@ The registry's §2 keys isolate one operator each; these compose
 them into the canonical multi-join analytics shapes every warehouse
 benchmark runs — the end-to-end evidence that joins + aggregation +
 top-k + every subquery decorrelation compose correctly AND plan well
-together. SIXTEEN shapes as of r10 — Q3/Q4/Q5/Q6/Q7/Q8/Q10/Q12/Q13/
-Q14/Q15/Q17/Q18/Q19/Q22 plus the Q1-shape flagship (q_agg_group) —
-every classic query expressible over the testdata's columns (the
-remaining six need partsupp or l_commitdate/l_receiptdate/l_shipmode;
-Q12 adapts returnflag for the mode list, Q17 p_type for p_container).
-Adapted to the column subset (no o_shippriority / c_address, so
-Q3/Q10 project the available analogs); the join/agg/ordering
-structure is the classic one.
+together. EIGHTEEN shapes as of r11 — Q2/Q3/Q4/Q5/Q6/Q7/Q8/Q10/Q12/
+Q13/Q14/Q15/Q17/Q18/Q19/Q21/Q22 plus the Q1-shape flagship
+(q_agg_group). Columns the testdata lacks are adapted, never skipped
+for shape reasons: Q12 adapts returnflag for the mode list, Q17
+p_type for p_container, Q4/Q21 define lateness as shipdate >
+orderdate + 90d (no commit/receipt dates), and Q2 derives the
+partsupp cost relation from lineitem unit prices. Adapted to the
+column subset (no o_shippriority / c_address, so Q3/Q10 project the
+available analogs); the join/agg/ordering structure is the classic
+one.
 
 Determinism discipline: revenue-style sums go through the scaled-int
 ``dsum`` (partition-order independent, equal to the oracle's
@@ -776,7 +778,13 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     join to orders, two complementary conditional counts in one
     aggregate pass) is the classic one. The priority split is a CASE
     inside SUM, so high/low come from the same rows with no second
-    pass; counts are exact integers — nothing to drift."""
+    pass; counts are exact integers — nothing to drift. The low arm is
+    the EXPLICIT negation when(NOT is_high, 1).otherwise(0), not
+    when(is_high, 0).otherwise(1): on a NULL o_orderpriority the
+    latter counts the row as low while the oracle's CASE WHEN ... NOT
+    IN yields NULL and counts 0 — a latent cross-engine divergence
+    (non-null on the current testdata, but the split should not depend
+    on that)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -791,7 +799,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("ship_class"))
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -882,4 +890,228 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    )
+
+
+_Q21_NATION = "NATION_9"
+_Q21_LATE_DAYS = 90  # same lateness stand-in as Q4 (no commit/receipt
+#                      dates in the testdata): shipped >90d after order
+_Q21_TOPN = 100
+
+
+@register(
+    "q_tpch_q21",
+    oracle=f"""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = '{_Q21_NATION}'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT {_Q21_TOPN}
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    testdata's columns (lateness = shipped more than {_Q21_LATE_DAYS}
+    days after the order date, the same stand-in Q4 pins; the classic
+    form compares l_receiptdate to l_commitdate). The hardest
+    decorrelation composite: a correlated EXISTS **and** a correlated
+    NOT EXISTS against the SAME fact table the outer query scans —
+    "the supplier was late on a multi-supplier finished order, and was
+    the ONLY late supplier on it."
+
+    Decorrelation: both subqueries key on l_orderkey with a
+    suppkey-inequality residual, so EXISTS becomes a LEFT SEMI join
+    and NOT EXISTS a LEFT ANTI join — the anti's lateness condition
+    references the outer order's date, which rides the equi key as a
+    cross-table residual (the same mechanics as Q4's semi). No nested
+    loop, no cartesian. Both probes derive from one projected lineitem
+    frame (l_orderkey, l_suppkey, l_shipdate); Catalyst then prunes
+    the semi probe's unused l_shipdate column away — the semi side
+    ships 2 columns, the anti side 3, which is strictly less wire
+    than a shared materialized frame would be.
+
+    Scale shape (100 TB): the nation→supplier slice broadcasts
+    (|suppliers in one nation|); orders filters on status before the
+    fact join; the three lineitem legs all key on l_orderkey, so at
+    scale they sort-merge under ONE partitioning scheme (AQE
+    broadcasts the probes only while they are genuinely small).
+    Per-supplier counts then aggregate to |suppliers| rows and the
+    top-{_Q21_TOPN} is a TakeOrderedAndProject."""
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == _Q21_NATION)
+        .select("n_nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_Q21_LATE_DAYS} DAY"
+    )
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    # both probes project the same frame so the l_orderkey exchange is
+    # built once and reused between the semi and the anti
+    probe = li.select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_suppkey").alias("p_suppkey"),
+        F.col("l_shipdate").alias("p_shipdate"),
+    )
+    other = (F.col("p_orderkey") == F.col("l_orderkey")) & (
+        F.col("p_suppkey") != F.col("l_suppkey")
+    )
+    other_late = other & (
+        F.col("p_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAY")
+    )
+    return (
+        l1.join(probe, other, "left_semi")
+        .join(probe, other_late, "left_anti")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(_Q21_TOPN)
+    )
+
+
+_Q2_SIZE = 15
+_Q2_REGION = "EUROPE"
+_Q2_TOPN = 100
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{_Q2_REGION}')
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, p.p_type, eu.ps_supplycost AS supplycost
+    FROM part p JOIN eu ON eu.ps_partkey = p.p_partkey
+    WHERE p.p_size = {_Q2_SIZE}
+      AND eu.ps_supplycost = (
+        SELECT MIN(i.ps_supplycost) FROM eu i
+        WHERE i.ps_partkey = p.p_partkey)
+    ORDER BY eu.s_acctbal DESC, eu.n_name ASC, eu.s_name ASC,
+             p.p_partkey ASC
+    LIMIT {_Q2_TOPN}
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the testdata has no
+    partsupp, so the part↔supplier cost relation derives from the fact
+    itself — supply cost := the minimum unit price (l_extendedprice /
+    l_quantity) a supplier ever charged for the part (GROUP BY
+    partkey, suppkey; both engines compute the identical IEEE division
+    and MIN, so the derived table is bit-identical). The composite's
+    defining feature survives intact: a scalar MIN subquery CORRELATED
+    THROUGH a multi-table dimension join (the min is over the same
+    region-restricted supplier set the outer row must belong to).
+
+    Decorrelation (the only shape that scales): build the
+    region-restricted cost table ONCE (dims filtered then broadcast
+    onto the |parts|·|suppliers-per-part| cost rows), aggregate the
+    per-part MIN on ps_partkey — reusing the partitioning the cost
+    table's own GROUP BY established — and equi-join the min back,
+    with the part-side p_size predicate pushed into the part scan.
+    Equality on the min is deterministic: both sides compare the SAME
+    derived double. Top-{_Q2_TOPN} rides TakeOrderedAndProject with
+    the classic tie-break (acctbal desc, nation, supplier, part)."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            )
+        )
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == _Q2_REGION)
+        .select("r_regionkey")
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(
+        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    mn = eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == _Q2_SIZE)
+        .select("p_partkey", "p_type")
+    )
+    return (
+        eu.join(
+            mn,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(_Q2_TOPN)
     )

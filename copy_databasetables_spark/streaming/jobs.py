@@ -159,6 +159,25 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+#: the attribution window of the purchase↔click interval join — ONE
+#: definition shared by the streaming job below and its hash-checked
+#: batch twin (operators/streaming_sem.py:q_stream_join), so a window
+#: or boundary regression in either shows up in the driver gate.
+PURCHASE_CLICK_WINDOW = "INTERVAL 1 HOUR"
+
+
+def purchase_click_cond(p_user, p_ts, k_user, k_ts):
+    """The shared join predicate: same user, click strictly BEFORE the
+    purchase and at most PURCHASE_CLICK_WINDOW old (lower bound
+    inclusive, upper bound exclusive). Any change here must keep the
+    oracle SQL in q_stream_join in lockstep."""
+    return (
+        (k_user == p_user)
+        & (k_ts >= p_ts - F.expr(PURCHASE_CLICK_WINDOW))
+        & (k_ts < p_ts)
+    )
+
+
 def purchase_click_join_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -188,11 +207,7 @@ def purchase_click_join_stream(
         )
         .withWatermark("k_ts", watermark)
     )
-    cond = (
-        (k["k_user"] == p["user_id"])
-        & (k["k_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR"))
-        & (k["k_ts"] < p["p_ts"])
-    )
+    cond = purchase_click_cond(p["user_id"], p["p_ts"], k["k_user"], k["k_ts"])
     return p.join(k, cond).select("purchase_id", "click_id", "user_id")
 
 

@@ -784,3 +784,39 @@ def test_tpch_q7_q13_q15_plan_shapes(spark):
 
     p15 = full_plan(all_queries()["q_tpch_q15"](spark, SF_SMOKE))
     assert "BroadcastExchange" in p15 or "BroadcastQueryStage" in p15
+
+
+def test_tpch_q21_q2_plan_shapes(spark):
+    """The r11 subquery composites. Q21 (EXISTS + NOT EXISTS against
+    the same fact): the correlated pair must decorrelate to a LEFT
+    SEMI and a LEFT ANTI join — no nested loop or cartesian — with the
+    suppkey-inequality (and the anti's lateness comparison) riding the
+    l_orderkey equi key as residuals, and the semi probe's read schema
+    PRUNED to two columns (Catalyst drops its unused l_shipdate — the
+    reason the probes don't share one exchange, and cheaper than if
+    they did). Q2 (correlated MIN through a 4-dim join): the scalar
+    subquery must run as a hash-aggregate + equi join (never a per-row
+    nested loop), with the p_size predicate pushed into the part scan
+    and the top-k as TakeOrderedAndProject."""
+    from copy_databasetables_spark.operators import all_queries
+
+    p21 = full_plan(all_queries()["q_tpch_q21"](spark, SF_SMOKE))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "CartesianProduct" not in p21
+    assert "BroadcastNestedLoopJoin" not in p21
+    assert "TakeOrderedAndProject" in p21
+    # the semi probe pruned to (l_orderkey, l_suppkey) — no shipdate
+    semi_scans = [
+        s[:1500]
+        for s in p21.split("ReadSchema: ")[1:]
+        if s.startswith("struct<l_orderkey:bigint,l_suppkey:bigint>")
+    ]
+    assert semi_scans, "semi probe scan was not pruned to 2 columns"
+
+    p2 = full_plan(all_queries()["q_tpch_q2"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "HashAggregate" in p2  # the decorrelated per-part MIN
+    assert "TakeOrderedAndProject" in p2
+    pushed = p2.split("PushedFilters", 1)[1][:2000] if "PushedFilters" in p2 else ""
+    assert "p_size" in pushed or "p_size" in p2.replace(" ", "")
