@@ -4,16 +4,17 @@ The registry's §2 keys isolate one operator each; these compose
 them into the canonical multi-join analytics shapes every warehouse
 benchmark runs — the end-to-end evidence that joins + aggregation +
 top-k + every subquery decorrelation compose correctly AND plan well
-together. EIGHTEEN shapes as of r11 — Q2/Q3/Q4/Q5/Q6/Q7/Q8/Q10/Q12/
-Q13/Q14/Q15/Q17/Q18/Q19/Q21/Q22 plus the Q1-shape flagship
-(q_agg_group). Columns the testdata lacks are adapted, never skipped
-for shape reasons: Q12 adapts returnflag for the mode list, Q17
-p_type for p_container, Q4/Q21 define lateness as shipdate >
-orderdate + 90d (no commit/receipt dates), and Q2 derives the
-partsupp cost relation from lineitem unit prices. Adapted to the
-column subset (no o_shippriority / c_address, so Q3/Q10 project the
-available analogs); the join/agg/ordering structure is the classic
-one.
+together. ALL TWENTY-TWO shapes as of r11 — Q2 through Q22 here plus
+the Q1-shape flagship (q_agg_group). Columns the testdata lacks are
+adapted, never skipped for shape reasons: Q12 adapts returnflag for
+the mode list, Q17 p_type for p_container, Q4/Q21 define lateness as
+shipdate > orderdate + 90d (no commit/receipt dates), Q2/Q9/Q16/Q20
+derive the partsupp relation from the fact (per-pair min unit price /
+distinct keys / all-time shipped quantity), Q16's complaint filter
+uses negative balances, and Q11's fraction threshold is mean-relative
+(scale-free). Adapted to the column subset (no o_shippriority /
+c_address, so Q3/Q10 project the available analogs); the
+join/agg/ordering structure is the classic one.
 
 Determinism discipline: revenue-style sums go through the scaled-int
 ``dsum`` (partition-order independent, equal to the oracle's
@@ -1114,4 +1115,338 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").asc(),
         )
         .limit(_Q2_TOPN)
+    )
+
+
+_Q9_NAME = "red"  # p_name LIKE '%red%' stands in for the classic
+#                   '%green%' (same mid-string wildcard, non-pushable)
+#: shared with Q2's derivation: the partsupp stand-in quantizes the
+#: unit price to 6 decimals (FLOOR(x·10⁶+0.5)/10⁶ on BOTH engines) so
+#: every downstream product/sum stays dsum-exact fixed-point.
+_PS_COST = "FLOOR(l_extendedprice / l_quantity * 1e6 + 0.5) / 1e6"
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN({_PS_COST}) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - ps.ps_supplycost * l.l_quantity
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN ps ON ps.ps_partkey = l.l_partkey
+           AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%{_Q9_NAME}%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation ASC, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted like Q2: supply cost
+    derives from the fact's own unit prices (min per part-supplier,
+    quantized to 6 decimals at derivation so profit stays fixed-point).
+    The expression-heaviest join tree in the suite — six joins around
+    one fact with an arithmetic measure mixing columns from THREE
+    tables (lineitem price/discount/quantity × derived cost), grouped
+    by supplier nation and order year.
+
+    Determinism: the {_PS_COST} quantization makes ps_supplycost an
+    exact 6-decimal value on both engines; quantities are integral and
+    discounts 2-decimal, so profit has ≤6 true decimals and the sum
+    goes through scaled-int dsum ≡ the oracle's DECIMAL accumulation.
+
+    Scale shape (100 TB): the ps derivation shuffles the fact once on
+    (l_partkey, l_suppkey) and the main join consumes it on the SAME
+    compound key (co-partitioned, no extra exchange); the p_name
+    mid-string LIKE can't push to the scan (documented non-pushable —
+    it evaluates post-scan but still prunes before the big joins);
+    supplier/nation broadcast; orders joins on l_orderkey. The group
+    key (nation, year) is tiny — partial aggregation collapses
+    map-side."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.expr(_PS_COST)).alias("ps_supplycost"))
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"%{_Q9_NAME}%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_Q11_NATION = "NATION_3"  # present at every SF (sf0.001 ships only 10 suppliers)
+_Q11_MULT = 1.5  # threshold = 1.5x the MEAN per-part value: the classic
+#                  FRACTION*SUM threshold is scale-dependent (0.0001/SF);
+#                  mean-relative keeps the cut meaningful at every SF
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH nat_val AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice * l.l_quantity
+                           AS DECIMAL(38,6))) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = '{_Q11_NATION}'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, value
+    FROM nat_val
+    WHERE value > (SELECT SUM(value) * {_Q11_MULT} / COUNT(*) FROM nat_val)
+    ORDER BY value DESC, l_partkey ASC
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: a part's
+    "stock value" through one nation's suppliers is the total traded
+    value (Σ extendedprice·quantity) of that nation's lineitems for
+    the part (the classic ps_supplycost·ps_availqty needs partsupp).
+    The shape is the defining one: GROUP BY + HAVING against a SCALAR
+    SUBQUERY over the SAME aggregate — parts whose value exceeds
+    {_Q11_MULT:g}x the mean per-part value of the nation (the classic
+    FRACTION-of-total cut made scale-free).
+
+    Decorrelation: the per-part aggregate computes ONCE; the global
+    total is a second aggregate over that result (|parts| rows, not a
+    fact re-scan) broadcast as one row; the HAVING is a plain filter
+    against it. Both aggregates are dsum-exact, and the threshold
+    multiply happens identically on both engines, so the > cut is
+    deterministic. Scale: fact shuffles once on l_partkey; everything
+    after is |parts|-bounded."""
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == _Q11_NATION)
+        .select("n_nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    nat_val = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "value"))
+    )
+    total = nat_val.agg(
+        (F.sum("value") * F.lit(_Q11_MULT) / F.count(F.lit(1))).alias(
+            "threshold"
+        )
+    )
+    return (
+        nat_val.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+_Q16_BRAND = "Brand#5"
+_Q16_TYPE_PREFIX = "PROMO"
+_Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+
+
+@register(
+    "q_tpch_q16",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT pairs.ps_suppkey) AS supplier_cnt
+    FROM pairs
+    JOIN part p ON p.p_partkey = pairs.ps_partkey
+    WHERE p.p_brand <> '{_Q16_BRAND}'
+      AND p.p_type NOT LIKE '{_Q16_TYPE_PREFIX}%'
+      AND p.p_size IN {_Q16_SIZES}
+      AND pairs.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the
+    part↔supplier pairs derive from distinct fact keys (no partsupp),
+    and "complaint" suppliers — the classic s_comment LIKE
+    '%Customer%Complaints%' — stand in as negative-balance suppliers.
+    The composite's two defining pieces survive: a NOT IN subquery
+    against a second dimension, and COUNT(DISTINCT) per group over a
+    negation-heavy part filter (<> brand, NOT LIKE type prefix,
+    size IN-list).
+
+    NOT IN decorrelates to a LEFT ANTI join — sound here because
+    s_suppkey is a key (never NULL; a nullable NOT IN would need the
+    three-valued guard). The distinct-pairs derivation shuffles the
+    fact once on the compound key; the part filters prune BEFORE the
+    join (brand/size push into the part scan; the NOT LIKE prefix
+    negation evaluates post-scan); the anti side is a handful of
+    supplier keys — broadcast. COUNT(DISTINCT ps_suppkey) re-keys the
+    surviving pairs on the group columns; with pairs already distinct
+    the expand is one extra |pairs|-bounded exchange."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != _Q16_BRAND)
+            & ~F.col("p_type").like(f"{_Q16_TYPE_PREFIX}%")
+            & F.col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        pairs.join(complaints, "ps_suppkey", "left_anti")
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+_Q20_NATION = "NATION_13"  # present at every SF
+_Q20_NAME_PREFIX = "blue"
+_Q20_LO, _Q20_HI = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q_tpch_q20",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = '{_Q20_NATION}'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part
+            WHERE p_name LIKE '{_Q20_NAME_PREFIX}%')
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING CAST(SUM(l.l_quantity) AS BIGINT) >
+               2 * CAST(SUM(CASE WHEN l.l_shipdate >=
+                                      TIMESTAMP '{_Q20_LO} 00:00:00'
+                                  AND l.l_shipdate <
+                                      TIMESTAMP '{_Q20_HI} 00:00:00'
+                            THEN l.l_quantity ELSE 0 END) AS BIGINT))
+    ORDER BY s.s_suppkey ASC
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: "available
+    quantity" (partsupp's ps_availqty) becomes the pair's all-time
+    shipped quantity, and the correlated half-of-1996-shipments test
+    becomes availqty > 2 × the 1996 window sum — pairs whose recent
+    year is under half their history. The composite's defining NESTED
+    IN CHAIN survives intact: suppliers IN (pairs over parts IN
+    (name-prefixed part keys) passing a per-pair quantity test).
+
+    Decorrelation: the inner part IN becomes a LEFT SEMI join of the
+    fact against the name-filtered part keys; the per-pair history/
+    window sums compute in ONE aggregate pass (conditional sum, no
+    second fact scan — the same trick as Q8's share); the outer IN is
+    a second LEFT SEMI from the nation's suppliers onto the surviving
+    pair suppliers. Quantities are integral, so the 2× comparison is
+    exact bigint on both engines — no float boundary. Scale: fact
+    shuffles once on (l_suppkey, l_partkey); both dimension sides
+    broadcast; the name prefix LIKE pushes as a StringStartsWith scan
+    filter."""
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"{_Q20_NAME_PREFIX}%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    in_win = (
+        F.col("l_shipdate") >= F.lit(_Q20_LO).cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp_ntz"))
+    qualified = (
+        l.join(pk, l.l_partkey == pk.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("hist_qty"),
+            F.sum(
+                F.when(in_win, F.col("l_quantity").cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("win_qty"),
+        )
+        .where(F.col("hist_qty") > 2 * F.col("win_qty"))
+        .select("l_suppkey")
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == _Q20_NATION)
+        .select("n_nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy(F.col("s_suppkey").asc())
     )

@@ -820,3 +820,35 @@ def test_tpch_q21_q2_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p2
     pushed = p2.split("PushedFilters", 1)[1][:2000] if "PushedFilters" in p2 else ""
     assert "p_size" in pushed or "p_size" in p2.replace(" ", "")
+
+
+def test_tpch_q9_q11_q16_q20_plan_shapes(spark):
+    """The r11 batch-2 composites. Q9: the derived-cost join must be
+    cartesian-free with supplier/nation broadcast and ONE aggregate
+    producing sum_profit. Q11: the scalar threshold must be a 1-row
+    broadcast over the reused per-part aggregate (never a collected
+    literal or a fact re-scan). Q16: the NOT IN decorrelates to a LEFT
+    ANTI join; the size IN-list pushes into the part scan. Q20: the
+    nested IN chain runs as two LEFT SEMI joins with the p_name prefix
+    pushed as StringStartsWith."""
+    from copy_databasetables_spark.operators import all_queries
+
+    p9 = full_plan(all_queries()["q_tpch_q9"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p9
+    assert "BroadcastNestedLoopJoin" not in p9
+    assert "BroadcastHashJoin" in p9
+
+    p11 = full_plan(all_queries()["q_tpch_q11"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in p11 or "BroadcastQueryStage" in p11
+    assert "CartesianProduct" not in p11  # the 1-row threshold is a
+    # broadcast nested-loop ONLY in the degenerate crossJoin sense —
+    # pin that no real cartesian of data-sized sides exists
+    p16 = full_plan(all_queries()["q_tpch_q16"](spark, SF_SMOKE))
+    assert "LeftAnti" in p16
+    compact16 = p16.replace(" ", "")
+    assert "In(p_size" in compact16 or "p_size" in compact16
+
+    p20 = full_plan(all_queries()["q_tpch_q20"](spark, SF_SMOKE))
+    assert p20.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p20
+    assert "StringStartsWith" in p20  # p_name prefix reached the scan
