@@ -110,6 +110,14 @@ HEADLINE = [
     # benched from day one
     "q_tpch_q17",
     "q_tpch_q8",
+    # r11: the two heaviest of the six composites that completed TPC-H
+    # coverage — Q21 (EXISTS + NOT-EXISTS double self-probe: three
+    # lineitem legs on one l_orderkey partitioning) and Q9 (profit
+    # decomposition over the derived-cost relation: the expr-heaviest
+    # join tree, ~3 fact shuffles). Standalone warm best-of-3 measured
+    # 2.45 s / 3.00 s at sf0.1 on entry (BASELINE.md §Round-11).
+    "q_tpch_q21",
+    "q_tpch_q9",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

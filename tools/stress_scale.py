@@ -169,6 +169,72 @@ def build_blowup(
             os.symlink(table_path(src_dir, t), dst)
 
 
+def build_facts_blowup(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    """FACT blowup for the TPC-H composites (r11): ``copies`` clones of
+    orders + lineitem with order keys remapped to disjoint spans
+    (o_orderkey' = copy·(max+1) + o_orderkey on BOTH tables, so the FK
+    join graph of each copy is an exact clone and order-grain joins
+    scale exactly ×copies). Dimensions (customer/supplier/part/nation/
+    region) are symlinked UNCHANGED — the realistic large-warehouse
+    shape: facts grow with time, dimensions don't, so per-dimension
+    group counts stay fixed while per-group row counts scale ×copies.
+    Q21's per-order self-probes see ×copies orders of the same
+    multi-supplier mix; Q9's derived cost relation keeps |parts|·
+    |suppliers-per-part| keys with ×copies rows behind each min."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    nfiles = min(64, max(4, copies // 4))
+    copies_df = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
+
+    o = load_table(spark, src_dir, "orders")
+    span = o.agg(F.max("o_orderkey")).first()[0] + 1
+    (
+        o.crossJoin(F.broadcast(copies_df))
+        .select(
+            (F.col("copy").cast("long") * span + F.col("o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .coalesce(nfiles)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/orders.parquet")
+    )
+    li = load_table(spark, src_dir, "lineitem")
+    (
+        li.crossJoin(F.broadcast(copies_df))
+        .select(
+            (F.col("copy").cast("long") * span + F.col("l_orderkey")).alias(
+                "l_orderkey"
+            ),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        .coalesce(nfiles)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/lineitem.parquet")
+    )
+    for t in TABLES:
+        if t in ("orders", "lineitem"):
+            continue
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(table_path(src_dir, t), dst)
+
+
 def ivf_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
     """Measure the IVF SEARCH leg against a PREBUILT index at fixed
     K=32 vs K=⌈√n⌉ (VERDICT r6 item 6). The assignment — the index
@@ -324,6 +390,13 @@ def main() -> None:
         "1000x third-decade run stays budget-bounded",
     )
     ap.add_argument(
+        "--facts",
+        action="store_true",
+        help="blow up the FACT tables (orders+lineitem, FK-consistent "
+        "disjoint order-key spans, dims symlinked constant) instead of "
+        "documents/embeddings/events — for the TPC-H composite alphas",
+    )
+    ap.add_argument(
         "--reuse",
         action="store_true",
         help="skip the blowup build if --out already holds a "
@@ -353,7 +426,12 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     )
     COPIES = args.copies
-    if not (args.reuse and os.path.exists(f"{args.out}/documents.parquet")):
+    if args.facts:
+        if not (
+            args.reuse and os.path.exists(f"{args.out}/lineitem.parquet")
+        ):
+            build_facts_blowup(spark, args.src, args.out, args.copies)
+    elif not (args.reuse and os.path.exists(f"{args.out}/documents.parquet")):
         build_blowup(
             spark, args.src, args.out, args.copies,
             docs_only=args.candidates_only,
@@ -410,13 +488,14 @@ def main() -> None:
         print(json.dumps(ab))
         return
 
-    n1 = load_table(spark, args.src, "documents").count()
-    n10 = load_table(spark, args.out, "documents").count()
+    size_table = "lineitem" if args.facts else "documents"
+    n1 = load_table(spark, args.src, size_table).count()
+    n10 = load_table(spark, args.out, size_table).count()
 
     out = {
         "src": args.src,
-        "docs_1x": n1,
-        f"docs_{args.copies}x": n10,
+        f"{size_table}_1x": n1,
+        f"{size_table}_{args.copies}x": n10,
         "copies": args.copies,
         "ops": {},
     }
