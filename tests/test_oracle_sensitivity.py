@@ -39,6 +39,7 @@ from copy_databasetables_spark.operators import (  # noqa: E402
     joins,
     similarity,
     text,
+    tpch,
 )
 from tests.conftest import SF_SMOKE
 
@@ -60,6 +61,24 @@ MUTATIONS = [
     (similarity, "_PI_ITERS", 5, "q_emb_top_eigvec"),
     (text, "_PHRASE", ["table", "sort"], "q_text_phrase_search"),
     (joins, "_TDIM_T1", "2024-01-12 00:00:00", "q_join_temporal_dim"),
+    # r11 TPC-H completion constants — each verified to KILL on sf0.001
+    # on entry. Probed non-kills, deliberately NOT pinned (the kill-list
+    # discipline above): _Q16_BRAND Brand#5->Brand#6 (no part of either
+    # brand lands in the smoke size-list's surviving set),
+    # _Q20_NAME_PREFIX blue->red (the single smoke-qualified supplier
+    # qualifies under both prefixes), _Q21_LATE_DAYS 90->60 (Q21's
+    # nation has NO supplier at sf0.001, so the result is empty either
+    # way — the 3-SF entry checks bind lateness at sf0.01/0.1 where the
+    # result is populated).
+    (tpch, "_Q2_SIZE", 16, "q_tpch_q2"),
+    (tpch, "_Q2_REGION", "ASIA", "q_tpch_q2"),
+    (tpch, "_Q9_NAME", "blue", "q_tpch_q9"),
+    (tpch, "_Q11_MULT", 2.0, "q_tpch_q11"),
+    (tpch, "_Q11_NATION", "NATION_8", "q_tpch_q11"),
+    (tpch, "_Q16_TYPE_PREFIX", "LARGE", "q_tpch_q16"),
+    (tpch, "_Q16_SIZES", (3, 9, 14, 19, 23, 36, 45), "q_tpch_q16"),
+    (tpch, "_Q20_NATION", "NATION_8", "q_tpch_q20"),
+    (tpch, "_Q21_NATION", "NATION_8", "q_tpch_q21"),
 ]
 
 
