@@ -307,3 +307,68 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             us("c_ts", "click_ts_us"),
         )
     )
+
+
+@register(
+    "q_stream_join_left",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, batch-checked (r11):
+    every purchase with its preceding-hour clicks, OR a NULL click row
+    when none exist — the attribution shape that also reports
+    UNATTRIBUTED conversions. The predicate is the SAME shared code as
+    q_stream_join (streaming/jobs.py:purchase_click_cond), and the
+    readStream twin is purchase_click_left_join_stream — the
+    state-eviction-hard case: an unmatched purchase may only emit once
+    the click-side watermark seals its whole lookback window, so NULL
+    rows trail matched rows by bounded staleness (watermark contract
+    pinned in tests/test_streaming.py). Batch execution: the outer
+    join shuffles both filtered sides on user_id with the range as a
+    residual — identical wire cost to the inner form; the NULL
+    preservation is free. The oracle's LEFT JOIN keeps the range
+    conditions in ON (a WHERE would collapse it to inner — the same
+    trap Q13 pins)."""
+    from copy_databasetables_spark.streaming.jobs import purchase_click_cond
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            purchase_click_cond(
+                F.col("user_id"),
+                F.col("p_ts"),
+                F.col("c_user_id"),
+                F.col("c_ts"),
+            ),
+            "left",
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            us("p_ts", "purchase_ts_us"),
+            us("c_ts", "click_ts_us"),
+        )
+    )

@@ -211,6 +211,46 @@ def purchase_click_join_stream(
     return p.join(k, cond).select("purchase_id", "click_id", "user_id")
 
 
+def purchase_click_left_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-eviction-hard
+    variant of purchase_click_join_stream (SAME shared predicate):
+    every purchase emits, clicked or not. The outer semantics are what
+    make this the canonical hard case: an unmatched purchase can only
+    emit once the CLICK-side watermark proves no matching click can
+    still arrive (k_ts ∈ [p_ts − 1h, p_ts) all sealed), so the NULL
+    rows trail the matched rows by up to window + watermark delay —
+    in continuous operation that is bounded staleness, and under
+    AvailableNow the final watermark (max ts − delay) seals everything
+    it has passed; purchases newer than the last watermark stay
+    withheld at termination (asserted in tests — this is the outer
+    join's documented contract, not data loss: a restart with more
+    data emits them)."""
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    k = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("k_user"),
+            F.col("ts").alias("k_ts"),
+        )
+        .withWatermark("k_ts", watermark)
+    )
+    cond = purchase_click_cond(p["user_id"], p["p_ts"], k["k_user"], k["k_ts"])
+    return p.join(k, cond, "left_outer").select(
+        "purchase_id", "click_id", "user_id"
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "complete"
 ) -> DataFrame:

@@ -485,3 +485,67 @@ def test_restart_restores_aggregation_state(spark, tmp_path):
     expect = {(r["win_start_us"], r["event_type"]): r["n_events"]
               for r in batch.collect()}
     assert final == expect
+
+
+def test_stream_stream_left_join_outer_semantics(spark):
+    """LEFT OUTER stream-stream interval join under incremental
+    execution (purchase_click_left_join_stream). The outer contract:
+
+    1. The MATCHED subset is exactly the batch inner join — outer
+       state handling must not duplicate or drop a matched pair.
+    2. Every streamed NULL row is a true batch NULL (no purchase with
+       clicks is ever reported unattributed — the correctness property
+       outer state eviction could violate by emitting early).
+    3. NULL emission is WATERMARK-SEALED and therefore a clean
+       event-time cut: the withheld-at-termination purchases (batch
+       NULLs the bounded run never emitted) are exactly a SUFFIX in
+       p_ts — everything withheld is newer than everything emitted.
+       AvailableNow ends the query with the final watermark short of
+       max event time, so a non-empty withheld suffix is the
+       documented contract, not data loss (a restart with more data
+       emits them)."""
+    from copy_databasetables_spark.streaming.jobs import (
+        purchase_click_left_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    out = run_to_memory(
+        purchase_click_left_join_stream(read_events_stream(spark, SF_SMOKE)),
+        "t_lsjoin",
+        mode="append",
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    k = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("k_user"),
+        F.col("ts").alias("k_ts"),
+    )
+    batch = p.join(
+        k,
+        (F.col("k_user") == F.col("user_id"))
+        & (F.col("k_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("k_ts") < F.col("p_ts")),
+        "left",
+    ).select("purchase_id", "click_id", "user_id")
+
+    # 1. matched subset identical
+    om = out.where("click_id IS NOT NULL")
+    bm = batch.where("click_id IS NOT NULL")
+    assert om.count() == bm.count() > 0
+    assert om.exceptAll(bm).count() == 0 and bm.exceptAll(om).count() == 0
+
+    # 2. streamed NULLs are true batch NULLs
+    on = out.where("click_id IS NULL").select("purchase_id")
+    bn = batch.where("click_id IS NULL").select("purchase_id")
+    assert on.count() > 0
+    assert on.exceptAll(bn).count() == 0
+
+    # 3. the withheld set is an event-time suffix
+    emitted = on.join(p, "purchase_id").agg(F.max("p_ts")).first()[0]
+    withheld = bn.exceptAll(on).join(p, "purchase_id")
+    if withheld.count():
+        assert withheld.agg(F.min("p_ts")).first()[0] > emitted
