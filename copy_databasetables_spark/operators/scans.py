@@ -1359,3 +1359,94 @@ def q_copy_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_projected(
         spark.read.option("mergeSchema", "true").parquet(target)
     )
+
+
+# --------------------------------------------------------------------------
+# src_binary_files — the binaryFile ingestion source (r11): how raw
+# media lands in the engine BEFORE it becomes a parquet binary column.
+# --------------------------------------------------------------------------
+
+_MEDIA_EVERY = 5  # every 5th doc: 100 files (documents is fixed 500 rows at every SF)
+
+
+def _media_stage_dir(sf_dir: str) -> str:
+    return f"{_IO_ROOT}/src_binary_files/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _stage_media_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write one blob file per sampled document (UTF-8 text payload —
+    all-ASCII testdata, so both engines can recompute the digest) into
+    a per-SF staging dir. The write is a DISTRIBUTED side effect
+    (mapInPandas writing doc_<id>.bin via tmp+rename, then a count to
+    force it) — the same shape a real media-landing job has. Idempotent:
+    rename is atomic and content is deterministic per doc."""
+    stage = _media_stage_dir(sf_dir)
+    os.makedirs(stage, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _MEDIA_EVERY == 0)
+        .select("doc_id", "text")
+    )
+
+    def _write(batches):
+        import os as _os
+
+        import pandas as _pd
+
+        n = 0
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                final = f"{stage}/doc_{doc_id}.bin"
+                tmp = f"{final}.tmp.{_os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(text.encode("utf-8"))
+                _os.replace(tmp, final)
+                n += 1
+        yield _pd.DataFrame({"n": [n]})
+
+    docs.mapInPandas(_write, schema="n long").agg(F.sum("n")).collect()
+    return stage
+
+
+@register(
+    "src_binary_files",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % {_MEDIA_EVERY} = 0
+    """,
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion via Spark's ``binaryFile`` source — the
+    step every multimodal pipeline starts with: a directory of blob
+    files becomes (path, length, content) rows, here projected to
+    (doc_id parsed from the filename, byte length, content digest).
+    The staging files are written by this op itself (distributed
+    side-effect write, see _stage_media_files); the DuckDB oracle
+    recomputes (id, byte length, digest) from the documents VIEW — the
+    sink-op discipline (snk_partitioned_write et al.): the roundtrip
+    write → binaryFile scan must hash-equal the source-derived truth,
+    so a corrupted, truncated, dropped, or doubled file fails the gate.
+
+    Scale notes (100 TB): binaryFile is a real FileFormat — the
+    listing parallelizes, each file is one row (spark.sql.files.
+    maxPartitionBytes packs small files per task), and column pruning
+    applies (dropping ``content`` reads only file STATUS — length/path
+    audits never touch the bytes). The pattern at scale: land blobs →
+    binaryFile scan → write (id, payload, metadata) parquet ONCE, then
+    run every downstream decode (q_multimodal_*) off the parquet —
+    small-files pain is paid exactly once at the landing edge."""
+    stage = _stage_media_files(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

@@ -852,3 +852,25 @@ def test_tpch_q9_q11_q16_q20_plan_shapes(spark):
     assert p20.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p20
     assert "StringStartsWith" in p20  # p_name prefix reached the scan
+
+
+def test_binary_file_source_prunes_content(spark):
+    """The binaryFile landing scan must prune the ``content`` column
+    when only metadata is projected — a path/length audit over a blob
+    lake must read file STATUS, not the bytes (at 100 TB of media
+    that's the difference between a listing job and a full read)."""
+    from copy_databasetables_spark.operators.scans import (
+        _stage_media_files,
+    )
+
+    stage = _stage_media_files(spark, SF_SMOKE)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+        .select("path", "length")
+    )
+    p = full_plan(df)
+    sch = p.split("ReadSchema", 1)[1][:300]
+    assert "path" in sch and "length" in sch
+    assert "content" not in sch
