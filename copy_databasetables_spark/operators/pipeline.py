@@ -19,6 +19,7 @@ from copy_databasetables_spark.operators import register
 from copy_databasetables_spark.operators._helpers import (
     bloom_build,
     bloom_might_contain_sql,
+    rz,
 )
 
 #: portable hash of a string expr (see dedup.py) folded to [0, 100).
@@ -1090,4 +1091,87 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exposed_docs"),
         F.min("l").cast("bigint").alias("min_l"),
         F.sum("grp_n").cast("bigint").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_sample_weighted — deterministic weighted sampling without
+# replacement (Efraimidis–Spirakis), r11.
+# --------------------------------------------------------------------------
+
+_WSAMPLE_K = 5  # documents is 500 rows / ~20 sources: k=5 keeps a real ~20% sample
+#: 2^60 — the md5-derived key below is 15 hex chars = 60 bits.
+_WSAMPLE_DEN = float(1 << 60)
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) + 1)
+                / {_WSAMPLE_DEN}) / n_chars AS es_key_raw
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY es_key_raw DESC, doc_id ASC)
+                  AS sample_rank
+      FROM keyed)
+    SELECT source, doc_id, n_chars,
+           (round(es_key_raw, 6) + 0.0) AS es_key,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_WSAMPLE_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-{_WSAMPLE_K} per
+    source — the quality-weighted data-selection step (sample longer /
+    higher-scoring documents proportionally more, per corpus slice).
+    Algorithm: Efraimidis–Spirakis reservoir keys — rank by
+    ln(u)/w descending, u ∈ (0,1] uniform per item, w the weight
+    (n_chars here) — which yields exactly the weighted-without-
+    replacement distribution; implemented DETERMINISTICALLY: u derives
+    from the portable md5 60-bit idiom (dedup.py), so the same doc
+    always draws the same u and two engines (or two runs over a
+    repartitioned corpus) select the SAME sample — ``df.sample``'s
+    per-partition RNG can do neither. ln and the /w division are
+    single identical IEEE ops on identical doubles; ranks tie-break on
+    doc_id; the rounded key output goes through rz() (ln(u) ≤ 0, so a
+    u near 1 rounds to zero FROM BELOW — the exact signed-zero
+    boundary the r11 convention pins).
+
+    Scale shape (100 TB): keys compute scan-side (no shuffle), the
+    per-source top-k is one window shuffle on source — or, at extreme
+    group cardinality, TakeOrdered per group via partial top-k
+    (WindowGroupLimit pushes the k=20 heap map-side automatically on
+    Spark 3.5+/4.x, so the exchange carries ≤k·partitions rows per
+    source, not the corpus)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("source", "doc_id", "n_chars")
+    )
+    h = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        + 1
+    )
+    key = F.log(h / F.lit(_WSAMPLE_DEN)) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key_raw").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("es_key_raw", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= _WSAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            rz("es_key_raw", 6).alias("es_key"),
+            "sample_rank",
+        )
     )

@@ -2410,3 +2410,34 @@ def test_tpch_q19_envelopes_are_semantics_preserving(spark):
     )
     assert bare["n_lines"] == got["n_lines"]
     assert abs(bare["revenue"] - got["revenue"]) < 1e-9
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """q_sample_weighted must actually implement WEIGHTED selection:
+    with w = n_chars, the Efraimidis–Spirakis top-k per source selects
+    long documents with probability proportional to length, so the
+    sampled mean n_chars must exceed the corpus mean (by a wide margin
+    at 500 docs / 20-per-source). Also pins the without-replacement
+    contract (no duplicate doc_id) and the per-source k cap."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.pipeline import _WSAMPLE_K
+
+    import pyspark.sql.functions as F
+
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["q_sample_weighted"](spark, SF_SMOKE)
+    corpus_mean = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where("n_chars > 0")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = out.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean * 1.05, (sample_mean, corpus_mean)
+    assert out.count() == out.select("doc_id").distinct().count()
+    assert (
+        out.groupBy("source").count().agg(F.max("count")).first()[0]
+        <= _WSAMPLE_K
+    )

@@ -37,6 +37,7 @@ from copy_databasetables_spark.operators import (  # noqa: E402
     aggregates,
     dedup,
     joins,
+    pipeline,
     similarity,
     text,
     tpch,
@@ -79,6 +80,7 @@ MUTATIONS = [
     (tpch, "_Q16_SIZES", (3, 9, 14, 19, 23, 36, 45), "q_tpch_q16"),
     (tpch, "_Q20_NATION", "NATION_8", "q_tpch_q20"),
     (tpch, "_Q21_NATION", "NATION_8", "q_tpch_q21"),
+    (pipeline, "_WSAMPLE_K", 19, "q_sample_weighted"),
 ]
 
 
