@@ -36,6 +36,21 @@ REQUIRED_RUNTIME_CONFS = {
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
+    # AQE coalesces small shuffle partitions DOWN but can never split
+    # an oversized one UP — so the initial partition count is the real
+    # ceiling on reduce-side parallelism and per-task state. A high
+    # initial number costs almost nothing at small scale (AQE coalesces
+    # to the advisory size before the reduce stage runs) and prevents
+    # the spill knee when data outgrows the configured
+    # shuffle.partitions: measured on the 1000× fact blowup (600M-row
+    # lineitem, tools/stress_scale.py --facts), q_tpch_q21 went
+    # 748 s → 193 s (3.9×) moving the effective partition count
+    # 32 → 512 with the 1× time unchanged (SCALE.md §r11 third
+    # decade). 512 ≈ 16× the 32-thread local parallelism; on a
+    # 1000-executor cluster scale it with total cores.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
+        "SPARK_GRAFT_INITIAL_PARTITIONS", "512"
+    ),
 }
 
 
