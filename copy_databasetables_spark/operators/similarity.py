@@ -2303,3 +2303,115 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out(s2, "s2_cid", "s2_cos", 2))
         .unionByName(out(s3, "s3_cid", "s3_cos", 3))
     )
+
+
+# --------------------------------------------------------------------------
+# q_emb_whitening — mean-centering + renormalization (r11): the
+# standard anisotropy mitigation ("all-but-the-mean") applied
+# corpus-wide, verified per vector.
+# --------------------------------------------------------------------------
+
+_WHITEN_SCALE = 1_000_000  # the engine's 6-decimal mean quantization
+_WHITEN_SQ = 1_000_000_000_000  # 1e12 per-term quantization for norms
+
+
+@register(
+    "q_emb_whitening",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ex AS (SELECT vec_id,
+                  CAST(UNNEST(range(0, len(e))) AS INT) AS pos,
+                  UNNEST(e) AS x
+           FROM v),
+    m AS (SELECT pos,
+                 CAST(SUM(CAST(FLOOR(x * {_WHITEN_SCALE} + 0.5) AS BIGINT))
+                      AS DOUBLE) / ({_WHITEN_SCALE} * COUNT(*)) AS mu
+          FROM ex GROUP BY pos),
+    c AS (SELECT ex.vec_id, ex.pos, ex.x, ex.x - m.mu AS cx
+          FROM ex JOIN m ON m.pos = ex.pos),
+    agg AS (SELECT vec_id,
+                   sqrt(CAST(SUM(CAST(FLOOR(x * x * {_WHITEN_SQ} + 0.5)
+                                      AS BIGINT)) AS DOUBLE)
+                        / {_WHITEN_SQ}) AS nb,
+                   sqrt(CAST(SUM(CAST(FLOOR(cx * cx * {_WHITEN_SQ} + 0.5)
+                                      AS BIGINT)) AS DOUBLE)
+                        / {_WHITEN_SQ}) AS na,
+                   CAST(SUM(CAST(FLOOR(cx * 1e9 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e9 AS scx,
+                   MAX(CASE WHEN pos = 0 THEN cx END) AS cx0
+            FROM c GROUP BY vec_id)
+    SELECT vec_id,
+           round(nb, 6) AS norm_before,
+           round(na, 6) AS norm_after,
+           (round(scx, 6) + 0.0) AS comp_sum_centered,
+           (round(cx0 / na, 4) + 0.0) AS w0
+    FROM agg WHERE na > 0
+    """,
+)
+def q_emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mean-centering + renormalization — the production
+    anisotropy mitigation (the mean direction dominates cosine
+    similarity in degraded embedding spaces; subtracting it —
+    "all-but-the-mean", the first step of all-but-the-top — restores
+    contrast). Output pins the transform per vector: the norm before
+    and after centering, the centered component sum (≈0 corpus-wide —
+    the monitoring number), and the first whitened component.
+
+    Scale shape (100 TB): the mean is the q_emb_centroid construction
+    made global — posexplode → d-row scaled-int aggregate — then
+    BROADCAST back onto the exploded fact; the per-vector re-aggregate
+    keys on vec_id, so the corpus crosses the wire twice (explode is
+    scan-side). Determinism: the mean is an exact integer ratio
+    (identical double both engines); centered values are then single
+    identical IEEE subtractions; every cross-row sum quantizes
+    per-term to int64 (norms at 10⁻¹², component sums at 10⁻⁹) so
+    partition order cannot move a bit; rounded outputs that can be
+    tiny negatives (comp_sum_centered, w0) go through rz()."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(x as double))")
+            ).alias("pos", "x"),
+        )
+    )
+    m = ex.groupBy("pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("x") * _WHITEN_SCALE + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / (F.lit(float(_WHITEN_SCALE)) * F.count(F.lit(1)))
+        ).alias("mu")
+    )
+    cx = F.col("x") - F.col("mu")
+    qsq = lambda col: (  # noqa: E731
+        F.sum(
+            F.floor(col * col * _WHITEN_SQ + F.lit(0.5)).cast("bigint")
+        ).cast("double")
+        / _WHITEN_SQ
+    )
+    agg = (
+        ex.join(F.broadcast(m), "pos")
+        .withColumn("cx", cx)
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(qsq(F.col("x"))).alias("nb"),
+            F.sqrt(qsq(F.col("cx"))).alias("na"),
+            (
+                F.sum(
+                    F.floor(F.col("cx") * 1e9 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / 1e9
+            ).alias("scx"),
+            F.max(F.when(F.col("pos") == 0, F.col("cx"))).alias("cx0"),
+        )
+    )
+    return agg.where(F.col("na") > 0).select(
+        "vec_id",
+        F.round("nb", 6).alias("norm_before"),
+        F.round("na", 6).alias("norm_after"),
+        rz("scx", 6).alias("comp_sum_centered"),
+        rz(F.col("cx0") / F.col("na"), 4).alias("w0"),
+    )

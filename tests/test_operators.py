@@ -2441,3 +2441,31 @@ def test_weighted_sample_biases_toward_weight(spark):
         out.groupBy("source").count().agg(F.max("count")).first()[0]
         <= _WSAMPLE_K
     )
+
+
+def test_whitening_centers_the_corpus(spark):
+    """q_emb_whitening must actually CENTER: summing the per-vector
+    centered component sums over the corpus telescopes to
+    Σ_pos (Σ_vec x - n·mu) ≈ 0, with only the mean's 10⁻⁶ quantization
+    as slack — so the corpus total is bounded by n_vectors · d · 1e-6.
+    Also pins |w0| ≤ 1 (a component of a unit vector) and
+    norm_after ≤ norm_before + slack only when the mean is ~0 is NOT
+    asserted (centering can grow a norm for vectors anti-aligned with
+    the mean) — the invariant that IS true: norms are positive."""
+    from copy_databasetables_spark.operators import all_queries
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["q_emb_whitening"](spark, SF_SMOKE)
+    row = out.agg(
+        F.sum("comp_sum_centered").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs("w0")).alias("w0max"),
+        F.min("norm_after").alias("na_min"),
+    ).first()
+    d = 64
+    assert abs(row["total"]) <= row["n"] * d * 1e-6 + 1e-3, row["total"]
+    assert row["w0max"] <= 1.0
+    assert row["na_min"] > 0
