@@ -65,15 +65,15 @@ _loaded = False
 #: via the rz() convention), then the 14 keys registered in r10 that the
 #: driver never sampled (judge-run 14/14 green in VERDICT r10; this
 #: commits the hard attestation), then rotation hygiene: ALL 23 keys
-#: whose latest attestation is r6 (the stalest cohort) and the first 3
-#: (sorted) of the r7 cohort. That is 41 explicit slots; the 9 keys
+#: whose latest attestation is r6 (the stalest cohort) and the first 2
+#: (sorted) of the r7 cohort. That is 40 explicit slots; the 10 keys
 #: registered new in r11 (src_binary_files, the 6 TPC-H composites
-#: Q2/Q9/Q11/Q16/Q20/Q21, q_stream_join_left, q_sample_weighted)
-#: auto-sort into the remaining 9 of the driver's 50 via
-#: ``_window_order``'s never-checked middle bucket — 50/50 exactly.
-#: After r11 lands green, every registry key has a driver attestation,
-#: none predates r7, and the r12 rotation should front the remaining
-#: 47 r7-era keys.
+#: Q2/Q9/Q11/Q16/Q20/Q21, q_stream_join_left, q_emb_whitening,
+#: q_sample_weighted) auto-sort into the remaining 10 of the driver's
+#: 50 via ``_window_order``'s never-checked middle bucket — 50/50
+#: exactly. After r11 lands green, every registry key has a driver
+#: attestation, none predates r7, and the r12 rotation should front
+#: the remaining 48 r7-era keys.
 DRIVER_WINDOW: list[str] = [
     # the r10 driver failure, re-attested under the rz() fix
     "q_emb_covariance",
@@ -116,10 +116,9 @@ DRIVER_WINDOW: list[str] = [
     "src_csv_json_roundtrip",
     "src_jdbc_read",
     "src_parquet_scan",
-    # the stalest 3 of the r7 cohort (sorted)
+    # the stalest 2 of the r7 cohort (sorted)
     "q_agg_kll_mergeable",
     "q_agg_theta_overlap",
-    "q_array_funcs",
 ]
 
 def _prior_driver_green(repo: str | None = None) -> set[str]:
