@@ -1144,7 +1144,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): keys compute scan-side (no shuffle), the
     per-source top-k is one window shuffle on source — or, at extreme
     group cardinality, TakeOrdered per group via partial top-k
-    (WindowGroupLimit pushes the k=20 heap map-side automatically on
+    (WindowGroupLimit pushes the k={_WSAMPLE_K} heap map-side automatically on
     Spark 3.5+/4.x, so the exchange carries ≤k·partitions rows per
     source, not the corpus)."""
     d = (

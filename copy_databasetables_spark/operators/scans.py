@@ -1379,8 +1379,22 @@ def _stage_media_files(spark: SparkSession, sf_dir: str) -> str:
     a per-SF staging dir. The write is a DISTRIBUTED side effect
     (mapInPandas writing doc_<id>.bin via tmp+rename, then a count to
     force it) — the same shape a real media-landing job has. Idempotent:
-    rename is atomic and content is deterministic per doc."""
+    rename is atomic and content is deterministic per doc.
+
+    Reconciliation (r11 ADVICE): the stage dir is WIPED before every
+    staging run — a stale ``doc_*.bin`` left by a prior testdata
+    generation (or an older ``_MEDIA_EVERY``) would otherwise survive,
+    be picked up by the binaryFile scan, and fail the gate with a
+    phantom row; rewriting ~100 tiny files per run is far cheaper than
+    diffing. Filesystem assumption: the executor-side writers and this
+    driver-side wipe share ONE filesystem — true in local mode (and on
+    clusters with a shared mount); on a real cluster the landing dir is
+    an object-store path and the writers use the store's put API, with
+    the same wipe-or-reconcile step against the store listing."""
     stage = _media_stage_dir(sf_dir)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
     docs = (
         load_table(spark, sf_dir, "documents")

@@ -1232,7 +1232,10 @@ _Q11_MULT = 1.5  # threshold = 1.5x the MEAN per-part value: the classic
       GROUP BY l.l_partkey)
     SELECT l_partkey, value
     FROM nat_val
-    WHERE value > (SELECT SUM(value) * {_Q11_MULT} / COUNT(*) FROM nat_val)
+    WHERE value > (SELECT CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5)
+                                        AS BIGINT)) AS DOUBLE)
+                          / 1000000 * {_Q11_MULT} / COUNT(*)
+                   FROM nat_val)
     ORDER BY value DESC, l_partkey ASC
     """,
 )
@@ -1249,10 +1252,16 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decorrelation: the per-part aggregate computes ONCE; the global
     total is a second aggregate over that result (|parts| rows, not a
     fact re-scan) broadcast as one row; the HAVING is a plain filter
-    against it. Both aggregates are dsum-exact, and the threshold
-    multiply happens identically on both engines, so the > cut is
-    deterministic. Scale: fact shuffles once on l_partkey; everything
-    after is |parts|-bounded."""
+    against it. Both aggregates are dsum-exact — the per-part values
+    via dsum, and the threshold numerator via the same scaled-int
+    idiom over those values (each ``value`` is an exact 1e-6 multiple,
+    so Σ round(value·10⁶) is an exact int64 on both engines; a plain
+    double SUM here would be accumulation-order dependent, and a part
+    within an ulp of the cut could flip across engines — the r11
+    ADVICE finding). The /10⁶ · mult / count tail is the identical
+    IEEE op sequence on both sides, so the > cut is deterministic.
+    Scale: fact shuffles once on l_partkey; everything after is
+    |parts|-bounded."""
     n = (
         load_table(spark, sf_dir, "nation")
         .where(F.col("n_name") == _Q11_NATION)
@@ -1272,9 +1281,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "value"))
     )
     total = nat_val.agg(
-        (F.sum("value") * F.lit(_Q11_MULT) / F.count(F.lit(1))).alias(
-            "threshold"
-        )
+        (
+            F.sum(
+                F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / 1_000_000
+            * F.lit(_Q11_MULT)
+            / F.count(F.lit(1))
+        ).alias("threshold")
     )
     return (
         nat_val.crossJoin(F.broadcast(total))

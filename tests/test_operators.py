@@ -2469,3 +2469,40 @@ def test_whitening_centers_the_corpus(spark):
     assert abs(row["total"]) <= row["n"] * d * 1e-6 + 1e-3, row["total"]
     assert row["w0max"] <= 1.0
     assert row["na_min"] > 0
+
+
+def test_whitened_topk_differs_from_raw_and_is_valid(spark):
+    """The whitening×retrieval composition must be a REAL transform:
+    q_sim_topk_whitened's neighbor ranking has to genuinely differ
+    from q_sim_topk's on the testdata (a no-op centering — mean not
+    actually subtracted, or subtracted then renormalized away — would
+    reproduce the raw ranking exactly and silently defeat the
+    anisotropy mitigation). Also pins the output contract: same probe
+    set as the raw op, exactly _K rows per probe, ranks 1.._K, and
+    cosines in [-1, 1 + ulp]."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import _K
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    raw = qs["q_sim_topk"](spark, SF_SMOKE).collect()
+    wht = qs["q_sim_topk_whitened"](spark, SF_SMOKE).collect()
+
+    raw_rank = {(r["probe_id"], r["rank_pos"]): r["neighbor_id"] for r in raw}
+    wht_rank = {(r["probe_id"], r["rank_pos"]): r["neighbor_id"] for r in wht}
+
+    # identical probe set, full k per probe, ranks are 1.._K
+    assert {r["probe_id"] for r in wht} == {r["probe_id"] for r in raw}
+    per_probe: dict = {}
+    for r in wht:
+        per_probe.setdefault(r["probe_id"], []).append(r["rank_pos"])
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+    assert all(sorted(v) == list(range(1, _K + 1)) for v in per_probe.values())
+
+    # the transform must move the ranking somewhere
+    assert wht_rank != raw_rank, (
+        "whitened top-k identical to raw top-k — centering was a no-op"
+    )
