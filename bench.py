@@ -118,6 +118,11 @@ HEADLINE = [
     # 2.45 s / 3.00 s at sf0.1 on entry (BASELINE.md §Round-11).
     "q_tpch_q21",
     "q_tpch_q9",
+    # r12: the whitening transform (rewritten this round to the
+    # zero-vec_id-shuffle plan) and its retrieval composition, benched
+    # from day one. Entry bands pinned in BASELINE.md §Round-12.
+    "q_emb_whitening",
+    "q_sim_topk_whitened",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
