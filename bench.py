@@ -123,6 +123,14 @@ HEADLINE = [
     # from day one. Entry bands pinned in BASELINE.md §Round-12.
     "q_emb_whitening",
     "q_sim_topk_whitened",
+    # r12 continuation: the two heaviest of the five ops added after
+    # the whitening pair — the composed FAISS-IVFPQ layout (benched
+    # beside its q_sim_ivf / q_sim_pq halves) and all-but-the-top
+    # dominant-direction removal (one-pass Gram + in-row transform,
+    # benched beside its q_emb_top_eigvec substrate twin via the
+    # whitening rows). Entry bands pinned in BASELINE.md §Round-12.
+    "q_sim_ivf_pq",
+    "q_emb_remove_top_pc",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

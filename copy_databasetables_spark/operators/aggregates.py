@@ -1024,3 +1024,107 @@ def q_agg_cms_err(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("true_n")).alias("err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_winsorize (r12): per-group percentile clipping — the robust-
+# statistics cleaning step (cap outlier metric values at p05/p95 before
+# they skew means, losses, or quality scores).
+# --------------------------------------------------------------------------
+
+#: winsorization cut percentiles, as integer percents (exact rank math).
+_WINSOR_LO_PCT = 5
+_WINSOR_HI_PCT = 95
+
+
+@register(
+    "q_agg_winsorize",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    th AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = (n * {_WINSOR_LO_PCT} + 99) // 100
+                      THEN value END) AS lo,
+             MIN(CASE WHEN rn = (n * {_WINSOR_HI_PCT} + 99) // 100
+                      THEN value END) AS hi
+      FROM ranked GROUP BY event_type)
+    SELECT r.event_id, r.event_type,
+           (round(r.value, 6) + 0.0) AS value_raw,
+           (round(LEAST(GREATEST(r.value, th.lo), th.hi), 6) + 0.0)
+             AS value_w,
+           CASE WHEN r.value < th.lo THEN 'low'
+                WHEN r.value > th.hi THEN 'high'
+                ELSE 'in' END AS clip_flag
+    FROM ranked r JOIN th ON th.event_type = r.event_type
+    """,
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization per group: every event's value is clipped to its
+    event_type's [p{_WINSOR_LO_PCT}, p{_WINSOR_HI_PCT}] band — the
+    standard robust-cleaning transform before any mean/variance-based
+    downstream (a handful of 490.0 outliers in a 0.01-median metric
+    move the mean by orders of magnitude; winsorizing bounds their
+    leverage without dropping rows the way a filter would).
+
+    The cut points are DISCRETE percentiles — actual data values at
+    integer ranks, ceil(p·n) computed in pure int64 arithmetic
+    ((n·p + 99) div 100, never a float ceil whose 0.05·n can sit one
+    ulp either side of an integer) — so the thresholds, and therefore
+    every comparison against them, are identical exact doubles on
+    both engines; interpolated percentiles (F.percentile /
+    quantile_cont) would make the clip boundary an
+    accumulation-artifact double and ulp-flip rows at the cut. Rows
+    with NULL values are excluded up front (both engines), keeping
+    the rank order total.
+
+    Scale shape (100 TB): one window shuffle on event_type for the
+    ranks (group cardinality = |event types|; at extreme skew the
+    production swap is an approx-quantile sketch per group —
+    q_agg_kll_mergeable is that machinery — traded for exactness
+    here), then the 2-value-per-group threshold frame broadcasts back
+    onto the fact: the clip itself is map-side, no second fact
+    shuffle. Output: per-row raw + winsorized value + which side (if
+    any) was clipped, the audit readout."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    lo_rk = F.expr(f"(n * {_WINSOR_LO_PCT} + 99) div 100")
+    hi_rk = F.expr(f"(n * {_WINSOR_HI_PCT} + 99) div 100")
+    th = (
+        ranked.withColumn("lo_rk", lo_rk)
+        .withColumn("hi_rk", hi_rk)
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("lo_rk"), F.col("value"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("rn") == F.col("hi_rk"), F.col("value"))
+            ).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return ranked.join(F.broadcast(th), "event_type").select(
+        "event_id",
+        "event_type",
+        rz("value", 6).alias("value_raw"),
+        rz(clipped, 6).alias("value_w"),
+        F.when(F.col("value") < F.col("lo"), F.lit("low"))
+        .when(F.col("value") > F.col("hi"), F.lit("high"))
+        .otherwise(F.lit("in"))
+        .alias("clip_flag"),
+    )

@@ -680,3 +680,101 @@ def q_join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier",
         "discount",
     )
+
+
+# --------------------------------------------------------------------------
+# q_join_asof_nearest (r12): direction='nearest' as-of — the two-sided
+# variant (pandas merge_asof(direction='nearest', tolerance=...)) that
+# completes the as-of family: backward (q_join_asof), backward+tolerance
+# (q_join_asof_tolerance), nearest-in-either-direction (this op).
+# --------------------------------------------------------------------------
+
+_NEAREST_TOL_HOURS = 72
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle=f"""
+    SELECT purchase_id, user_id, purchase_ts_us, signup_id, signup_ts_us,
+           gap_us
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+             s.event_id AS signup_id,
+             epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_ts_us,
+             epoch_us(CAST(s.ts AS TIMESTAMP))
+               - epoch_us(CAST(p.ts AS TIMESTAMP)) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(epoch_us(CAST(s.ts AS TIMESTAMP))
+                            - epoch_us(CAST(p.ts AS TIMESTAMP)))
+                          ASC NULLS LAST,
+                        s.ts ASC NULLS LAST,
+                        s.event_id ASC NULLS LAST
+             ) AS rn
+      FROM events p
+      LEFT JOIN events s
+        ON s.user_id = p.user_id AND s.event_type = 'signup'
+       AND s.ts >= p.ts - INTERVAL {_NEAREST_TOL_HOURS} HOUR
+       AND s.ts <= p.ts + INTERVAL {_NEAREST_TOL_HOURS} HOUR
+      WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the signup CLOSEST in
+    time by the same user — before OR after — within a two-sided
+    ±{_NEAREST_TOL_HOURS}h tolerance (pandas ``merge_asof(direction=
+    'nearest', tolerance=...)``). The semantics sensor/feature
+    alignment needs when the reference stream can lag OR lead the
+    fact stream; purchases with no signup in the band survive with
+    NULLs (left join). Output carries the SIGNED gap (signup − 
+    purchase, µs) so downstream can tell lead from lag.
+
+    The two-sided band is also the scale lever: like
+    q_join_asof_tolerance, the join predicate bounds each purchase's
+    candidate set to a fixed time window, so at 100 TB the banded
+    equi-join on user_id (both sides hash-partitioned once) never
+    degenerates into per-user full history — state is O(band), not
+    O(stream). Determinism: the nearest is picked on the exact
+    integer µs distance; an equidistant before/after pair tie-breaks
+    to the EARLIER signup (backward preference, pandas-compatible),
+    then event_id — a total order, NULLS LAST mirrored on both
+    engines for the no-match rows."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    band = F.expr(f"INTERVAL {_NEAREST_TOL_HOURS} HOURS")
+    cond = (
+        (s.s_user == p.user_id)
+        & (s.s_ts >= p.p_ts - band)
+        & (s.s_ts <= p.p_ts + band)
+    )
+    gap = us("s_ts") - us("p_ts")
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.abs(F.col("gap_us")).asc_nulls_last(),
+        F.col("s_ts").asc_nulls_last(),
+        F.col("signup_id").asc_nulls_last(),
+    )
+    return (
+        p.join(s, cond, "left")
+        .withColumn("gap_us", gap)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            us("p_ts", "purchase_ts_us"),
+            "signup_id",
+            us("s_ts", "signup_ts_us"),
+            "gap_us",
+        )
+    )

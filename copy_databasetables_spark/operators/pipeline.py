@@ -1175,3 +1175,58 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_sample_reservoir (r12): exact-n GLOBAL uniform sample without
+# replacement — "give me exactly N documents for the eval set".
+# --------------------------------------------------------------------------
+
+#: global sample size: 100 < the 500 docs even at sf0.001, so the limit
+#: is a real selection (not the whole table) at every test SF.
+_RESERVOIR_N = 100
+
+
+@register(
+    "q_sample_reservoir",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS res_key
+    FROM documents
+    ORDER BY res_key ASC, doc_id ASC
+    LIMIT {_RESERVOIR_N}
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N global uniform sample without replacement — the
+    fixed-budget selection every eval/holdout build needs ("exactly
+    100 docs, same 100 every run, any cluster size"). Algorithm: each
+    row draws a deterministic 60-bit key from the portable md5 idiom
+    (a pure function of doc_id — the same key on every engine, run,
+    and partitioning), and the sample is the N smallest keys. That is
+    distribution-identical to one pass of uniform reservoir sampling,
+    but stateless and rerun-stable where a classic reservoir (or
+    ``df.sample``'s per-partition RNG) is neither.
+
+    Scale shape (100 TB): keys compute scan-side; orderBy+limit
+    compiles to TakeOrderedAndProject — a PER-PARTITION top-N heap
+    (N rows retained per task) merged once at the driver, so the
+    exchange carries N·partitions rows, never the corpus, and there
+    is NO global sort. Plan-pinned in tests/test_plans.py. Contrast
+    q_sample_hash (approximate fraction, keeps ~p% — unbounded output
+    size) and q_sample_weighted (per-group, weighted): this is the
+    exact-cardinality global variant that completes the family.
+    Determinism: md5 keys are unique in practice; the (res_key,
+    doc_id) compound order makes the cut total regardless."""
+    key = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("res_key", key)
+        .orderBy(F.col("res_key").asc(), F.col("doc_id").asc())
+        .limit(_RESERVOIR_N)
+    )

@@ -1902,12 +1902,14 @@ _PI_ITERS = 6
 _PI_SCALE = 1_000_000_000_000  # 1e12
 
 
-def _eigvec_oracle() -> str:
-    """DuckDB oracle: the covariance CTE (same construction as
-    q_emb_covariance, mirrored to the full matrix), then _PI_ITERS
-    unrolled power-iteration rounds. Every CTE is MATERIALIZED —
-    DuckDB inlines plain CTEs at each reference and an unrolled
-    iteration chain explodes 3^n otherwise (the CC-oracle lesson)."""
+def _eigvec_parts() -> list[str]:
+    """The shared power-iteration CTE chain (covariance construction +
+    _PI_ITERS unrolled rounds), ending at ``v{_PI_ITERS}`` (pos, val)
+    and ``n{_PI_ITERS-1}`` (nrm). Every CTE is MATERIALIZED — DuckDB
+    inlines plain CTEs at each reference and an unrolled iteration
+    chain explodes 3^n otherwise (the CC-oracle lesson). Shared by
+    q_emb_top_eigvec and q_emb_remove_top_pc so the two oracles can
+    never iterate on different vectors."""
     parts = [
         f"""ex AS MATERIALIZED (
       SELECT vec_id,
@@ -1953,12 +1955,58 @@ def _eigvec_oracle() -> str:
                / {_COV_SCALE} AS val
       FROM w{k} CROSS JOIN n{k})"""
         )
+    return parts
+
+
+def _eigvec_oracle() -> str:
+    """DuckDB oracle for q_emb_top_eigvec: the shared chain + the
+    (pos, eigvec_val, eigenvalue) readout."""
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_eigvec_parts())
         + f"""
     SELECT v.pos, v.val AS eigvec_val, round(n.nrm, 6) AS eigenvalue
     FROM v{_PI_ITERS} v CROSS JOIN n{_PI_ITERS - 1} n
+    """
+    )
+
+
+def _remove_pc_oracle() -> str:
+    """DuckDB oracle for q_emb_remove_top_pc: the shared power-iteration
+    chain, then per-vector projection onto v{_PI_ITERS} and the residual
+    norms — every multi-term reduction per-term int64-quantized exactly
+    as the Spark side, so proj (and hence each residual component) is
+    the identical double on both engines before any rounding."""
+    parts = _eigvec_parts() + [
+        f"""proj AS MATERIALIZED (
+      SELECT ex.vec_id,
+             CAST(SUM(CAST(FLOOR(ex.x * v.val * {_PI_SCALE} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {_PI_SCALE} AS proj
+      FROM ex JOIN v{_PI_ITERS} v ON v.pos = ex.pos
+      GROUP BY ex.vec_id),
+    resid AS MATERIALIZED (
+      SELECT ex.vec_id, ex.x, ex.x - pr.proj * v.val AS rx
+      FROM ex
+      JOIN v{_PI_ITERS} v ON v.pos = ex.pos
+      JOIN proj pr ON pr.vec_id = ex.vec_id),
+    ragg AS MATERIALIZED (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(FLOOR(x * x * {_WHITEN_SQ} + 0.5)
+                                AS BIGINT)) AS DOUBLE) / {_WHITEN_SQ}) AS nb,
+             sqrt(CAST(SUM(CAST(FLOOR(rx * rx * {_WHITEN_SQ} + 0.5)
+                                AS BIGINT)) AS DOUBLE) / {_WHITEN_SQ}) AS na
+      FROM resid GROUP BY vec_id)"""
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT r.vec_id,
+           (round(p.proj, 6) + 0.0) AS pc1_proj,
+           round(r.nb, 6) AS norm_before,
+           round(r.na, 6) AS norm_after
+    FROM ragg r JOIN proj p ON p.vec_id = r.vec_id
+    WHERE r.na > 0
     """
     )
 
@@ -1987,6 +2035,21 @@ def q_emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sign convention: v₀ = 1/√d (all-positive) fixes the eigenvector's
     sign deterministically. Output: (pos, eigvec_val, eigenvalue≈‖Cv‖
     at the last round, the Rayleigh estimate for a unit v)."""
+    v, lam = _power_iterate(spark, sf_dir)
+    return v.crossJoin(lam).select(
+        "pos",
+        F.col("val").alias("eigvec_val"),
+        F.round("nrm", 6).alias("eigenvalue"),
+    )
+
+
+def _power_iterate(spark: SparkSession, sf_dir: str):
+    """Shared power-iteration core: one-pass partial-Gram covariance,
+    then _PI_ITERS quantized matvec+renormalize rounds. Returns the
+    final unit vector ``v`` as a d-row (pos, val) frame plus the 1-row
+    ``lam`` (nrm) frame — both d-bounded, never corpus-sized. Shared
+    by q_emb_top_eigvec (readout) and q_emb_remove_top_pc (per-vector
+    projection removal) so the two can never iterate differently."""
     e = load_table(spark, sf_dir, "embeddings").select(
         F.expr("transform(embedding, x -> cast(x as double))").alias("e")
     )
@@ -2059,11 +2122,7 @@ def q_emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val"),
         ).localCheckpoint()
         lam = nrm
-    return v.crossJoin(lam).select(
-        "pos",
-        F.col("val").alias("eigvec_val"),
-        F.round("nrm", 6).alias("eigenvalue"),
-    )
+    return v, lam
 
 
 # --------------------------------------------------------------------------
@@ -2540,4 +2599,200 @@ def q_sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id", "neighbor_id", rz("cos_raw", 4).alias("cosine"), "rank_pos"
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_sim_ivf_pq (r12): IVF cells × PQ codes — the composed FAISS-IVFPQ
+# layout, THE production memory/latency point for 10B+-vector ANN
+# (coarse cells bound the scan, 8-byte codes bound the resident index).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_ivf_pq",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
+    {_PQ_SUBS_SQL},
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                           c.cid ASC) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, e AS pe,
+                 sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS pn
+          FROM v WHERE {_PROBE_FILTER}),
+    scored AS (
+      SELECT p.probe_id, m.vec_id AS neighbor_id,
+             list_dot_product(p.pe, n.d) / (p.pn * n.nrm) AS cos_raw,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_dot_product(p.pe, n.d)
+                                         / (p.pn * n.nrm) DESC,
+                                         m.vec_id ASC) AS rank_pos
+      FROM p
+      JOIN assign pa ON pa.vec_id = p.probe_id
+      JOIN assign m  ON m.cid = pa.cid AND m.vec_id <> p.probe_id
+      JOIN n         ON n.vec_id = m.vec_id)
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_IVF_K}
+    """,
+)
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the FAISS-IVFPQ production layout: corpus
+    vectors coarse-quantize to their nearest of the fixed
+    ``_IVF_MAX_CENTROIDS`` cells (full-precision assignment at index
+    build, exactly ``_ivf_assign``), and WITHIN the probed cell the
+    ranking is asymmetric-PQ (full-precision probe against the
+    PQ-decoded member reconstruction, exactly ``_pq_index``). Both
+    halves already exist as verified singles (q_sim_ivf, q_sim_pq);
+    this op proves the composition — the point of IVFPQ is that the
+    two bounds MULTIPLY: the cell bounds the candidate scan to n/K
+    vectors and PQ bounds their resident bytes to 8/vector, so a
+    10B-vector index fits a cluster's memory AND each probe touches
+    1/K of it. At 100 TB both index halves build once and persist
+    (q_sim_ivf_persisted shows the read-back path); per query batch
+    the plan is: broadcast K centroids (probe→cell), broadcast the
+    64-row codebook, one equi-join on cell id, per-probe top-k window.
+    Recall on this synthetic i.i.d. corpus compounds the two halves'
+    documented floors (IVF cell miss × PQ noise-floor ~0.26@5); the
+    production levers (trained codebooks, nprobe>1, exact re-rank of
+    the PQ top-R — q_sim_pq_rerank) change recall, not plan shape.
+    Determinism: argmin/ranking tie-break on cid / code_id / vec_id
+    everywhere; cosines round to 4dp through rz()."""
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v)
+    assign = _ivf_assign(v, c)
+    npq = _pq_index(v)
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    pw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probe_cell = (
+        p.crossJoin(F.broadcast(c))
+        .withColumn("cos_c", _cosine_pre("pe", "ce", "pn", "cn"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select("probe_id", "pe", "pn", "cid")
+    )
+    cell_members = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ncid")
+    ).join(
+        npq.select(F.col("vec_id").alias("neighbor_id"), "d", "nrm"),
+        "neighbor_id",
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(probe_cell)
+        .join(
+            cell_members,
+            (F.col("ncid") == F.col("cid"))
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine_pre("pe", "d", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _IVF_K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            rz("cos_raw", 4).alias("cosine"),
+            "rank_pos",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_emb_remove_top_pc (r12): "all-but-the-top" — remove the dominant
+# principal direction from every embedding (Mu & Viswanath 2018), the
+# step AFTER mean-centering (q_emb_whitening) in the standard embedding
+# post-processing chain. Composes the verified power-iteration eigvec
+# with the whitening ops' in-row per-vector transform discipline.
+# --------------------------------------------------------------------------
+
+
+@register("q_emb_remove_top_pc", oracle=_remove_pc_oracle())
+def q_emb_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-direction removal per vector: e′ = e − (e·v₁)v₁ with v₁
+    the verified top eigenvector (``_power_iterate``, the exact frame
+    q_emb_top_eigvec reads out). Output pins the transform per vector:
+    the projection coefficient e·v₁ and the norm before/after removal
+    (‖e′‖² = ‖e‖² − proj² up to quantization — the anisotropy energy
+    the dominant direction was carrying).
+
+    Scale shape (100 TB): the corpus is touched exactly twice — once
+    by the one-pass partial-Gram build (mapInPandas partials, d²-row
+    shuffle) and once by the per-vector transform, which computes
+    INSIDE each row via zip_with/aggregate over v₁ broadcast as ONE
+    d-element array row (array_sort(collect_list) over the d-row
+    eigvec frame — the q_emb_whitening broadcast-mean discipline; no
+    vec_id shuffle, no repartition, no driver round-trip). The
+    iteration itself is d-bounded and corpus-free.
+
+    Determinism: v₁ is bit-identical across engines (the power
+    iteration quantizes every reduction per-term to int64 and
+    re-quantizes the vector to 10⁻⁹ each round — q_emb_top_eigvec's
+    proven discipline); proj is an exact int64 sum of
+    floor(x·v·10¹²) terms, so each residual component x − proj·v is
+    one identical IEEE expression on identical doubles; the norms
+    quantize per-term at 10⁻¹² (the q_emb_whitening constants).
+    pc1_proj can round to a tiny negative → rz()."""
+    v_eig, _ = _power_iterate(spark, sf_dir)
+    v_row = v_eig.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("vs")
+    ).select(F.expr("transform(vs, s -> s.val)").alias("v_arr"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+
+    def _q(arr: Column, term, scale: int) -> Column:
+        """Σ floor(term(x)·scale + 0.5) over an array, int64-exact."""
+        return (
+            F.aggregate(
+                arr,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.floor(term(x) * scale + F.lit(0.5)).cast("bigint"),
+            ).cast("double")
+            / F.lit(float(scale))
+        )
+
+    ident = lambda t: t  # noqa: E731
+    sq = lambda t: t * t  # noqa: E731
+    out = (
+        emb.crossJoin(F.broadcast(v_row))
+        .withColumn(
+            "proj",
+            _q(F.zip_with("e", "v_arr", lambda x, w: x * w), ident, _PI_SCALE),
+        )
+        .withColumn(
+            "rx",
+            F.zip_with("e", "v_arr", lambda x, w: x - F.col("proj") * w),
+        )
+        .select(
+            "vec_id",
+            "proj",
+            F.sqrt(_q(F.col("e"), sq, _WHITEN_SQ)).alias("nb"),
+            F.sqrt(_q(F.col("rx"), sq, _WHITEN_SQ)).alias("na"),
+        )
+    )
+    return out.where(F.col("na") > 0).select(
+        "vec_id",
+        rz("proj", 6).alias("pc1_proj"),
+        F.round("nb", 6).alias("norm_before"),
+        F.round("na", 6).alias("norm_after"),
     )

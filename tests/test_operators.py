@@ -2506,3 +2506,189 @@ def test_whitened_topk_differs_from_raw_and_is_valid(spark):
     assert wht_rank != raw_rank, (
         "whitened top-k identical to raw top-k — centering was a no-op"
     )
+
+
+def test_ivf_pq_stays_in_cell_and_scores_decoded(spark):
+    """q_sim_ivf_pq must really COMPOSE the two index halves: (a) every
+    returned neighbor shares its probe's IVF cell (recomputed from the
+    op's own assignment helper — a wrong/missing cell join would leak
+    cross-cell candidates); (b) ranks are contiguous from 1 per probe;
+    (c) the cosines differ from flat IVF's somewhere — asymmetric-PQ
+    scores against the DECODED reconstruction, so scoring the raw
+    vectors (a decode-as-identity bug) would reproduce q_sim_ivf's
+    cosines exactly."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _centroids,
+        _ivf_assign,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    out = qs["q_sim_ivf_pq"](spark, SF_SMOKE).collect()
+    assert out, "ivf_pq returned nothing"
+    v = _vecs(spark, SF_SMOKE)
+    cell = {
+        r["vec_id"]: r["cid"]
+        for r in _ivf_assign(v, _centroids(v)).collect()
+    }
+    per_probe: dict = {}
+    for r in out:
+        assert cell[r["neighbor_id"]] == cell[r["probe_id"]], (
+            "neighbor escaped its probe's inverted list"
+        )
+        per_probe.setdefault(r["probe_id"], []).append(r["rank_pos"])
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in per_probe.values()
+    )
+    flat = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in qs["q_sim_ivf"](spark, SF_SMOKE).collect()
+    }
+    pq = {(r["probe_id"], r["neighbor_id"]): r["cosine"] for r in out}
+    assert pq != flat, (
+        "PQ cosines identical to flat IVF — decode was an identity no-op"
+    )
+
+
+def test_remove_top_pc_is_an_orthogonal_projection(spark):
+    """q_emb_remove_top_pc must satisfy Pythagoras per vector:
+    ‖e‖² = ‖e′‖² + proj² (the residual is orthogonal to v₁), within
+    the output quantization slack — a wrong eigvec normalization, a
+    double-subtraction, or projecting onto the mean instead of v₁ all
+    break this identity. Also pins: removal never grows a norm, the
+    transform is not a global no-op, and no input vector is dropped."""
+    from copy_databasetables_spark.operators import all_queries
+
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["q_emb_remove_top_pc"](spark, SF_SMOKE).collect()
+    n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(out) == n_emb
+    assert any(abs(r["pc1_proj"]) > 1e-3 for r in out), "no-op transform"
+    for r in out:
+        nb, na, pj = r["norm_before"], r["norm_after"], r["pc1_proj"]
+        assert na <= nb + 1e-6, (nb, na)
+        assert abs(nb * nb - (na * na + pj * pj)) <= 1e-3, r
+
+
+def test_reservoir_sample_is_exactly_the_n_smallest_keys(spark):
+    """q_sample_reservoir's contract: EXACTLY _RESERVOIR_N rows, no
+    duplicates, and the selected set is precisely the N smallest
+    md5-60-bit keys over the whole corpus (recomputed in Python) — a
+    per-partition limit, a wrong key width, or a nondeterministic
+    sample all break set equality."""
+    import hashlib
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.pipeline import _RESERVOIR_N
+
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["q_sample_reservoir"](spark, SF_SMOKE).collect()
+    assert len(out) == _RESERVOIR_N
+    assert len({r["doc_id"] for r in out}) == _RESERVOIR_N
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    key = lambda d: int(  # noqa: E731
+        hashlib.md5(str(d).encode()).hexdigest()[:15], 16
+    )
+    expect = set(sorted(((key(d), d) for d in ids))[:_RESERVOIR_N])
+    assert {(r["res_key"], r["doc_id"]) for r in out} == expect
+
+
+def test_winsorize_matches_python_recompute(spark):
+    """q_agg_winsorize cross-checked row-for-row against a Python
+    recompute of the discrete-percentile thresholds (rank ceil(p·n) on
+    the (value, event_id) total order) and the clip: value_w is the
+    clamp, flags name the clipped side, no row is dropped, and the
+    corpus's planted 490.x outliers guarantee at least one 'high'."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.aggregates import (
+        _WINSOR_HI_PCT,
+        _WINSOR_LO_PCT,
+    )
+
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("value is not null")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["value"], r["event_id"])
+        )
+    th = {}
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(n * _WINSOR_LO_PCT + 99) // 100 - 1][0]
+        hi = vals[(n * _WINSOR_HI_PCT + 99) // 100 - 1][0]
+        th[t] = (lo, hi)
+    out = all_queries()["q_agg_winsorize"](spark, SF_SMOKE).collect()
+    assert len(out) == len(ev)
+    flags = set()
+    for r in out:
+        lo, hi = th[r["event_type"]]
+        want = min(max(r["value_raw"], lo), hi)
+        assert abs(r["value_w"] - want) <= 1e-6, (r, lo, hi)
+        want_flag = (
+            "low"
+            if r["value_raw"] < lo
+            else "high" if r["value_raw"] > hi else "in"
+        )
+        assert r["clip_flag"] == want_flag, (r, lo, hi)
+        flags.add(r["clip_flag"])
+    assert "high" in flags and "low" in flags
+
+
+def test_asof_nearest_picks_minimal_absolute_gap(spark):
+    """q_join_asof_nearest cross-checked against a Python recompute:
+    for every purchase the matched signup is the same user's signup
+    with the smallest |ts gap| within the ±_NEAREST_TOL_HOURS band
+    (ties → earlier signup, then event_id), NULL when the band is
+    empty — and the signed gap_us is exact integer microseconds."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.joins import (
+        _NEAREST_TOL_HOURS,
+    )
+
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    sign = [r for r in ev if r["event_type"] == "signup"]
+    tol_us = _NEAREST_TOL_HOURS * 3600 * 1_000_000
+    us = lambda ts: int(ts.timestamp() * 1_000_000)  # noqa: E731
+
+    expect = {}
+    for p in (r for r in ev if r["event_type"] == "purchase"):
+        cands = [
+            (abs(us(s["ts"]) - us(p["ts"])), us(s["ts"]), s["event_id"])
+            for s in sign
+            if s["user_id"] == p["user_id"]
+            and abs(us(s["ts"]) - us(p["ts"])) <= tol_us
+        ]
+        expect[p["event_id"]] = min(cands)[2] if cands else None
+
+    out = all_queries()["q_join_asof_nearest"](spark, SF_SMOKE).collect()
+    assert {r["purchase_id"] for r in out} == set(expect)
+    for r in out:
+        assert r["signup_id"] == expect[r["purchase_id"]], r
+        if r["signup_id"] is not None:
+            assert r["gap_us"] == r["signup_ts_us"] - r["purchase_ts_us"]
+            assert abs(r["gap_us"]) <= tol_us
+        else:
+            assert r["gap_us"] is None

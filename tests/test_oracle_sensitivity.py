@@ -81,6 +81,11 @@ MUTATIONS = [
     (tpch, "_Q20_NATION", "NATION_8", "q_tpch_q20"),
     (tpch, "_Q21_NATION", "NATION_8", "q_tpch_q21"),
     (pipeline, "_WSAMPLE_K", 19, "q_sample_weighted"),
+    # r12 ops — each verified to KILL on sf0.001 on entry:
+    (pipeline, "_RESERVOIR_N", 99, "q_sample_reservoir"),
+    (aggregates, "_WINSOR_HI_PCT", 90, "q_agg_winsorize"),
+    (joins, "_NEAREST_TOL_HOURS", 6, "q_join_asof_nearest"),
+    (similarity, "_PQ_K", 8, "q_sim_ivf_pq"),
 ]
 
 

@@ -905,3 +905,48 @@ def test_sim_topk_whitened_centering_is_in_row_probes_broadcast(spark):
     assert "zip_with" in p
     # two broadcasts: the mean row and the probe side
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_sample_reservoir_is_take_ordered_not_global_sort(spark):
+    """q_sample_reservoir's scale contract: orderBy+limit must compile
+    to TakeOrderedAndProject (per-partition top-N heaps, N·partitions
+    rows crossing) — a global Sort+Exchange here would shuffle the
+    whole corpus to cut 100 rows."""
+    p = plan(all_queries()["q_sample_reservoir"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()  # the global-sort shape
+
+
+def test_winsorize_one_fact_window_and_broadcast_clip(spark):
+    """q_agg_winsorize: the fact is shuffled ONCE (the event_type rank
+    window); the 2-value-per-group threshold frame comes back as a
+    broadcast, so the clip itself is map-side — a second fact exchange
+    (sort-merge join on event_type) would double the op's wire cost."""
+    p = plan(all_queries()["q_agg_winsorize"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_pq_broadcasts_both_index_halves(spark):
+    """q_sim_ivf_pq composes IVF and PQ without inheriting a cartesian
+    anywhere: the centroid set and the PQ codebook are bounded
+    broadcasts (plus the probe side), and the only corpus-scale join
+    is the equi-join on cell id."""
+    p = plan(all_queries()["q_sim_ivf_pq"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 2  # centroids + codebook/probes
+
+
+def test_remove_top_pc_transform_is_in_row(spark):
+    """q_emb_remove_top_pc's per-vector leg mirrors the whitening plan
+    contract: v₁ returns as ONE broadcast array row and the projection/
+    residual/norms compute inside each vector's own row (zip_with/
+    aggregate) — no hashpartitioning on vec_id, no repartition
+    round-trip. (The one-pass Gram build legitimately exchanges on
+    (i, j) — d² rows — and is excluded by the checkpoint boundary.)"""
+    p = plan(all_queries()["q_emb_remove_top_pc"](spark, SF_SMOKE))
+    assert "hashpartitioning(vec_id" not in p
+    assert "RoundRobinPartitioning" not in p
+    assert "zip_with" in p
+    assert "BroadcastExchange" in p

@@ -111,6 +111,12 @@ SCALE_REPS = [
     "q_sample_weighted",
     "q_stream_join_left",
     "src_binary_files",
+    # r12 continuation: the three light ops of the five added after
+    # the whitening pair (q_sim_ivf_pq / q_emb_remove_top_pc are
+    # HEADLINE rows — their notes attach to the headline dump).
+    "q_sample_reservoir",
+    "q_agg_winsorize",
+    "q_join_asof_nearest",
 ]
 
 NOTES.update(
@@ -240,6 +246,46 @@ NOTES.update(
             "per-source top-k is ONE exchange on source with "
             "WindowGroupLimit pushing the k-heap below it, so at most "
             "k·(input partitions) rows per source cross the wire."
+        ),
+        "q_sim_ivf_pq": (
+            "FAISS-IVFPQ composed: centroids AND the 64-row PQ codebook "
+            "are bounded broadcasts; the corpus appears once in the "
+            "full-precision cell assignment (index build — persists at "
+            "production) and once PQ-decoded in the cell-id equi-join; "
+            "asymmetric scoring folds in-row (zip_with dot against the "
+            "decoded member), rank in one per-probe window. No "
+            "CartesianProduct anywhere — both crossJoins are "
+            "broadcast-NLJ against fixed-K frames."
+        ),
+        "q_emb_remove_top_pc": (
+            "All-but-the-top: the corpus is touched exactly twice — the "
+            "one-pass mapInPandas partial-Gram (d²-row shuffle on "
+            "(i,j), corpus-independent reduce) behind a checkpoint "
+            "boundary, and the per-vector transform where v₁ returns "
+            "as ONE broadcast array row and projection/residual/norms "
+            "fold in-row via zip_with/aggregate — no vec_id exchange, "
+            "no repartition (tests/test_plans.py::"
+            "test_remove_top_pc_transform_is_in_row)."
+        ),
+        "q_sample_reservoir": (
+            "Exact-N global uniform sample: md5-60-bit keys compute "
+            "scan-side; orderBy+limit compiles to TakeOrderedAndProject "
+            "— per-partition top-N heaps, N·partitions rows crossing, "
+            "NO global sort exchange (tests/test_plans.py::"
+            "test_sample_reservoir_is_take_ordered_not_global_sort)."
+        ),
+        "q_agg_winsorize": (
+            "One fact shuffle (the event_type rank window); the "
+            "2-value-per-group discrete-percentile thresholds come back "
+            "as a BroadcastHashJoin, so the clip itself is map-side — "
+            "never a second sort-merge pass over the fact."
+        ),
+        "q_join_asof_nearest": (
+            "Two-sided banded as-of: the ±tolerance predicate bounds "
+            "each purchase's candidate set before the per-purchase "
+            "min-|gap| window; both event legs hash-partition once on "
+            "user_id (same shape as q_join_asof_tolerance, direction="
+            "'nearest' semantics)."
         ),
         "q_stream_join_left": (
             "Batch twin of the LEFT OUTER stream-stream interval join: "

@@ -72,11 +72,26 @@ def build_blowup(
     out_dir: str,
     copies: int = COPIES,
     docs_only: bool = False,
+    emb_only: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
     from copy_databasetables_spark.operators.text import _BM25_QUERY, _PHRASE
+
+    if emb_only:
+        # vector-side third decade: only embeddings blow up (cyclic
+        # shift per copy, disjoint vec_id spans — same construction as
+        # below); every other table symlinks constant, so a --copies
+        # 1000 build is ~500 MB of vectors, not 100M event rows.
+        _build_embeddings(spark, src_dir, out_dir, copies)
+        for t in TABLES:
+            if t == "embeddings":
+                continue
+            dst = f"{out_dir}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(table_path(src_dir, t), dst)
+        return
 
     # 4 output files at the classic 10× scale; grow with the blowup so a
     # 1000× build doesn't funnel ~600 MB through 4 writer tasks and the
@@ -125,21 +140,7 @@ def build_blowup(
         return
 
     copies = copies_df
-    emb = load_table(spark, src_dir, "embeddings")
-    n_vecs = emb.count()
-    dim = len(emb.first()["embedding"])
-    blown_emb = (
-        emb.crossJoin(F.broadcast(copies))
-        .select(
-            (F.col("copy").cast("long") * n_vecs + F.col("vec_id")).alias("vec_id"),
-            F.expr(
-                f"concat(slice(embedding, (copy % {dim}) + 1, {dim} - (copy % {dim})),"
-                f" slice(embedding, 1, copy % {dim}))"
-            ).alias("embedding"),
-            "label",
-        )
-    )
-    blown_emb.coalesce(nfiles).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    _build_embeddings(spark, src_dir, out_dir, copies.count())
 
     # events: copies with DISJOINT user-id spans — |distinct users|,
     # the theta-sketch member count, and the per-user session graph all
@@ -167,6 +168,36 @@ def build_blowup(
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(table_path(src_dir, t), dst)
+
+
+def _build_embeddings(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    """Embeddings blowup leg (shared by the full and --embeddings-only
+    builds): ``copies`` clones with disjoint vec_id spans, each copy's
+    vector cyclically shifted by ``copy % dim`` so cross-copy cosines
+    stay in the random bulk (no synthetic near-dup inflation)."""
+    from pyspark.sql import functions as F
+
+    nfiles = min(64, max(4, copies // 4))
+    copies_df = spark.range(copies).select(
+        F.col("id").cast("int").alias("copy")
+    )
+    emb = load_table(spark, src_dir, "embeddings")
+    n_vecs = emb.count()
+    dim = len(emb.first()["embedding"])
+    blown_emb = (
+        emb.crossJoin(F.broadcast(copies_df))
+        .select(
+            (F.col("copy").cast("long") * n_vecs + F.col("vec_id")).alias("vec_id"),
+            F.expr(
+                f"concat(slice(embedding, (copy % {dim}) + 1, {dim} - (copy % {dim})),"
+                f" slice(embedding, 1, copy % {dim}))"
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    blown_emb.coalesce(nfiles).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
 
 
 def build_facts_blowup(spark, src_dir: str, out_dir: str, copies: int) -> None:
@@ -390,6 +421,14 @@ def main() -> None:
         "1000x third-decade run stays budget-bounded",
     )
     ap.add_argument(
+        "--embeddings-only",
+        action="store_true",
+        help="blow up ONLY the embeddings table (documents/events "
+        "symlinked constant) — for the vector-side third decade "
+        "(--copies 1000 turns sf0.1's 2k vectors into 2M) without "
+        "paying a 100M-row events build the ANN legs never read",
+    )
+    ap.add_argument(
         "--facts",
         action="store_true",
         help="blow up the FACT tables (orders+lineitem, FK-consistent "
@@ -431,11 +470,19 @@ def main() -> None:
             args.reuse and os.path.exists(f"{args.out}/lineitem.parquet")
         ):
             build_facts_blowup(spark, args.src, args.out, args.copies)
-    elif not (args.reuse and os.path.exists(f"{args.out}/documents.parquet")):
-        build_blowup(
-            spark, args.src, args.out, args.copies,
-            docs_only=args.candidates_only,
+    else:
+        probe_tbl = (
+            "embeddings" if args.embeddings_only else "documents"
         )
+        if not (
+            args.reuse
+            and os.path.exists(f"{args.out}/{probe_tbl}.parquet")
+        ):
+            build_blowup(
+                spark, args.src, args.out, args.copies,
+                docs_only=args.candidates_only,
+                emb_only=args.embeddings_only,
+            )
 
     if args.candidates_only:
         r1 = candidates_leg(spark, args.src)
@@ -488,7 +535,11 @@ def main() -> None:
         print(json.dumps(ab))
         return
 
-    size_table = "lineitem" if args.facts else "documents"
+    size_table = (
+        "lineitem"
+        if args.facts
+        else "embeddings" if args.embeddings_only else "documents"
+    )
     n1 = load_table(spark, args.src, size_table).count()
     n10 = load_table(spark, args.out, size_table).count()
 
