@@ -131,6 +131,11 @@ HEADLINE = [
     # whitening rows). Entry bands pinned in BASELINE.md §Round-12.
     "q_sim_ivf_pq",
     "q_emb_remove_top_pc",
+    # r12 continuation 2: two-component PCA by deflation — the heaviest
+    # r12 op (two iteration chains + the dual in-row projection), so it
+    # gets a tracked row from day one (the r9 heavy-row-blind-spot
+    # lesson). Entry band in BASELINE.md §Round-12 continuation.
+    "q_emb_pca2",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

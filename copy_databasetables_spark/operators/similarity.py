@@ -1937,23 +1937,35 @@ def _eigvec_parts() -> list[str]:
     v0 AS MATERIALIZED (
       SELECT pos, 1.0 / sqrt(d.d) AS val FROM s CROSS JOIN d)"""
     ]
+    parts.extend(_pi_chain_parts("cov", "v", "w", "n"))
+    return parts
+
+
+def _pi_chain_parts(mat: str, vp: str, wp: str, np_: str) -> list[str]:
+    """_PI_ITERS unrolled power-iteration round CTEs over matrix CTE
+    ``mat`` starting from vector CTE ``{vp}0`` — CTE-name prefixes
+    parameterized so q_emb_pca2 can run a second chain (u/x/m over the
+    deflated matrix) without colliding with the first (v/w/n over cov).
+    The SQL body is byte-identical per round to the q_emb_top_eigvec
+    chain — one generator, two instantiations."""
+    parts = []
     for k in range(_PI_ITERS):
         parts.append(
-            f"""w{k} AS MATERIALIZED (
-      SELECT cov.i AS pos,
-             CAST(SUM(CAST(FLOOR(cov.c * v.val * {_PI_SCALE} + 0.5)
+            f"""{wp}{k} AS MATERIALIZED (
+      SELECT {mat}.i AS pos,
+             CAST(SUM(CAST(FLOOR({mat}.c * v.val * {_PI_SCALE} + 0.5)
                            AS BIGINT)) AS DOUBLE) / {_PI_SCALE} AS w
-      FROM cov JOIN v{k} v ON v.pos = cov.j
-      GROUP BY cov.i),
-    n{k} AS MATERIALIZED (
+      FROM {mat} JOIN {vp}{k} v ON v.pos = {mat}.j
+      GROUP BY {mat}.i),
+    {np_}{k} AS MATERIALIZED (
       SELECT sqrt(CAST(SUM(CAST(FLOOR(w * w * {_PI_SCALE} + 0.5)
                                AS BIGINT)) AS DOUBLE) / {_PI_SCALE}) AS nrm
-      FROM w{k}),
-    v{k + 1} AS MATERIALIZED (
+      FROM {wp}{k}),
+    {vp}{k + 1} AS MATERIALIZED (
       SELECT pos,
              CAST(FLOOR(w / nrm * {_COV_SCALE} + 0.5) AS DOUBLE)
                / {_COV_SCALE} AS val
-      FROM w{k} CROSS JOIN n{k})"""
+      FROM {wp}{k} CROSS JOIN {np_}{k})"""
         )
     return parts
 
@@ -2048,8 +2060,17 @@ def _power_iterate(spark: SparkSession, sf_dir: str):
     then _PI_ITERS quantized matvec+renormalize rounds. Returns the
     final unit vector ``v`` as a d-row (pos, val) frame plus the 1-row
     ``lam`` (nrm) frame — both d-bounded, never corpus-sized. Shared
-    by q_emb_top_eigvec (readout) and q_emb_remove_top_pc (per-vector
-    projection removal) so the two can never iterate differently."""
+    by q_emb_top_eigvec (readout), q_emb_remove_top_pc (per-vector
+    projection removal) and q_emb_pca2 (deflation) so the consumers
+    can never iterate differently."""
+    cov, v0 = _build_cov(spark, sf_dir)
+    return _pi_rounds(cov, v0)
+
+
+def _build_cov(spark: SparkSession, sf_dir: str):
+    """The one-pass partial-Gram covariance build plus the deterministic
+    all-positive unit start vector v₀ = 1/√d. Corpus contact: ONE
+    mapInPandas pass; everything returned is d-bounded."""
     e = load_table(spark, sf_dir, "embeddings").select(
         F.expr("transform(embedding, x -> cast(x as double))").alias("e")
     )
@@ -2081,11 +2102,21 @@ def _power_iterate(spark: SparkSession, sf_dir: str):
         )
     ).localCheckpoint()
     d = cov.agg((F.max("i") + 1).alias("d")).collect()[0]["d"]  # bounded scalar
-    v = cov.select("i").distinct().select(
+    v0 = cov.select("i").distinct().select(
         F.col("i").alias("pos"), F.lit(1.0 / (d ** 0.5)).alias("val")
     )
+    return cov, v0
+
+
+def _pi_rounds(cov: DataFrame, v0: DataFrame, iters: int = _PI_ITERS):
+    """``iters`` quantized matvec+renormalize rounds over a (i, j, c)
+    matrix frame from a (pos, val) start vector — the exact loop body
+    q_emb_top_eigvec verified, factored so q_emb_pca2 can run it a
+    second time on the DEFLATED matrix. Every reduction quantizes
+    per-term to int64; the vector re-quantizes to 10⁻⁹ per round."""
+    v = v0
     nrm = None
-    for _ in range(_PI_ITERS):
+    for _ in range(iters):
         w = (
             cov.join(v, cov["j"] == v["pos"])
             .groupBy(cov["i"].alias("pos"))
@@ -2795,4 +2826,132 @@ def q_emb_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz("proj", 6).alias("pc1_proj"),
         F.round("nb", 6).alias("norm_before"),
         F.round("na", 6).alias("norm_after"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_emb_pca2 (r12): two-component PCA projection via DEFLATION — the
+# 2-D corpus map (cluster plots, drift dashboards, outlier triage)
+# every embedding-health pipeline ends at. Composes the verified power
+# iteration with a rank-1 deflation and a second, identical iteration.
+# --------------------------------------------------------------------------
+
+
+def _pca2_oracle() -> str:
+    """DuckDB oracle for q_emb_pca2: the shared chain to v₁ (v6/n5),
+    rank-1 deflation C′ = C − λ₁·v₁v₁ᵀ (single identical IEEE
+    expression per cell — λ₁, v₁ components and C entries are already
+    bit-identical cross-engine), a SECOND unrolled chain (u/x/m
+    prefixes) from the same v₀, then both per-vector projections with
+    the per-term int64 quantization."""
+    parts = _eigvec_parts()
+    last_n = f"n{_PI_ITERS - 1}"
+    parts.append(
+        f"""cov2 AS MATERIALIZED (
+      SELECT cov.i, cov.j,
+             cov.c - {last_n}.nrm * vi.val * vj.val AS c
+      FROM cov
+      JOIN v{_PI_ITERS} vi ON vi.pos = cov.i
+      JOIN v{_PI_ITERS} vj ON vj.pos = cov.j
+      CROSS JOIN {last_n}),
+    u0 AS MATERIALIZED (SELECT pos, val FROM v0)"""
+    )
+    parts.extend(_pi_chain_parts("cov2", "u", "x", "m"))
+    parts.append(
+        f"""proj2 AS MATERIALIZED (
+      SELECT ex.vec_id,
+             CAST(SUM(CAST(FLOOR(ex.x * a.val * {_PI_SCALE} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {_PI_SCALE} AS pc1,
+             CAST(SUM(CAST(FLOOR(ex.x * b.val * {_PI_SCALE} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {_PI_SCALE} AS pc2
+      FROM ex
+      JOIN v{_PI_ITERS} a ON a.pos = ex.pos
+      JOIN u{_PI_ITERS} b ON b.pos = ex.pos
+      GROUP BY ex.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT vec_id,
+           (round(pc1, 6) + 0.0) AS pc1,
+           (round(pc2, 6) + 0.0) AS pc2
+    FROM proj2
+    """
+    )
+
+
+@register("q_emb_pca2", oracle=_pca2_oracle())
+def q_emb_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component PCA coordinates per vector — v₁ from the verified
+    power iteration, v₂ from the SAME iteration run on the rank-1
+    deflated covariance C′ = C − λ₁·v₁v₁ᵀ (classic Hotelling
+    deflation; C′'s dominant direction is C's second). Output
+    (vec_id, pc1, pc2): the 2-D corpus map behind embedding drift
+    dashboards, cluster scatter plots, and eyeball outlier triage.
+
+    Scale shape (100 TB): the corpus is touched exactly twice — the
+    one-pass partial-Gram build (shared, d²-bounded shuffle) and the
+    per-vector projection, which folds in-row against BOTH eigvecs
+    broadcast as one-row arrays (the q_emb_remove_top_pc discipline —
+    no vec_id shuffle, no repartition). The deflation itself is a
+    d²-row broadcast-scale join; both iteration chains are
+    corpus-free. Adding components is linear in this d²-bounded work
+    (deflate again), never in corpus passes.
+
+    Determinism: λ₁, v₁ and every C entry are bit-identical
+    cross-engine (the proven chain), so each deflated cell is ONE
+    identical IEEE expression (c − λ·vᵢ·vⱼ, left-associated
+    identically in both engines); chain 2 then re-quantizes per round
+    exactly like chain 1 (shared generator on the oracle side, shared
+    ``_pi_rounds`` on the Spark side). Projections are exact int64
+    sums of floor(x·v·10¹²) terms; rounded through rz() (either
+    coordinate can be a tiny negative)."""
+    cov, v0 = _build_cov(spark, sf_dir)
+    v1, lam1 = _pi_rounds(cov, v0)
+    vi = v1.select(F.col("pos").alias("i"), F.col("val").alias("vi"))
+    vj = v1.select(F.col("pos").alias("j"), F.col("val").alias("vj"))
+    cov2 = (
+        cov.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .crossJoin(lam1)
+        .select(
+            "i",
+            "j",
+            (
+                F.col("c") - F.col("nrm") * F.col("vi") * F.col("vj")
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    v2, _ = _pi_rounds(cov2, v0)
+
+    def _arr(vdf: DataFrame, name: str) -> DataFrame:
+        return vdf.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("s")
+        ).select(F.expr("transform(s, t -> t.val)").alias(name))
+
+    def _qdot(earr: str, varr: str) -> Column:
+        return (
+            F.aggregate(
+                F.zip_with(earr, varr, lambda x, w: x * w),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc
+                + F.floor(t * _PI_SCALE + F.lit(0.5)).cast("bigint"),
+            ).cast("double")
+            / F.lit(float(_PI_SCALE))
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(_arr(v1, "v1_arr")))
+        .crossJoin(F.broadcast(_arr(v2, "v2_arr")))
+        .select(
+            "vec_id",
+            rz(_qdot("e", "v1_arr"), 6).alias("pc1"),
+            rz(_qdot("e", "v2_arr"), 6).alias("pc2"),
+        )
     )

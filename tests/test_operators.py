@@ -2692,3 +2692,44 @@ def test_asof_nearest_picks_minimal_absolute_gap(spark):
             assert abs(r["gap_us"]) <= tol_us
         else:
             assert r["gap_us"] is None
+
+
+def test_pca2_deflation_yields_orthogonal_second_component(spark):
+    """q_emb_pca2's kill conditions: (a) pc1 must equal
+    q_emb_remove_top_pc's pc1_proj per vector (both project onto the
+    SAME v₁ — a drifted chain or a different quantization breaks the
+    composition); (b) the two components must come from (near-)
+    orthogonal directions, verified in data space: corpus variance
+    along pc1 ≥ along pc2 (v₁ is the DOMINANT direction; a failed
+    deflation that re-converges chain 2 onto v₁ would make the
+    variances equal AND the coordinates identical — also killed by
+    (c) pc1 ≠ pc2 somewhere); (d) Σ pc1·pc2 over the corpus ≈ n·⟨v₁,
+    Σxxᵀ v₂⟩'s cross-term, small relative to the pc1 energy for
+    orthogonal directions."""
+    from copy_databasetables_spark.operators import all_queries
+
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    pca = {r["vec_id"]: r for r in qs["q_emb_pca2"](spark, SF_SMOKE).collect()}
+    rem = {
+        r["vec_id"]: r
+        for r in qs["q_emb_remove_top_pc"](spark, SF_SMOKE).collect()
+    }
+    # (a) composition consistency — same v1, same quantization
+    for vid, r in rem.items():
+        assert abs(pca[vid]["pc1"] - r["pc1_proj"]) <= 2e-6, (vid, r)
+    n = len(pca)
+    m1 = sum(r["pc1"] for r in pca.values()) / n
+    m2 = sum(r["pc2"] for r in pca.values()) / n
+    var1 = sum((r["pc1"] - m1) ** 2 for r in pca.values()) / n
+    var2 = sum((r["pc2"] - m2) ** 2 for r in pca.values()) / n
+    assert var1 >= var2 * 0.999, (var1, var2)  # (b) dominance ordering
+    assert any(
+        abs(r["pc1"] - r["pc2"]) > 1e-4 for r in pca.values()
+    )  # (c) chain 2 didn't re-converge onto v1
+    # (d) centered cross-moment small vs the pc1 energy
+    cross = sum(
+        (r["pc1"] - m1) * (r["pc2"] - m2) for r in pca.values()
+    ) / n
+    assert abs(cross) <= 0.25 * var1, (cross, var1, var2)

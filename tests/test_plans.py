@@ -950,3 +950,16 @@ def test_remove_top_pc_transform_is_in_row(spark):
     assert "RoundRobinPartitioning" not in p
     assert "zip_with" in p
     assert "BroadcastExchange" in p
+
+
+def test_pca2_projection_is_in_row_both_eigvecs_broadcast(spark):
+    """q_emb_pca2's per-vector leg: both eigvecs return as one-row
+    broadcast arrays and the two projections fold in-row — no vec_id
+    exchange, no repartition round-trip (the Gram build's (i,j)
+    exchange sits behind the checkpoint boundary, as in
+    q_emb_remove_top_pc)."""
+    p = plan(all_queries()["q_emb_pca2"](spark, SF_SMOKE))
+    assert "hashpartitioning(vec_id" not in p
+    assert "RoundRobinPartitioning" not in p
+    assert "zip_with" in p
+    assert p.count("BroadcastExchange") >= 2  # v1_arr + v2_arr rows

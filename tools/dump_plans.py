@@ -117,6 +117,7 @@ SCALE_REPS = [
     "q_sample_reservoir",
     "q_agg_winsorize",
     "q_join_asof_nearest",
+    # (q_emb_pca2 is a HEADLINE row — its note attaches there)
 ]
 
 NOTES.update(
@@ -279,6 +280,15 @@ NOTES.update(
             "2-value-per-group discrete-percentile thresholds come back "
             "as a BroadcastHashJoin, so the clip itself is map-side — "
             "never a second sort-merge pass over the fact."
+        ),
+        "q_emb_pca2": (
+            "Two-component PCA by deflation: the corpus appears in the "
+            "one-pass Gram build and once in the per-vector projection "
+            "(both eigvecs broadcast as one-row arrays, projections "
+            "fold in-row — no vec_id exchange); the deflation and both "
+            "iteration chains are d²-bounded joins behind checkpoint "
+            "boundaries (tests/test_plans.py::"
+            "test_pca2_projection_is_in_row_both_eigvecs_broadcast)."
         ),
         "q_join_asof_nearest": (
             "Two-sided banded as-of: the ±tolerance predicate bounds "
