@@ -2108,12 +2108,17 @@ def _build_cov(spark: SparkSession, sf_dir: str):
     return cov, v0
 
 
-def _pi_rounds(cov: DataFrame, v0: DataFrame, iters: int = _PI_ITERS):
+def _pi_rounds(cov: DataFrame, v0: DataFrame, iters: int | None = None):
     """``iters`` quantized matvec+renormalize rounds over a (i, j, c)
     matrix frame from a (pos, val) start vector — the exact loop body
     q_emb_top_eigvec verified, factored so q_emb_pca2 can run it a
     second time on the DEFLATED matrix. Every reduction quantizes
-    per-term to int64; the vector re-quantizes to 10⁻⁹ per round."""
+    per-term to int64; the vector re-quantizes to 10⁻⁹ per round.
+    ``iters`` resolves the module-level _PI_ITERS at CALL time (not a
+    def-time default) so the oracle-sensitivity mutation pin still
+    binds the constant."""
+    if iters is None:
+        iters = _PI_ITERS
     v = v0
     nrm = None
     for _ in range(iters):
