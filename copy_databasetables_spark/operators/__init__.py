@@ -73,13 +73,13 @@ _loaded = False
 #: indexes/triggers, corpus drift, quality cascade), listed sorted. That
 #: is 49 explicit slots; slot 50 is ``q_sim_topk_whitened`` (the
 #: whitening×retrieval composition, VERDICT r11 item 6) — pinned
-#: EXPLICITLY because the six FURTHER r12-new keys (q_sim_ivf_pq,
-#: q_emb_remove_top_pc, q_emb_pca2, q_sample_reservoir,
-#: q_agg_winsorize, q_join_asof_nearest) also land in
-#: ``_window_order``'s never-checked middle bucket, whose registration
-#: order would otherwise let q_agg_winsorize displace the whitened-topk
-#: key from the window.
-#: Those six queue at positions 51-56 (outside the driver's 50): all
+#: EXPLICITLY because the seven FURTHER r12-new keys (q_sim_ivf_pq,
+#: q_sim_ivf_pq_rerank, q_emb_remove_top_pc, q_emb_pca2,
+#: q_sample_reservoir, q_agg_winsorize, q_join_asof_nearest) also land
+#: in ``_window_order``'s never-checked middle bucket, whose
+#: registration order would otherwise let q_agg_winsorize displace the
+#: whitened-topk key from the window.
+#: Those seven queue at positions 51-57 (outside the driver's 50): all
 #: entered green at 3 SFs + shuffle-5 under the local full gate, and
 #: their driver attestation fronts in r13 — the same new-key cadence
 #: every earlier round used. After r12 lands green, no pre-r12 registry

@@ -2960,3 +2960,146 @@ def q_emb_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz(_qdot("e", "v2_arr"), 6).alias("pc2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_ivf_pq_rerank (r12): IVFPQ + exact re-rank of the PQ top-R —
+# the FAISS "refine" stage that closes the IVFPQ recall story (codes
+# select candidates cheaply; full-precision vectors decide the final k).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_ivf_pq_rerank",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
+    {_PQ_SUBS_SQL},
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                           c.cid ASC) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, e AS pe,
+                 sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS pn
+          FROM v WHERE {_PROBE_FILTER}),
+    approx AS (
+      SELECT p.probe_id, m.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_dot_product(p.pe, n.d)
+                                         / (p.pn * n.nrm) DESC,
+                                         m.vec_id ASC) AS rpq
+      FROM p
+      JOIN assign pa ON pa.vec_id = p.probe_id
+      JOIN assign m  ON m.cid = pa.cid AND m.vec_id <> p.probe_id
+      JOIN n         ON n.vec_id = m.vec_id),
+    cand AS (SELECT probe_id, neighbor_id FROM approx
+             WHERE rpq <= {_PQ_RERANK_R}),
+    rescored AS (
+      SELECT c.probe_id, c.neighbor_id,
+             list_cosine_similarity(p.pe, nv.e) AS cos_raw,
+             row_number() OVER (PARTITION BY c.probe_id
+                                ORDER BY list_cosine_similarity(p.pe, nv.e)
+                                         DESC, c.neighbor_id ASC) AS rank_pos
+      FROM cand c
+      JOIN p ON p.probe_id = c.probe_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id)
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
+    FROM rescored WHERE rank_pos <= {_IVF_K}
+    """,
+)
+def q_sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN pipeline in one plan — FAISS
+    IVFPQ+refine: probe its coarse cell, rank the cell's members by
+    asymmetric-PQ code distance (8-byte codes — the cheap pass), keep
+    the top ``_PQ_RERANK_R``, then re-score ONLY those against the
+    full-precision vectors and return the exact-cosine top
+    ``_IVF_K``. The refine stage is what makes PQ's recall floor
+    acceptable in production: the final ranking is exact over the
+    candidate set, so PQ noise can only cost recall when the true
+    neighbor falls outside the PQ top-R — and R is the knob.
+
+    Scale shape (100 TB): identical index halves to q_sim_ivf_pq
+    (broadcast centroids + broadcast codebook, both persist at
+    production); the refine adds ONE more bounded join — R·|probes|
+    candidate ids against the full-precision corpus — so the
+    expensive vectors are fetched for R rows per probe, never the
+    cell. This is exactly the I/O asymmetry FAISS's refine exploits:
+    codes stay resident (8 B/vector), full vectors page in only for
+    re-ranked candidates. Determinism: PQ ranking tie-breaks
+    (code-distance, vec_id); the rescore is exact cosine with the
+    q_sim_pq_rerank discipline; output rounds at 4dp through rz()."""
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v)
+    assign = _ivf_assign(v, c)
+    npq = _pq_index(v)
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    pw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probe_cell = (
+        p.crossJoin(F.broadcast(c))
+        .withColumn("cos_c", _cosine_pre("pe", "ce", "pn", "cn"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select("probe_id", "pe", "pn", "cid")
+    )
+    cell_members = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ncid")
+    ).join(
+        npq.select(F.col("vec_id").alias("neighbor_id"), "d", "nrm"),
+        "neighbor_id",
+    )
+    aw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_pq").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        F.broadcast(probe_cell)
+        .join(
+            cell_members,
+            (F.col("ncid") == F.col("cid"))
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            "pe",
+            "pn",
+            "neighbor_id",
+            _cosine_pre("pe", "d", "pn", "nrm").alias("cos_pq"),
+        )
+        .withColumn("rpq", F.row_number().over(aw))
+        .where(F.col("rpq") <= _PQ_RERANK_R)
+        .select("probe_id", "pe", "pn", "neighbor_id")
+    )
+    nv = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(nv, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine_pre("pe", "ne", "pn", "nn").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(rw))
+        .where(F.col("rank_pos") <= _IVF_K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            rz("cos_raw", 4).alias("cosine"),
+            "rank_pos",
+        )
+    )

@@ -2733,3 +2733,51 @@ def test_pca2_deflation_yields_orthogonal_second_component(spark):
         (r["pc1"] - m1) * (r["pc2"] - m2) for r in pca.values()
     ) / n
     assert abs(cross) <= 0.25 * var1, (cross, var1, var2)
+
+
+def test_ivf_pq_rerank_rescores_exactly_within_cell(spark):
+    """q_sim_ivf_pq_rerank's refine contract: (a) neighbors stay in
+    the probe's cell; (b) the FINAL cosines are the EXACT
+    full-precision cosines (recomputed in Python) — a refine stage
+    that leaked PQ-decoded scores into the output would differ;
+    (c) somewhere the refined ranking order or scores differ from the
+    pure-PQ q_sim_ivf_pq row (rescoring must actually happen)."""
+    import math
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _centroids,
+        _ivf_assign,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    out = qs["q_sim_ivf_pq_rerank"](spark, SF_SMOKE).collect()
+    assert out, "refined ivf_pq returned nothing"
+    v = _vecs(spark, SF_SMOKE)
+    cell = {
+        r["vec_id"]: r["cid"]
+        for r in _ivf_assign(v, _centroids(v)).collect()
+    }
+    vecs = {r["vec_id"]: r["e"] for r in v.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    for r in out:
+        assert cell[r["neighbor_id"]] == cell[r["probe_id"]]
+        exact = cos(vecs[r["probe_id"]], vecs[r["neighbor_id"]])
+        assert abs(r["cosine"] - exact) <= 6e-4, (r, exact)  # 4dp + ulp
+    pq = {
+        (r["probe_id"], r["rank_pos"]): (r["neighbor_id"], r["cosine"])
+        for r in qs["q_sim_ivf_pq"](spark, SF_SMOKE).collect()
+    }
+    ref = {
+        (r["probe_id"], r["rank_pos"]): (r["neighbor_id"], r["cosine"])
+        for r in out
+    }
+    assert ref != pq, "refine output identical to pure PQ — no rescoring"

@@ -86,6 +86,7 @@ MUTATIONS = [
     (aggregates, "_WINSOR_HI_PCT", 90, "q_agg_winsorize"),
     (joins, "_NEAREST_TOL_HOURS", 6, "q_join_asof_nearest"),
     (similarity, "_PQ_K", 8, "q_sim_ivf_pq"),
+    (similarity, "_PQ_RERANK_R", 5, "q_sim_ivf_pq_rerank"),
 ]
 
 
