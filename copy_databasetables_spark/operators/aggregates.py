@@ -1065,7 +1065,7 @@ _WINSOR_HI_PCT = 95
 )
 def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization per group: every event's value is clipped to its
-    event_type's [p{_WINSOR_LO_PCT}, p{_WINSOR_HI_PCT}] band — the
+    event_type's [p5, p95] band (_WINSOR_LO_PCT/_WINSOR_HI_PCT) — the
     standard robust-cleaning transform before any mean/variance-based
     downstream (a handful of 490.0 outliers in a 0.01-median metric
     move the mean by orders of magnitude; winsorizing bounds their

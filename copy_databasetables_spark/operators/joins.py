@@ -724,7 +724,7 @@ _NEAREST_TOL_HOURS = 72
 def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join: for each purchase, the signup CLOSEST in
     time by the same user — before OR after — within a two-sided
-    ±{_NEAREST_TOL_HOURS}h tolerance (pandas ``merge_asof(direction=
+    ±72h (_NEAREST_TOL_HOURS) tolerance (pandas ``merge_asof(direction=
     'nearest', tolerance=...)``). The semantics sensor/feature
     alignment needs when the reference stream can lag OR lead the
     fact stream; purchases with no signup in the band survive with

@@ -2660,6 +2660,8 @@ def test_asof_nearest_picks_minimal_absolute_gap(spark):
     with the smallest |ts gap| within the ±_NEAREST_TOL_HOURS band
     (ties → earlier signup, then event_id), NULL when the band is
     empty — and the signed gap_us is exact integer microseconds."""
+    from datetime import datetime, timedelta
+
     from copy_databasetables_spark.operators import all_queries
     from copy_databasetables_spark.operators.joins import (
         _NEAREST_TOL_HOURS,
@@ -2671,7 +2673,13 @@ def test_asof_nearest_picks_minimal_absolute_gap(spark):
     ev = load_table(spark, SF_SMOKE, "events").collect()
     sign = [r for r in ev if r["event_type"] == "signup"]
     tol_us = _NEAREST_TOL_HOURS * 3600 * 1_000_000
-    us = lambda ts: int(ts.timestamp() * 1_000_000)  # noqa: E731
+    # Integer arithmetic against a fixed UTC epoch (ADVICE r12): the
+    # engine's session TZ is pinned UTC, so naive driver-side datetimes
+    # are UTC wall-clock; .timestamp() would reinterpret them in the
+    # HOST's local zone and the float multiply truncates at .5-µs
+    # boundaries — both environment-sensitive.
+    _epoch = datetime(1970, 1, 1)
+    us = lambda ts: (ts - _epoch) // timedelta(microseconds=1)  # noqa: E731
 
     expect = {}
     for p in (r for r in ev if r["event_type"] == "purchase"):
