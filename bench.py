@@ -473,7 +473,44 @@ def main() -> None:
     os.write(2, log)
     n_winwarn = log.count(b"WindowExec")
     payload["windowexec_warnings"] = n_winwarn
-    print(json.dumps(payload))
+
+    # The external driver records only the LAST ~2000 chars of stdout
+    # (BENCH_r12.json: `tail` is exactly 2000 chars, `parsed` null —
+    # the full payload line had outgrown the capture and the first ~5
+    # headline rows were lost to cross-round diffs). So: the full
+    # payload goes to BENCH_FULL.json beside this script (committed,
+    # diffable), and stdout gets ONE compact line holding the complete
+    # per-query map plus the spec fields, kept under the capture budget
+    # by shedding the non-spec sub-blocks (protocol/skew_ab/jdbc_copy
+    # live in the side file and BASELINE.md).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    essential_keys = [
+        "metric", "value", "unit", "queries", "runs", "sf",
+        "calibration_sec", "calibration_shuffle_sec",
+        "windowexec_warnings",
+    ]
+    compact = {k: payload[k] for k in essential_keys if k in payload}
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and len(essential_keys) > 5:
+        # never drop the five spec fields; shed trailing extras first
+        dropped = essential_keys.pop()
+        if dropped in ("metric", "value", "unit", "queries", "sf"):
+            break
+        compact.pop(dropped, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        print(
+            f"BENCH LINE OVER BUDGET: {len(line)} chars — the driver's "
+            "2000-char tail capture will truncate it; trim HEADLINE or "
+            "shorten keys",
+            file=sys.stderr,
+        )
+    print(line)
     if n_winwarn:
         print(
             f"BENCH TAIL DIRTY: {n_winwarn} WindowExec warning(s) in the "

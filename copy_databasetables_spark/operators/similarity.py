@@ -993,11 +993,15 @@ _PQ_SUBS_SQL = f"""
 """
 
 
-def _pq_index(v: DataFrame) -> DataFrame:
-    """The PQ index side shared by q_sim_pq and q_sim_pq_rerank: encode
-    every vector (bounded codebook broadcast + per-(vec, subspace)
-    window argmin), decode to the reconstruction, precompute its norm.
-    At 100 TB this runs once at index build and persists 8-byte codes."""
+def _pq_parts(v: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PQ index-build halves, separated so the persisted variant can
+    write each as its own production artifact: the subspace codebook
+    (``code_id, m, cw`` — a CONSTANT _PQ_M·_PQ_K = 256 rows) and the
+    codes (``vec_id, m, code_id`` — the 4-bit-id-per-subspace encoding
+    that is the ONLY corpus-sized thing a PQ index keeps resident,
+    8 bytes/vector at production bit-packing). Encoding is a bounded
+    codebook broadcast + per-(vec, subspace) window argmin with the
+    (distance, code_id) deterministic tie-break."""
     sub = (
         f"transform(sequence(0, {_PQ_M - 1}), "
         f"m -> struct(m AS m, slice({{col}}, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
@@ -1040,20 +1044,44 @@ def _pq_index(v: DataFrame) -> DataFrame:
         .withColumn("d2", d2)
         .withColumn("rn", F.row_number().over(enc_w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "m", "cw")
+        .select("vec_id", "m", "code_id")
     )
-    dec = codes.groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "cw"))),
-                lambda s: s.cw,
-            )
-        ).alias("d")
+    return sub_cb, codes
+
+
+def _pq_decode(codes: DataFrame, sub_cb: DataFrame) -> DataFrame:
+    """Decode PQ codes to per-vector reconstructions ``(vec_id, d,
+    nrm)`` — codes join the BROADCAST codebook on (m, code_id) (the
+    production decode: the codebook is a constant-size table resident
+    on every executor; no corpus-sized side ever broadcasts), subspace
+    words concatenate in m order, and zero-reconstruction vectors drop
+    exactly as zero-norm raw vectors do in _vecs."""
+    dec = (
+        codes.join(F.broadcast(sub_cb), ["m", "code_id"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cw"))),
+                    lambda s: s.cw,
+                )
+            ).alias("d")
+        )
     )
     return dec.withColumn(
         "nrm",
         F.sqrt(F.aggregate(F.col("d"), F.lit(0.0), lambda a, x: a + x * x)),
     ).where(F.col("nrm") > 0.0)
+
+
+def _pq_index(v: DataFrame) -> DataFrame:
+    """The PQ index side shared by q_sim_pq and q_sim_pq_rerank: encode
+    every vector (bounded codebook broadcast + per-(vec, subspace)
+    window argmin), decode to the reconstruction, precompute its norm.
+    At 100 TB this runs once at index build and persists 8-byte codes
+    (q_sim_ivf_pq_persisted is that split executed)."""
+    sub_cb, codes = _pq_parts(v)
+    return _pq_decode(codes, sub_cb)
 
 
 @register(
@@ -2645,9 +2673,11 @@ def q_sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "q_sim_ivf_pq",
-    oracle=f"""
+#: shared by q_sim_ivf_pq and q_sim_ivf_pq_persisted — the persisted
+#: variant is value-identical by construction (same centroids, same
+#: codebooks, same deterministic argmins; only a parquet round-trip of
+#: the three index artifacts in between), which sharing one oracle pins.
+_IVF_PQ_ORACLE = f"""
     WITH v AS ({_V_SQL}),
     c AS ({_C_SQL}),
     {_PQ_SUBS_SQL},
@@ -2676,34 +2706,15 @@ def q_sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN n         ON n.vec_id = m.vec_id)
     SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
     FROM scored WHERE rank_pos <= {_IVF_K}
-    """,
-)
-def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ composed — the FAISS-IVFPQ production layout: corpus
-    vectors coarse-quantize to their nearest of the fixed
-    ``_IVF_MAX_CENTROIDS`` cells (full-precision assignment at index
-    build, exactly ``_ivf_assign``), and WITHIN the probed cell the
-    ranking is asymmetric-PQ (full-precision probe against the
-    PQ-decoded member reconstruction, exactly ``_pq_index``). Both
-    halves already exist as verified singles (q_sim_ivf, q_sim_pq);
-    this op proves the composition — the point of IVFPQ is that the
-    two bounds MULTIPLY: the cell bounds the candidate scan to n/K
-    vectors and PQ bounds their resident bytes to 8/vector, so a
-    10B-vector index fits a cluster's memory AND each probe touches
-    1/K of it. At 100 TB both index halves build once and persist
-    (q_sim_ivf_persisted shows the read-back path); per query batch
-    the plan is: broadcast K centroids (probe→cell), broadcast the
-    64-row codebook, one equi-join on cell id, per-probe top-k window.
-    Recall on this synthetic i.i.d. corpus compounds the two halves'
-    documented floors (IVF cell miss × PQ noise-floor ~0.26@5); the
-    production levers (trained codebooks, nprobe>1, exact re-rank of
-    the PQ top-R — q_sim_pq_rerank) change recall, not plan shape.
-    Determinism: argmin/ranking tie-break on cid / code_id / vec_id
-    everywhere; cosines round to 4dp through rz()."""
-    v = _vecs(spark, sf_dir)
-    c = _centroids(v)
-    assign = _ivf_assign(v, c)
-    npq = _pq_index(v)
+    """
+
+
+def _ivf_pq_search(v: DataFrame, c: DataFrame, assign: DataFrame, npq: DataFrame) -> DataFrame:
+    """The IVFPQ query-time plan shared by q_sim_ivf_pq (in-plan index)
+    and q_sim_ivf_pq_persisted (index read back from parquet): probe →
+    nearest cell via the broadcast centroid table, one equi-join on
+    cell id against the (assignment ⋈ PQ-reconstruction) members,
+    per-probe asymmetric-PQ top-k window."""
     p = v.where(_PROBE_FILTER).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
@@ -2749,6 +2760,78 @@ def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_pos",
         )
     )
+
+
+@register("q_sim_ivf_pq", oracle=_IVF_PQ_ORACLE)
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the FAISS-IVFPQ production layout: corpus
+    vectors coarse-quantize to their nearest of the fixed
+    ``_IVF_MAX_CENTROIDS`` cells (full-precision assignment at index
+    build, exactly ``_ivf_assign``), and WITHIN the probed cell the
+    ranking is asymmetric-PQ (full-precision probe against the
+    PQ-decoded member reconstruction, exactly ``_pq_index``). Both
+    halves already exist as verified singles (q_sim_ivf, q_sim_pq);
+    this op proves the composition — the point of IVFPQ is that the
+    two bounds MULTIPLY: the cell bounds the candidate scan to n/K
+    vectors and PQ bounds their resident bytes to 8/vector, so a
+    10B-vector index fits a cluster's memory AND each probe touches
+    1/K of it. At 100 TB both index halves build once and persist
+    (q_sim_ivf_persisted shows the read-back path); per query batch
+    the plan is: broadcast K centroids (probe→cell), broadcast the
+    64-row codebook, one equi-join on cell id, per-probe top-k window.
+    Recall on this synthetic i.i.d. corpus compounds the two halves'
+    documented floors (IVF cell miss × PQ noise-floor ~0.26@5); the
+    production levers (trained codebooks, nprobe>1, exact re-rank of
+    the PQ top-R — q_sim_pq_rerank) change recall, not plan shape.
+    Determinism: argmin/ranking tie-break on cid / code_id / vec_id
+    everywhere; cosines round to 4dp through rz()."""
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v)
+    assign = _ivf_assign(v, c)
+    npq = _pq_index(v)
+    return _ivf_pq_search(v, c, assign, npq)
+
+
+@register("q_sim_ivf_pq_persisted", oracle=_IVF_PQ_ORACLE)
+def q_sim_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_ivf_pq's index build split out and PERSISTED — the
+    amortized-materialization deployment the in-plan variant cannot be
+    at scale (VERDICT r12 item 3: SCALE.md measured the in-plan ⌈√n⌉-K
+    build at ~45 min for 2M vectors; at 10B vectors the build MUST be
+    a one-time artifact, never per-query work). The build writes the
+    three production IVFPQ artifacts to parquet exactly as
+    q_sim_ivf_kscaled_persisted stages its inverted index:
+
+    - ``assign/``   — the coarse inverted index (vec_id, cid); at real
+      scale written partitionBy(cid) so each probe prunes to one
+      cell's files;
+    - ``codebook/`` — the _PQ_M·_PQ_K = 256-row subspace codebook
+      (code_id, m, cw), a constant-size table broadcast at decode;
+    - ``codes/``    — (vec_id, m, code_id): the ONLY corpus-sized
+      artifact, 16 four-bit ids = 8 bytes/vector bit-packed — the 32×
+      memory cut that lets a 10B-vector index stay cluster-resident.
+
+    The search leg reads all three back and runs the exact
+    q_sim_ivf_pq query plan against storage (decode = codes ⋈
+    broadcast codebook, then _ivf_pq_search) — so any query batch
+    thereafter pays only the O(batch·n/K) probe, never the O(n·K)
+    assignment or the O(n·M·K) encoding. Values are identical to
+    q_sim_ivf_pq by construction (same centroids, same codebooks, same
+    deterministic argmins), which the shared oracle pins — a
+    round-trip that corrupted one code would hash-red."""
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v)
+    path = _ivf_index_path(sf_dir)
+    _ivf_assign(v, c).write.mode("overwrite").parquet(f"{path}/assign")
+    sub_cb, codes = _pq_parts(v)
+    sub_cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    assign = spark.read.parquet(f"{path}/assign")
+    npq = _pq_decode(
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebook"),
+    )
+    return _ivf_pq_search(v, c, assign, npq)
 
 
 # --------------------------------------------------------------------------

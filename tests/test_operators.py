@@ -1615,6 +1615,64 @@ def test_ivf_kscaled_persisted_matches_kscaled_and_survives_rebuild(spark):
     assert got_pending == expect
 
 
+def test_ivf_pq_persisted_matches_in_plan_and_survives_rebuild(spark):
+    """The persisted IVFPQ index (r13) returns exactly the in-plan
+    q_sim_ivf_pq values (same centroids, codebooks, argmins — only a
+    parquet round-trip of assign/codebook/codes in between), and an
+    earlier persisted result still evaluates correctly AFTER a later
+    call has built its own index (per-call index paths, no shared-path
+    overwrite)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    pending = qs["q_sim_ivf_pq_persisted"](spark, sf)  # lazy
+    later = qs["q_sim_ivf_pq_persisted"](spark, sf)
+    expect = sorted(
+        [tuple(r) for r in qs["q_sim_ivf_pq"](spark, sf).collect()],
+        key=lambda t: (t[0], t[3]),
+    )
+    got_later = sorted([tuple(r) for r in later.collect()], key=lambda t: (t[0], t[3]))
+    got_pending = sorted(
+        [tuple(r) for r in pending.collect()], key=lambda t: (t[0], t[3])
+    )
+    assert got_later == expect
+    assert got_pending == expect
+
+
+def test_pq_codes_are_compact_ids_not_vectors(spark):
+    """The persisted PQ artifacts must be the PRODUCTION shapes: codes
+    carry (vec_id, m, code_id) — small ints, 8 bytes/vector bit-packed,
+    the only corpus-sized artifact — never decoded float words; the
+    codebook is the constant _PQ_M·_PQ_K table; and decode(codes,
+    codebook) reproduces _pq_index exactly."""
+    from copy_databasetables_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _pq_decode,
+        _pq_index,
+        _pq_parts,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    v = _vecs(spark, SF_SMOKE)
+    sub_cb, codes = _pq_parts(v)
+    assert set(codes.columns) == {"vec_id", "m", "code_id"}
+    assert set(sub_cb.columns) == {"code_id", "m", "cw"}
+    n_cb = sub_cb.count()
+    assert n_cb <= _PQ_M * _PQ_K  # constant-size codebook
+    n_vec = v.count()
+    assert codes.count() == n_vec * _PQ_M  # one code per (vec, subspace)
+    mx = codes.agg({"code_id": "max"}).collect()[0][0]
+    assert mx < _PQ_K  # ids fit 4 bits at _PQ_K=16
+    dec = sorted(
+        tuple(r) for r in _pq_decode(codes, sub_cb).collect()
+    )
+    ref = sorted(tuple(r) for r in _pq_index(v).collect())
+    assert dec == ref
+
+
 def test_ppm_decode_is_a_real_byte_parser(spark):
     """The PGM pipeline's decode stage consumes actual bytes: a valid
     P5 payload round-trips dims and exact pixel sums; a corrupted magic

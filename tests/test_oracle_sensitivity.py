@@ -87,6 +87,8 @@ MUTATIONS = [
     (joins, "_NEAREST_TOL_HOURS", 6, "q_join_asof_nearest"),
     (similarity, "_PQ_K", 8, "q_sim_ivf_pq"),
     (similarity, "_PQ_RERANK_R", 5, "q_sim_ivf_pq_rerank"),
+    # r13 ops — each verified to KILL on sf0.001 on entry:
+    (similarity, "_PQ_K", 8, "q_sim_ivf_pq_persisted"),
 ]
 
 

@@ -938,6 +938,20 @@ def test_ivf_pq_broadcasts_both_index_halves(spark):
     assert p.count("BroadcastExchange") >= 2  # centroids + codebook/probes
 
 
+def test_ivf_pq_persisted_search_reads_all_three_artifacts(spark):
+    """q_sim_ivf_pq_persisted (r13) must search against the PARQUET
+    READ-BACK of the IVFPQ index — assignment, codebook, AND codes all
+    come from storage (three scans under the per-call index path), the
+    decode joins the BROADCAST codebook (constant 256 rows — never a
+    corpus-sized broadcast), the cell-membership join is a cid-keyed
+    hash join, and no cartesian appears anywhere."""
+    p = plan(all_queries()["q_sim_ivf_pq_persisted"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("spark_graft_ivf_index") >= 3  # assign+codebook+codes
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin [cid" in final  # cid equi-join drives members
+
+
 def test_remove_top_pc_transform_is_in_row(spark):
     """q_emb_remove_top_pc's per-vector leg mirrors the whitening plan
     contract: v₁ returns as ONE broadcast array row and the projection/
