@@ -89,6 +89,7 @@ MUTATIONS = [
     (similarity, "_PQ_RERANK_R", 5, "q_sim_ivf_pq_rerank"),
     # r13 ops — each verified to KILL on sf0.001 on entry:
     (similarity, "_PQ_K", 8, "q_sim_ivf_pq_persisted"),
+    (similarity, "_PCA_K", 3, "q_emb_pca_k"),
 ]
 
 

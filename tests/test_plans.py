@@ -977,3 +977,20 @@ def test_pca2_projection_is_in_row_both_eigvecs_broadcast(spark):
     assert "RoundRobinPartitioning" not in p
     assert "zip_with" in p
     assert p.count("BroadcastExchange") >= 2  # v1_arr + v2_arr rows
+
+
+def test_pca_k_projection_is_in_row_all_k_eigvecs_broadcast(spark):
+    """q_emb_pca_k (r13) inherits pca2's projection-leg contract for
+    ALL _PCA_K components: every eigvec returns as a one-row broadcast
+    array and the k projections fold in-row — no vec_id exchange, no
+    repartition round-trip, no cartesian. The block iteration itself
+    (matvec + whole-block GS) sits behind per-round localCheckpoint
+    boundaries, so none of its d-bounded machinery can appear here."""
+    from copy_databasetables_spark.operators.similarity import _PCA_K
+
+    p = plan(all_queries()["q_emb_pca_k"](spark, SF_SMOKE))
+    assert "hashpartitioning(vec_id" not in p
+    assert "RoundRobinPartitioning" not in p
+    assert "CartesianProduct" not in p
+    assert "zip_with" in p
+    assert p.count("BroadcastExchange") >= _PCA_K  # one array row per comp
