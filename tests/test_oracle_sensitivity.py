@@ -90,6 +90,7 @@ MUTATIONS = [
     # r13 ops — each verified to KILL on sf0.001 on entry:
     (similarity, "_PQ_K", 8, "q_sim_ivf_pq_persisted"),
     (similarity, "_PCA_K", 3, "q_emb_pca_k"),
+    (dedup, "_MINIMIZER_W", 6, "q_dedup_substring_minimizer"),
 ]
 
 

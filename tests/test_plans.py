@@ -979,6 +979,22 @@ def test_pca2_projection_is_in_row_both_eigvecs_broadcast(spark):
     assert p.count("BroadcastExchange") >= 2  # v1_arr + v2_arr rows
 
 
+def test_substring_minimizer_selection_is_in_row_no_window(spark):
+    """q_dedup_substring_minimizer's scale contract: winnowing
+    selection happens ENTIRELY IN-ROW (higher-order aggregate over the
+    doc's own span-hash array) — the plan has NO window operator and
+    no per-(doc, window) exchange (the DuckDB oracle's row_number
+    formulation is the oracle's business, not the plan's), and the
+    only Generate nodes explode the ~2m/(w+1) SELECTED hashes, never
+    the full span set. No cartesian anywhere."""
+    p = plan(all_queries()["q_dedup_substring_minimizer"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p  # selection is not a window function
+    # two explode branches (dup-detect + per-doc count), each of the
+    # SELECTED hashes only; formatted plans name each node twice
+    assert p.count("Generate") <= 4
+
+
 def test_pca_k_projection_is_in_row_all_k_eigvecs_broadcast(spark):
     """q_emb_pca_k (r13) inherits pca2's projection-leg contract for
     ALL _PCA_K components: every eigvec returns as a one-row broadcast
