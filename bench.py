@@ -136,6 +136,16 @@ HEADLINE = [
     # gets a tracked row from day one (the r9 heavy-row-blind-spot
     # lesson). Entry band in BASELINE.md §Round-12 continuation.
     "q_emb_pca2",
+    # r13: the four new ops, benched from day one — persisted IVFPQ
+    # (build+persist+read-back+search), k-component block-PI PCA
+    # (benched beside its serial-deflation twin q_emb_pca2), the
+    # winnowing-sampled span dedup (benched beside q_dedup_substring),
+    # and the BLAS projection twin of remove-top-pc (the measured
+    # quantization-constant delta). Entry bands in BASELINE.md §Round-13.
+    "q_sim_ivf_pq_persisted",
+    "q_emb_pca_k",
+    "q_dedup_substring_minimizer",
+    "q_emb_remove_top_pc_fast",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -2917,6 +2917,72 @@ def q_emb_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_emb_remove_top_pc_fast")  # no oracle BY DESIGN: see docstring
+def q_emb_remove_top_pc_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION projection leg q_emb_remove_top_pc's docstring
+    documents, landed as a benched twin (VERDICT r12 item 7): same v₁
+    from the verified power iteration, but the per-vector transform
+    runs as one Arrow-batched mapInPandas doing plain float64 BLAS
+    (E·v₁, rank-1 residual, row norms) — no per-term int64
+    quantization, which exists ONLY to make the cross-engine hash
+    deterministic, never for correctness. Dropping it removes the
+    determinism-quantization constant from the corpus-sized leg (the
+    α₁₀₀ ≈ 0.79 row's linear term); the measured delta is recorded in
+    BASELINE.md §r13.
+
+    Deliberately registered WITHOUT a DuckDB oracle: unquantized
+    float reductions are partition-order dependent in their last
+    ulps, so no SQL mirror can hash-match — the driver records the
+    rows-only check, and the value-level contract is pinned by a
+    pytest tolerance cross-check against the exact twin (every field
+    within 2e-6). v₁ arrives via a d-bounded driver pull (64 rows —
+    the BLAS-probe-cap discipline) and ships to executors in the
+    UDF closure, exactly how a production job would broadcast a
+    constant index artifact."""
+    import numpy as np
+
+    v_eig, _ = _power_iterate(spark, sf_dir)
+    v1 = np.array(
+        [
+            r["val"]
+            for r in sorted(v_eig.collect(), key=lambda r: r["pos"])
+        ],
+        dtype=np.float64,
+    )
+
+    def _leg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            proj = E @ v1
+            R = E - np.outer(proj, v1)
+            nb = np.sqrt((E * E).sum(axis=1))
+            na = np.sqrt((R * R).sum(axis=1))
+            keep = na > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "pc1_proj": np.round(proj[keep], 6) + 0.0,
+                    "norm_before": np.round(nb[keep], 6),
+                    "norm_after": np.round(na[keep], 6),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInPandas(
+        _leg,
+        schema=(
+            "vec_id bigint, pc1_proj double, norm_before double, "
+            "norm_after double"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # q_emb_pca2 (r12): two-component PCA projection via DEFLATION — the
 # 2-D corpus map (cluster plots, drift dashboards, outlier triage)

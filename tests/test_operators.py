@@ -2801,6 +2801,33 @@ def test_pca2_deflation_yields_orthogonal_second_component(spark):
     assert abs(cross) <= 0.25 * var1, (cross, var1, var2)
 
 
+def test_remove_top_pc_fast_matches_exact_within_tolerance(spark):
+    """The BLAS bench twin must be the SAME transform minus the
+    determinism quantization: identical row set (same vec_ids survive
+    the zero-residual filter) and every field within 2e-6 of the
+    exact operator (quantization steps are 1e-12/1e-9; rounding is
+    6dp — disagreement beyond a couple of ulps at 6dp means the twin
+    drifted, e.g. a different v1 or a wrong residual)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    exact = {
+        r["vec_id"]: r
+        for r in qs["q_emb_remove_top_pc"](spark, SF_SMOKE).collect()
+    }
+    fast = {
+        r["vec_id"]: r
+        for r in qs["q_emb_remove_top_pc_fast"](spark, SF_SMOKE).collect()
+    }
+    assert set(fast) == set(exact)
+    for vid, r in fast.items():
+        e = exact[vid]
+        for f in ("pc1_proj", "norm_before", "norm_after"):
+            assert abs(r[f] - e[f]) <= 2e-6, (vid, f, r[f], e[f])
+
+
 def test_substring_minimizer_winnowing_guarantee_and_density(spark):
     """q_dedup_substring_minimizer's contract vs the exact operator
     (VERDICT r12 item 5's recall pin): (a) the WINNOWING GUARANTEE —
