@@ -355,6 +355,117 @@ def ivf_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
     return out
 
 
+def ivfpq_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
+    """Measure the PERSISTED-IVFPQ search leg against a PREBUILT index
+    (VERDICT r12 item 3's α target). Build (unmeasured, amortized):
+    K=⌈√n⌉ coarse centroids persisted as their own table, PQ codebook
+    persisted, and the codes JOINED WITH THEIR CELL ID and written
+    ``partitionBy(cid)`` — the 10B-vector layout where a probe prunes
+    to its own cell's files. The timed leg is the fixed 32-probe query
+    batch paying ONLY query-time work: re-quantize probes against the
+    broadcast centroid read-back (O(batch·K)), read the ≤32 probed
+    cells' code files (partition-pruned — never the corpus), decode
+    them against the broadcast codebook, score asymmetric-PQ, top-k.
+    Uses the production bodies (_centroids/_ivf_assign/_pq_parts/
+    _pq_decode/_cosine_pre), not a re-implementation. Expected: with
+    cell population n/K = √n, per-batch work is O(batch·√n) on top of
+    a scheduling floor — third-decade alpha ≈ 0.1, the
+    q_sim_ivf_kscaled_persisted search-leg curve."""
+    import math as m
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from copy_databasetables_spark.operators.similarity import (
+        _IVF_K,
+        _centroids,
+        _cosine_pre,
+        _ivf_assign,
+        _pq_decode,
+        _pq_parts,
+        _vecs,
+    )
+
+    v = _vecs(spark, sf_dir).persist()
+    n = v.count()
+    k = m.ceil(m.sqrt(n))
+    idx = f"{out_base}/ivfpq_index_sqrtk_{n}"
+    # ---- index BUILD (unmeasured, one-time) ----
+    c = _centroids(v, k)
+    c.write.mode("overwrite").parquet(f"{idx}/centroids")
+    sub_cb, codes = _pq_parts(v)
+    sub_cb.write.mode("overwrite").parquet(f"{idx}/codebook")
+    (
+        codes.join(_ivf_assign(v, c), "vec_id")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{idx}/codes_by_cell")
+    )
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        cents = spark.read.parquet(f"{idx}/centroids")
+        cb = spark.read.parquet(f"{idx}/codebook")
+        probes = (
+            v.where("vec_id % 50 = 0")
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("e").alias("pe"),
+                F.col("nrm").alias("pn"),
+            )
+            .orderBy("probe_id")
+            .limit(32)
+        )
+        pw = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_c").desc(), F.col("cid").asc()
+        )
+        probe_cell = (
+            probes.crossJoin(F.broadcast(cents))
+            .withColumn("cos_c", _cosine_pre("pe", "ce", "pn", "cn"))
+            .withColumn("rn", F.row_number().over(pw))
+            .where(F.col("rn") == 1)
+            .select("probe_id", "pe", "pn", "cid")
+        )
+        # bounded driver pull: <=32 probed cell ids -> partition pruning
+        cells = [r["cid"] for r in probe_cell.select("cid").distinct().collect()]
+        cell_codes = spark.read.parquet(f"{idx}/codes_by_cell").where(
+            F.col("cid").isin(cells)
+        )
+        npq = _pq_decode(cell_codes.select("vec_id", "m", "code_id"), cb).join(
+            cell_codes.select("vec_id", "cid").distinct(), "vec_id"
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+        )
+        (
+            F.broadcast(probe_cell)
+            .join(
+                npq.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("cid").alias("ncid"),
+                    "d",
+                    "nrm",
+                ),
+                (F.col("ncid") == F.col("cid"))
+                & (F.col("neighbor_id") != F.col("probe_id")),
+            )
+            .select(
+                "probe_id",
+                "neighbor_id",
+                _cosine_pre("pe", "d", "pn", "nrm").alias("cos_raw"),
+            )
+            .withColumn("rank_pos", F.row_number().over(w))
+            .where(F.col("rank_pos") <= _IVF_K)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    v.unpersist()
+    return {"n_vectors": n, "k": k, "search_sec": round(best, 3)}
+
+
 def candidates_leg(spark, sf_dir: str, runs: int = 2) -> dict:
     """Time ONLY the banded-LSH candidate stage (VERDICT r8 item 6):
     tokenize → 16 minhashes → band → (lang, band, bucket) self-join →
@@ -412,6 +523,13 @@ def main() -> None:
         action="store_true",
         help="instead of --ops timing, run the prebuilt-index IVF "
         "search-leg A/B (fixed K vs K=sqrt(n)) at 1x and at --copies x",
+    )
+    ap.add_argument(
+        "--ivfpq-ab",
+        action="store_true",
+        help="measure the PERSISTED-IVFPQ search leg (sqrt-n cells, "
+        "partitionBy(cid) codes, partition-pruned probe reads) against "
+        "a prebuilt index at 1x and --copies x",
     )
     ap.add_argument(
         "--candidates-only",
@@ -513,6 +631,26 @@ def main() -> None:
             file=sys.stderr,
         )
         print(json.dumps(res))
+        return
+
+    if args.ivfpq_ab:
+        ab = {
+            "src": args.src,
+            "copies": args.copies,
+            "1x": ivfpq_search_ab(spark, args.src, args.out),
+            f"{args.copies}x": ivfpq_search_ab(spark, args.out, args.out),
+        }
+        t1 = ab["1x"]["search_sec"]
+        tn = ab[f"{args.copies}x"]["search_sec"]
+        ab["alpha_search"] = round(
+            math.log(tn / t1) / math.log(args.copies), 2
+        )
+        print(
+            f"ivfpq persisted search 1x={t1:8.3f}s "
+            f"{args.copies}x={tn:8.3f}s  alpha={ab['alpha_search']}",
+            file=sys.stderr,
+        )
+        print(json.dumps(ab))
         return
 
     if args.ivf_ab:
