@@ -999,9 +999,18 @@ def _pq_parts(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     (``code_id, m, cw`` — a CONSTANT _PQ_M·_PQ_K = 256 rows) and the
     codes (``vec_id, m, code_id`` — the 4-bit-id-per-subspace encoding
     that is the ONLY corpus-sized thing a PQ index keeps resident,
-    8 bytes/vector at production bit-packing). Encoding is a bounded
-    codebook broadcast + per-(vec, subspace) window argmin with the
-    (distance, code_id) deterministic tie-break."""
+    8 bytes/vector at production bit-packing). Encoding is ENTIRELY
+    IN-ROW (r13): the 256-entry codebook broadcasts as ONE array row
+    and each vector arg-mins all _PQ_M subspaces against it inside its
+    own row — a pure map-side scan, zero encode shuffle. The prior
+    formulation (explode to (vec, m) rows → broadcast-join codebook →
+    per-(vec, m) window argmin) shuffled n·M·K rows through a window:
+    512M rows at the 2M-vector third decade, which OOM'd the local
+    encode and is exactly the shuffle a 10B-vector build can't afford.
+    Values are unchanged: identical d2 arithmetic (same zip_with fold),
+    and iterating candidates in (m, code_id)-sorted order with a
+    strict ``<`` keeps the first minimum — the window's (d2 ASC,
+    code_id ASC) tie-break verbatim."""
     sub = (
         f"transform(sequence(0, {_PQ_M - 1}), "
         f"m -> struct(m AS m, slice({{col}}, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
@@ -1028,23 +1037,35 @@ def _pq_parts(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     sub_cb = cb.select(
         "code_id", F.explode(F.expr(sub.format(col="e"))).alias("sc")
     ).select("code_id", F.col("sc.m").alias("m"), F.col("sc.s").alias("cw"))
-    vsub = v.select(
-        "vec_id", F.explode(F.expr(sub.format(col="e"))).alias("sv")
-    ).select("vec_id", F.col("sv.m").alias("m"), F.col("sv.s").alias("vs"))
-    d2 = F.aggregate(
-        F.zip_with("vs", "cw", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+    # the whole codebook as ONE broadcastable array row, sorted by
+    # (m, code_id) so the in-row fold visits candidates in the window
+    # formulation's exact tie-break order
+    cb_row = sub_cb.agg(
+        F.array_sort(F.collect_list(F.struct("m", "code_id", "cw"))).alias(
+            "cb_arr"
+        )
     )
-    enc_w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("code_id").asc()
+    d2_of = (
+        f"aggregate(zip_with(slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB}), c.cw, "
+        "(x, w) -> (x - w) * (x - w)), cast(0.0 as double), (a, t) -> a + t)"
+    )
+    enc_expr = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> named_struct("
+        "'m', m, "
+        "'code_id', aggregate(filter(cb_arr, c -> c.m = m), "
+        "named_struct('id', -1, 'd', cast('Infinity' as double)), "
+        f"(acc, c) -> case when {d2_of} < acc.d "
+        f"then named_struct('id', c.code_id, 'd', {d2_of}) else acc end"
+        ").id))"
     )
     codes = (
-        vsub.join(F.broadcast(sub_cb), "m")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code_id")
+        v.crossJoin(F.broadcast(cb_row))
+        .select("vec_id", F.explode(F.expr(enc_expr)).alias("mc"))
+        .select(
+            "vec_id",
+            F.col("mc.m").alias("m"),
+            F.col("mc.code_id").alias("code_id"),
+        )
     )
     return sub_cb, codes
 
