@@ -624,7 +624,9 @@ def q_sim_ivf_kscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, nprobe=1, max_centroids=k)
 
 
-def _ivf_index_path(sf_dir: str) -> str:
+def _ivf_index_path(
+    sf_dir: str, base: str = "/tmp/spark_graft_ivf_index"
+) -> str:
     """A per-CALL unique index directory. The returned search DataFrame
     reads the path lazily, so the path must never be overwritten while
     any earlier result could still be pending: a basename+pid key (the
@@ -633,13 +635,13 @@ def _ivf_index_path(sf_dir: str) -> str:
     process-monotonic counter makes every call's directory fresh.
     Stale directories (mtime > 6 h — far beyond any gate/bench run's
     lifetime) are pruned best-effort on the way in so /tmp doesn't
-    accumulate one index per historical call."""
+    accumulate one index per historical call. ``base`` parameterizes
+    the artifact family (r13: text.py's persisted BM25 postings reuse
+    this scheme under /tmp/spark_graft_bm25_index)."""
     import hashlib
     import os
     import shutil
     import time
-
-    base = "/tmp/spark_graft_ivf_index"
     try:
         cutoff = time.time() - 6 * 3600
         for d in os.listdir(base):

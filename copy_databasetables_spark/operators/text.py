@@ -642,9 +642,11 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 _BM25_TOPN = 20
 
 
-@register(
-    "q_text_bm25",
-    oracle=f"""
+#: shared by q_text_bm25 and q_text_bm25_persisted — the persisted
+#: variant is value-identical by construction (same tokenize, same
+#: exact-integer tf/df/dl/N, same float expression shapes; only a
+#: parquet round-trip of the index artifacts in between).
+_BM25_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
       FROM documents),
@@ -674,8 +676,10 @@ _BM25_TOPN = 20
     FROM scored
     ORDER BY round(s, 6) DESC, doc_id ASC
     LIMIT {_BM25_TOPN}
-    """,
-)
+    """
+
+
+@register("q_text_bm25", oracle=_BM25_ORACLE)
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval: score every document against a fixed
     keyword query and return the top-N — the keyword leg of a hybrid
@@ -722,6 +726,90 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         qtf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * tf_leg), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPN)
+        .select("doc_id", "bm25", "n_terms_hit")
+    )
+
+
+@register("q_text_bm25_persisted", oracle=_BM25_ORACLE)
+def q_text_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_text_bm25's index build split out and PERSISTED — the lexical
+    counterpart of q_sim_ivf_pq_persisted (r13's amortized-index
+    theme): a search engine tokenizes and aggregates the corpus ONCE
+    at index build, and every query thereafter touches only its own
+    terms' postings. The build writes three artifacts to parquet:
+
+    - ``postings/`` — (term, doc_id, tf, dl): the inverted index,
+      DENORMALIZED with the document length so scoring needs no
+      corpus-sized doc-length join at query time (the Lucene
+      norms-with-postings trade). Repartitioned by term and sorted
+      within partitions so parquet row-group min/max stats make the
+      query's ``term IN (...)`` predicate prune real I/O — the local
+      stand-in for a term-bucketed layout at 10B docs.
+    - ``df/`` — (term, df) for EVERY term (an index can't know future
+      queries), read back with the same pushed-down term filter.
+    - ``stats/`` — the single (n_docs, avgdl) row.
+
+    The query leg reads all three back and pays |Q|-bounded work: a
+    pruned postings scan, a |Q|-row df broadcast, the one-row stats
+    broadcast, the per-doc score sum, and a TakeOrdered top-N. No
+    tokenize, no explode, no corpus-sized read or shuffle at query
+    time — plan-pinned (no Generate node; In(term) reaches
+    PushedFilters). df per term counts the tf rows (each is one
+    distinct (doc, term)) — identical to the base op's
+    count_distinct(doc_id). Values are identical to q_text_bm25 by
+    construction, which the shared oracle pins."""
+    from copy_databasetables_spark.operators.similarity import (
+        _ivf_index_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+    path = _ivf_index_path(sf_dir, base="/tmp/spark_graft_bm25_index")
+    (
+        postings.repartition("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    df_all.write.mode("overwrite").parquet(f"{path}/df")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+    p = spark.read.parquet(f"{path}/postings").where(
+        F.col("term").isin(*_BM25_QUERY)
+    )
+    qdf = F.broadcast(
+        spark.read.parquet(f"{path}/df").where(
+            F.col("term").isin(*_BM25_QUERY)
+        )
+    )
+    st = F.broadcast(spark.read.parquet(f"{path}/stats"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_leg = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        p.crossJoin(st)
+        .join(qdf, "term")
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(idf * tf_leg), 6).alias("bm25"),

@@ -2801,6 +2801,23 @@ def test_pca2_deflation_yields_orthogonal_second_component(spark):
     assert abs(cross) <= 0.25 * var1, (cross, var1, var2)
 
 
+def test_bm25_persisted_matches_in_plan_and_survives_rebuild(spark):
+    """The persisted BM25 index (r13) returns exactly the in-plan
+    q_text_bm25 values (same tokenize, same exact-integer tf/df/dl/N —
+    only a parquet round-trip of postings/df/stats in between), and an
+    earlier persisted result still evaluates correctly AFTER a later
+    call has built its own index (per-call index paths)."""
+    from copy_databasetables_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    pending = qs["q_text_bm25_persisted"](spark, sf)  # lazy
+    later = qs["q_text_bm25_persisted"](spark, sf)
+    expect = [tuple(r) for r in qs["q_text_bm25"](spark, sf).collect()]
+    assert [tuple(r) for r in later.collect()] == expect
+    assert [tuple(r) for r in pending.collect()] == expect
+
+
 def test_remove_top_pc_fast_matches_exact_within_tolerance(spark):
     """The BLAS bench twin must be the SAME transform minus the
     determinism quantization: identical row set (same vec_ids survive

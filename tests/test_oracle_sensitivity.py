@@ -91,6 +91,7 @@ MUTATIONS = [
     (similarity, "_PQ_K", 8, "q_sim_ivf_pq_persisted"),
     (similarity, "_PCA_K", 3, "q_emb_pca_k"),
     (dedup, "_MINIMIZER_W", 6, "q_dedup_substring_minimizer"),
+    (text, "_BM25_TOPN", 11, "q_text_bm25_persisted"),
 ]
 
 

@@ -979,6 +979,23 @@ def test_pca2_projection_is_in_row_both_eigvecs_broadcast(spark):
     assert p.count("BroadcastExchange") >= 2  # v1_arr + v2_arr rows
 
 
+def test_bm25_persisted_query_leg_is_pruned_index_read(spark):
+    """q_text_bm25_persisted's query leg must pay |Q|-bounded work
+    against STORAGE: the postings scan carries the pushed-down
+    ``In(term, ...)`` filter (row-group pruning — the local stand-in
+    for a term-bucketed layout), there is NO Generate node (the query
+    never re-tokenizes the corpus), the df/stats sides ride
+    broadcasts, and the top-N is a TakeOrdered, not a global sort."""
+    p = plan(all_queries()["q_text_bm25_persisted"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "spark_graft_bm25_index" in final  # reads from storage
+    assert "PushedFilters: [" in final and "In(term" in final
+    assert "Generate" not in final  # no query-time tokenize
+    assert "BroadcastExchange" in final
+    assert "TakeOrderedAndProject" in final
+    assert "CartesianProduct" not in final
+
+
 def test_substring_minimizer_selection_is_in_row_no_window(spark):
     """q_dedup_substring_minimizer's scale contract: winnowing
     selection happens ENTIRELY IN-ROW (higher-order aggregate over the
