@@ -146,6 +146,9 @@ HEADLINE = [
     "q_emb_pca_k",
     "q_dedup_substring_minimizer",
     "q_emb_remove_top_pc_fast",
+    # r13 continuation: the lexical persisted-index counterpart,
+    # benched beside its in-plan twin q_text_bm25
+    "q_text_bm25_persisted",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
