@@ -945,9 +945,14 @@ def test_ivf_pq_persisted_search_reads_all_three_artifacts(spark):
     decode joins the BROADCAST codebook (constant 256 rows — never a
     corpus-sized broadcast), the cell-membership join is a cid-keyed
     hash join, and no cartesian appears anywhere."""
-    p = plan(all_queries()["q_sim_ivf_pq_persisted"](spark, SF_SMOKE))
+    df = all_queries()["q_sim_ivf_pq_persisted"](spark, SF_SMOKE)
+    p = plan(df)
     final = p.split("== Initial Plan ==")[0]
-    assert final.count("spark_graft_ivf_index") >= 3  # assign+codebook+codes
+    # count the artifacts in the FULL query execution string: the
+    # executed-plan tree can elide a reused query stage's subtree
+    # (AQE prints ReusedQueryStage without its scan path), which made
+    # this count order-dependent across the suite
+    assert full_plan(df).count("spark_graft_ivf_index") >= 3
     assert "CartesianProduct" not in final
     assert "BroadcastHashJoin [cid" in final  # cid equi-join drives members
 
