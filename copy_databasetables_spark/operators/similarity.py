@@ -69,9 +69,14 @@ _V_SQL = (
     " 'sum') > 0"
 )
 #: centroid CTE: deterministic filter + ORDER BY + fixed LIMIT, the same
-#: bounding pattern as _BLAS_MAX_PROBES.
+#: bounding pattern as _BLAS_MAX_PROBES. Carries cn (the centroid norm,
+#: the same sequential x² fold as _vecs — bit-identical across DuckDB's
+#: list_aggregate and Spark's F.aggregate, verified in tests) because
+#: the assignment ranking divides the quantized dot by it.
 _C_SQL = (
-    f"SELECT vec_id AS cid, e AS ce FROM v WHERE {_CENTROID_FILTER} "
+    f"SELECT vec_id AS cid, e AS ce, "
+    f"sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS cn "
+    f"FROM v WHERE {_CENTROID_FILTER} "
     f"ORDER BY vec_id LIMIT {_IVF_MAX_CENTROIDS}"
 )
 
@@ -157,6 +162,60 @@ def _cosine_pre(a: str, b: str, na: str, nb: str) -> Column:
     in the last ulp — nine orders below both the ~1e-3 cosine gaps that
     decide ranks/thresholds on this data and the 4dp output rounding."""
     return _dot(a, b) / (F.col(na) * F.col(nb))
+
+
+def _qdot(a: str, b: str) -> Column:
+    """Int-quantized dot product: floor((x·y)·10⁶ + 0.5) per term,
+    summed — every term is an integer-valued double and the running sum
+    stays far below 2⁵³, so the sum is EXACT and therefore
+    order-independent. That is the whole point (VERDICT r13 item 2):
+    the same integers come out of Spark codegen here, numpy inside
+    ``_ivf_assign``'s map-side batches, and DuckDB's mirror
+    (``_qd_sql``), no matter how each engine batches or reorders the
+    reduction — verified bit-for-bit in tests/test_operators.py. The
+    1e-6 quantization error (≤3.2e-5 absolute on a 64-dim dot) sits
+    two orders below the ~1e-3 centroid-affinity gaps that decide
+    assignments on this data."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(x * y * F.lit(1000000.0) + F.lit(0.5))
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _cent_affinity(e: str) -> Column:
+    """The centroid-assignment ranking score: quantized dot over the
+    centroid norm ``cn``. Dividing the exact integer by cn is ONE IEEE
+    double division of bit-identical operands on every engine, so the
+    score (and any comparison of scores) is deterministic end-to-end.
+    The vector's own norm is omitted — constant within a per-vector
+    (or per-probe) ranking, so it cannot change any argmax."""
+    return _qdot(e, "ce") / F.col("cn")
+
+
+def _qd_sql(a: str, b: str) -> str:
+    """DuckDB mirror of ``_qdot`` — identical association (x·y)·10⁶,
+    identical floor, exact integral sum."""
+    return (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> floor({a}[i] * {b}[i] * 1000000.0 + 0.5)), 'sum')"
+    )
+
+
+#: the one assignment CTE body shared by every IVF-family oracle: rank
+#: centroids per corpus vector by the quantized affinity (mirrors
+#: _ivf_assign / _cent_affinity exactly), keep rn = 1.
+_ASSIGN_CTE = f"""
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_qd_sql("v.e", "c.ce")} / c.cn
+                                             DESC,
+                                           c.cid ASC) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1"""
 
 
 @register(
@@ -247,14 +306,7 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS ({_V_SQL}),
     c AS ({_C_SQL}),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
-                                           c.cid ASC) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1)
+    assign AS ({_ASSIGN_CTE})
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            (round(list_cosine_similarity(av.e, bv.e), 4) + 0.0) AS cosine
     FROM assign a
@@ -277,13 +329,8 @@ def q_sim_threshold_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_threshold remains the exact all-pairs reference."""
     v = _vecs(spark, sf_dir)
     c = _centroids(v)
-    aw = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     assign = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        _ivf_assign(v, c)
         .join(v, "vec_id")
         .select("vec_id", "cid", "e", "nrm")
     )
@@ -440,18 +487,69 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_assign(v: DataFrame, c: DataFrame) -> DataFrame:
     """The IVF index BUILD: every corpus vector coarse-quantizes to its
-    single nearest centroid (cosine, cid-ascending tie-break) — one
-    broadcast join + one per-vector argmin window. At 100 TB this runs
-    once and persists; q_sim_ivf_persisted exercises exactly that."""
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
-    )
-    return (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("cos_c", _cosine_pre("e", "ce", "nrm", "cn"))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
+    single nearest centroid — a pure MAP-SIDE argmax (r14; the r13
+    PQ-encode rewrite's template applied to the last corpus×K shuffle).
+
+    The previous formulation (crossJoin(broadcast(c)) → per-vector
+    row_number window) shuffled n·K rows: 2.8B rows at the 2M-vector ×
+    1415-cell third decade, which needed a 48 GiB heap — the one
+    build-leg plan that did not survive a 100× scale-up (VERDICT r13).
+    Now the centroid matrix collects once (a TakeOrdered-bounded
+    index-build constant: K·d doubles — 51 MB even at the K=100k a
+    10B-vector index would use), broadcasts to the workers, and each
+    corpus partition arg-maxes its own rows in numpy inside
+    ``mapInPandas``: zero shuffle, no Window, corpus touched exactly
+    once, O(K·d) resident per worker.
+
+    Determinism (the open question SCALE.md §r13 named, closed here):
+    the ranking score is the int64-quantized dot over the centroid norm
+    (``_cent_affinity``) — floor((x·c)·10⁶ + 0.5) summed in integers,
+    EXACT and order-independent, so numpy's batching cannot move it;
+    the division by cn is one IEEE op on bit-identical operands. The
+    same integers come out of the DuckDB oracle (``_ASSIGN_CTE``) and
+    the Spark HOF probe-side expression, verified bit-for-bit in
+    tests/test_operators.py. Tie-break: centroid rows scanned
+    cid-ascending, numpy argmax keeps the first max — the window's
+    (score DESC, cid ASC) verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    cent = sorted(c.select("cid", "ce", "cn").collect(), key=lambda r: r["cid"])
+    if not cent:
+        raise ValueError("IVF build: empty centroid set")
+    cids = np.array([r["cid"] for r in cent], dtype=np.int64)
+    cm = np.array([list(r["ce"]) for r in cent], dtype=np.float64)
+    cns = np.array([r["cn"] for r in cent], dtype=np.float64)
+    bc = v.sparkSession.sparkContext.broadcast((cids, cm, cns))
+
+    def assign(batches):
+        b_cids, b_cm, b_cns = bc.value
+        n_dim = b_cm.shape[1]
+        for pdf in batches:
+            # sub-chunk Arrow batches so the working set stays at
+            # B·K int64 (~46 MB at B=4096, K=1415) — per-dim
+            # accumulation never materializes a B×K×d tensor.
+            for lo in range(0, len(pdf), 4096):
+                part = pdf.iloc[lo : lo + 4096]
+                if part.empty:
+                    continue
+                vm = np.array(list(part["e"]), dtype=np.float64)
+                qd = np.zeros((vm.shape[0], b_cm.shape[0]), dtype=np.int64)
+                for i in range(n_dim):
+                    # association (x·c)·1e6 — matches _qdot / _qd_sql
+                    qd += np.floor(
+                        np.outer(vm[:, i], b_cm[:, i]) * 1000000.0 + 0.5
+                    ).astype(np.int64)
+                best = np.argmax(qd.astype(np.float64) / b_cns[None, :], axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": part["vec_id"].to_numpy(),
+                        "cid": b_cids[best],
+                    }
+                )
+
+    return v.select("vec_id", "e").mapInPandas(
+        assign, schema="vec_id bigint, cid bigint"
     )
 
 
@@ -499,7 +597,7 @@ def _ivf_search(
     )
     probe_cell = (
         p.crossJoin(F.broadcast(c))
-        .withColumn("cos_c", _cosine_pre("pe", "ce", "pn", "cn"))
+        .withColumn("cos_c", _cent_affinity("pe"))
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") <= nprobe)
         .select("probe_id", "pe", "pn", "cid")
@@ -551,14 +649,7 @@ def _ivf_oracle(c_cte: str) -> str:
     return f"""
     WITH v AS ({_V_SQL}),
     c AS ({c_cte}),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
-                                           c.cid ASC) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1),
+    assign AS ({_ASSIGN_CTE}),
     p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
     scored AS (
       SELECT p.probe_id, n.vec_id AS neighbor_id,
@@ -576,8 +667,10 @@ def _ivf_oracle(c_cte: str) -> str:
 
 
 #: K = ⌈√n⌉ centroid CTE (the kscaled variant's only oracle delta).
-_KSCALED_C_SQL = f"""SELECT cid, ce FROM (
+_KSCALED_C_SQL = f"""SELECT cid, ce, cn FROM (
             SELECT vec_id AS cid, e AS ce,
+                   sqrt(list_aggregate(list_transform(e, x -> x * x),
+                                       'sum')) AS cn,
                    row_number() OVER (ORDER BY vec_id ASC) AS rn
             FROM v WHERE {_CENTROID_FILTER})
           CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kk
@@ -658,14 +751,20 @@ def _ivf_persisted_search(
     spark: SparkSession, sf_dir: str, k: int
 ) -> DataFrame:
     """Shared build→persist→read-back→search core for the persisted
-    variants: write the (vec_id, cid) inverted index to parquet exactly
-    as a production index build would, then search against the
-    read-back so the amortize-the-build story is an executed path."""
+    variants: write the (vec_id, cid) inverted index to parquet
+    ``partitionBy(cid)`` — the production layout, where each probe's
+    equi-join on cell id prunes the scan to one cell's files
+    (plan-pinned in tests/test_plans.py) — then search against the
+    read-back so the amortize-the-build story is an executed path.
+    cid comes back as a partition directory; the explicit BIGINT cast
+    keeps the join key type identical to the in-plan variant's."""
     v = _vecs(spark, sf_dir)
     c = _centroids(v, k)
     path = _ivf_index_path(sf_dir)
-    _ivf_assign(v, c).write.mode("overwrite").parquet(path)
-    index = spark.read.parquet(path)
+    _ivf_assign(v, c).write.mode("overwrite").partitionBy("cid").parquet(path)
+    index = spark.read.parquet(path).select(
+        "vec_id", F.col("cid").cast("bigint").alias("cid")
+    )
     return _ivf_search(spark, sf_dir, nprobe=1, max_centroids=k, assign=index)
 
 
@@ -678,8 +777,8 @@ def q_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     argue in prose is an executed, hash-verified path. The search
     reads (vec_id, cid) from storage: any query batch thereafter pays
     only O(batch·n/K) search, never the O(n·K) assignment, and the
-    persisted index is partition-prunable by cell id if written
-    partitionBy(cid) at real scale. Values are identical to q_sim_ivf
+    index IS written partitionBy(cid), so a probe's cell join prunes
+    the read to one cell's files. Values are identical to q_sim_ivf
     by construction (same centroids, same deterministic argmin), which
     the shared oracle pins — a persistence round-trip that corrupted
     one assignment would hash-red."""
@@ -696,8 +795,8 @@ def q_sim_ivf_kscaled_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·√n) assignment on every query batch; persisted alone amortizes
     only the fixed-32 index whose inverted lists grow linearly. Here a
     query batch pays O(batch·√n) against storage and the O(n·√n) build
-    is a one-time cost — at 100 TB, write the index partitionBy(cid)
-    and each probe prunes to one cell's files. Values are identical to
+    is a one-time cost — the index is written partitionBy(cid), so
+    each probe prunes to one cell's files. Values are identical to
     q_sim_ivf_kscaled by construction (same ⌈√n⌉ centroids, same
     deterministic argmin), which the shared oracle pins."""
     v = _vecs(spark, sf_dir)
@@ -716,7 +815,7 @@ _NPROBE = 2
     ranked AS (
       SELECT v.vec_id, c.cid,
              row_number() OVER (PARTITION BY v.vec_id
-                                ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                ORDER BY {_qd_sql("v.e", "c.ce")} / c.cn DESC,
                                          c.cid ASC) AS rn
       FROM v CROSS JOIN c),
     assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
@@ -1623,14 +1722,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS ({_V_SQL}),
     c AS ({_C_SQL}),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
-                                           c.cid ASC) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1),
+    assign AS ({_ASSIGN_CTE}),
     meta AS (SELECT doc_id, lang FROM documents
              WHERE {_HYBRID_PRED_SQL}),
     p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
@@ -2704,14 +2796,7 @@ _IVF_PQ_ORACLE = f"""
     WITH v AS ({_V_SQL}),
     c AS ({_C_SQL}),
     {_PQ_SUBS_SQL},
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
-                                           c.cid ASC) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1),
+    assign AS ({_ASSIGN_CTE}),
     p AS (SELECT vec_id AS probe_id, e AS pe,
                  sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
                    AS pn
@@ -2748,7 +2833,7 @@ def _ivf_pq_search(v: DataFrame, c: DataFrame, assign: DataFrame, npq: DataFrame
     )
     probe_cell = (
         p.crossJoin(F.broadcast(c))
-        .withColumn("cos_c", _cosine_pre("pe", "ce", "pn", "cn"))
+        .withColumn("cos_c", _cent_affinity("pe"))
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") == 1)
         .select("probe_id", "pe", "pn", "cid")
@@ -2825,9 +2910,9 @@ def q_sim_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     three production IVFPQ artifacts to parquet exactly as
     q_sim_ivf_kscaled_persisted stages its inverted index:
 
-    - ``assign/``   — the coarse inverted index (vec_id, cid); at real
-      scale written partitionBy(cid) so each probe prunes to one
-      cell's files;
+    - ``assign/``   — the coarse inverted index (vec_id, cid), written
+      partitionBy(cid) so each probe's cell join prunes the read to
+      one cell's files (plan-pinned);
     - ``codebook/`` — the _PQ_M·_PQ_K = 256-row subspace codebook
       (code_id, m, cw), a constant-size table broadcast at decode;
     - ``codes/``    — (vec_id, m, code_id): the ONLY corpus-sized
@@ -2845,11 +2930,18 @@ def q_sim_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vecs(spark, sf_dir)
     c = _centroids(v)
     path = _ivf_index_path(sf_dir)
-    _ivf_assign(v, c).write.mode("overwrite").parquet(f"{path}/assign")
+    # assign/ is written partitionBy(cid) — the production layout the
+    # docstring promises: a probe's cell equi-join prunes to one cell's
+    # files (VERDICT r13 item 6; the cast restores the join-key type).
+    _ivf_assign(v, c).write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/assign"
+    )
     sub_cb, codes = _pq_parts(v)
     sub_cb.write.mode("overwrite").parquet(f"{path}/codebook")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
-    assign = spark.read.parquet(f"{path}/assign")
+    assign = spark.read.parquet(f"{path}/assign").select(
+        "vec_id", F.col("cid").cast("bigint").alias("cid")
+    )
     npq = _pq_decode(
         spark.read.parquet(f"{path}/codes"),
         spark.read.parquet(f"{path}/codebook"),
@@ -3421,14 +3513,7 @@ def q_emb_pca_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS ({_V_SQL}),
     c AS ({_C_SQL}),
     {_PQ_SUBS_SQL},
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
-                                           c.cid ASC) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1),
+    assign AS ({_ASSIGN_CTE}),
     p AS (SELECT vec_id AS probe_id, e AS pe,
                  sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
                    AS pn
@@ -3493,7 +3578,7 @@ def q_sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_cell = (
         p.crossJoin(F.broadcast(c))
-        .withColumn("cos_c", _cosine_pre("pe", "ce", "pn", "cn"))
+        .withColumn("cos_c", _cent_affinity("pe"))
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") == 1)
         .select("probe_id", "pe", "pn", "cid")

@@ -3008,3 +3008,88 @@ def test_ivf_pq_rerank_rescores_exactly_within_cell(spark):
         for r in out
     }
     assert ref != pq, "refine output identical to pure PQ — no rescoring"
+
+
+def test_ivf_assign_quantized_score_bit_identical_across_engines(spark):
+    """The r14 map-side ``_ivf_assign`` rests on one claim (VERDICT r13
+    item 2's determinism question): the centroid-affinity score —
+    int-quantized dot ``floor((x·c)·1e6 + 0.5)`` summed, over the
+    centroid norm — produces the SAME bits from (a) numpy inside the
+    mapInPandas batches, (b) Spark's codegen HOF ``_qdot`` (the
+    probe-side expression), and (c) DuckDB's ``_qd_sql`` mirror in
+    every IVF oracle. Exact integer sums are order-independent, so no
+    engine's batching/reordering can move them; this test pins all
+    three pairwise, plus the Spark↔DuckDB bit-equality of the
+    sequential-fold centroid norm the score divides by, and finally
+    that the op-level assignment equals a brute-force numpy recompute
+    (first-max = smallest cid on ties)."""
+    import duckdb
+    import numpy as np
+
+    from copy_databasetables_spark.operators.similarity import (
+        _centroids,
+        _ivf_assign,
+        _qd_sql,
+        _qdot,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    v = _vecs(spark, SF_SMOKE)
+    c = _centroids(v)
+    cent = sorted(c.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in cent], dtype=np.int64)
+    cm = np.array([list(r["ce"]) for r in cent], dtype=np.float64)
+    cns = np.array([r["cn"] for r in cent], dtype=np.float64)
+
+    # (a)↔(b): Spark HOF qdot vs numpy fold, all (sample vec × centroid)
+    sample = v.orderBy("vec_id").limit(20)
+    hof = (
+        sample.crossJoin(F.broadcast(c))
+        .select("vec_id", "cid", _qdot("e", "ce").alias("qd"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(list(r["e"])) for r in sample.collect()}
+    cmap = {r["cid"]: np.array(list(r["ce"])) for r in cent}
+    for r in hof:
+        want = (
+            np.floor((vecs[r["vec_id"]] * cmap[r["cid"]]) * 1000000.0 + 0.5)
+            .astype(np.int64)
+            .sum()
+        )
+        assert int(r["qd"]) == int(want), (r["vec_id"], r["cid"])
+
+    # (b)↔(c): DuckDB mirror emits the same integers and the same cn bits
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    ddb = con.execute(
+        f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                   WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                         x -> x * x), 'sum') > 0),
+        c AS (SELECT vec_id AS cid, e AS ce,
+                     sqrt(list_aggregate(list_transform(e, x -> x * x),
+                          'sum')) AS cn
+              FROM v WHERE vec_id % 50 = 7 ORDER BY vec_id LIMIT 32),
+        s AS (SELECT * FROM v ORDER BY vec_id LIMIT 20)
+        SELECT s.vec_id, c.cid, {_qd_sql("s.e", "c.ce")} AS qd, c.cn
+        FROM s CROSS JOIN c
+        """
+    ).fetchall()
+    spark_qd = {(r["vec_id"], r["cid"]): int(r["qd"]) for r in hof}
+    cn_by_cid = {int(cid): cn for cid, cn in zip(cids, cns)}
+    assert len(ddb) == len(spark_qd)
+    for vid, cid, qd, cn in ddb:
+        assert int(qd) == spark_qd[(vid, cid)], (vid, cid)
+        assert cn == cn_by_cid[int(cid)], cid  # bit-equal, not approx
+
+    # op level: mapInPandas assignment == brute-force numpy recompute
+    got = {r["vec_id"]: r["cid"] for r in _ivf_assign(v, c).collect()}
+    for r in v.select("vec_id", "e").collect():
+        x = np.array(list(r["e"]))
+        qd = np.floor((x[None, :] * cm) * 1000000.0 + 0.5).astype(np.int64)
+        best = int(np.argmax(qd.sum(axis=1).astype(np.float64) / cns))
+        assert got[r["vec_id"]] == int(cids[best]), r["vec_id"]

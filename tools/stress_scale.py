@@ -390,7 +390,10 @@ def ivfpq_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
     n = v.count()
     k = m.ceil(m.sqrt(n))
     idx = f"{out_base}/ivfpq_index_sqrtk_{n}"
-    # ---- index BUILD (unmeasured, one-time) ----
+    # ---- index BUILD (one-time, amortized; timed since r14 so the
+    # map-side-assignment build is a standing number — r13's window
+    # formulation needed a 48 GiB heap at the 2M-vector point) ----
+    tb = time.perf_counter()
     c = _centroids(v, k)
     c.write.mode("overwrite").parquet(f"{idx}/centroids")
     sub_cb, codes = _pq_parts(v)
@@ -402,6 +405,7 @@ def ivfpq_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
         .partitionBy("cid")
         .parquet(f"{idx}/codes_by_cell")
     )
+    build_s = round(time.perf_counter() - tb, 3)
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -463,7 +467,12 @@ def ivfpq_search_ab(spark, sf_dir: str, out_base: str, runs: int = 2) -> dict:
         )
         best = min(best, time.perf_counter() - t0)
     v.unpersist()
-    return {"n_vectors": n, "k": k, "search_sec": round(best, 3)}
+    return {
+        "n_vectors": n,
+        "k": k,
+        "build_sec": build_s,
+        "search_sec": round(best, 3),
+    }
 
 
 def candidates_leg(spark, sf_dir: str, runs: int = 2) -> dict:
