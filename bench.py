@@ -517,12 +517,22 @@ def main() -> None:
         compact.pop(dropped, None)
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
+        # degrade DETERMINISTICALLY instead of printing a line the
+        # driver's 2000-char tail capture would truncate back into the
+        # exact BENCH_r12 parsed=null failure this path exists to
+        # prevent (ADVICE r13): the full per-query map always lives in
+        # BENCH_FULL.json; stdout keeps the spec fields plus a pointer.
         print(
-            f"BENCH LINE OVER BUDGET: {len(line)} chars — the driver's "
-            "2000-char tail capture will truncate it; trim HEADLINE or "
-            "shorten keys",
+            f"BENCH LINE OVER BUDGET: {len(line)} chars — emitting the "
+            "spec fields with a BENCH_FULL.json pointer instead of the "
+            "full queries map",
             file=sys.stderr,
         )
+        compact["queries"] = {
+            "queries_in": "BENCH_FULL.json",
+            "n_queries": len(payload.get("queries", {})),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     if n_winwarn:
         print(

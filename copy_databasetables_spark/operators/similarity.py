@@ -1150,13 +1150,21 @@ def _pq_parts(v: DataFrame) -> tuple[DataFrame, DataFrame]:
         f"aggregate(zip_with(slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB}), c.cw, "
         "(x, w) -> (x - w) * (x - w)), cast(0.0 as double), (a, t) -> a + t)"
     )
+    # d2 is bound ONCE per candidate by materializing (code_id, d2)
+    # structs in a transform before the fold (ADVICE r13: the previous
+    # formulation evaluated d2_of twice per candidate — once in the CASE
+    # predicate, once in the kept struct — doubling the dominant
+    # per-vector arithmetic of the corpus-sized encode leg). Same
+    # arithmetic, same first-min-in-sorted-order tie-break, bit-identical
+    # codes; the fold now compares precomputed doubles only.
     enc_expr = (
         f"transform(sequence(0, {_PQ_M - 1}), m -> named_struct("
         "'m', m, "
-        "'code_id', aggregate(filter(cb_arr, c -> c.m = m), "
+        "'code_id', aggregate("
+        "transform(filter(cb_arr, c -> c.m = m), "
+        f"c -> named_struct('id', c.code_id, 'd', {d2_of})), "
         "named_struct('id', -1, 'd', cast('Infinity' as double)), "
-        f"(acc, c) -> case when {d2_of} < acc.d "
-        f"then named_struct('id', c.code_id, 'd', {d2_of}) else acc end"
+        "(acc, c) -> case when c.d < acc.d then c else acc end"
         ").id))"
     )
     codes = (
@@ -3424,6 +3432,15 @@ def _block_pi_cols(
                 )
                 / _PI_SCALE
             ) ** 0.5
+            if not nrm > 0.0:
+                # a collapsed GS column would otherwise normalize to
+                # NaN/Inf that propagates into the checkpointed block
+                # and surfaces only as an opaque oracle hash mismatch
+                # (ADVICE r13) — fail loudly at the round that did it.
+                raise ValueError(
+                    f"Gram-Schmidt column {int(c)} collapsed (norm 0) — "
+                    "block columns are no longer independent"
+                )
             val = np.floor(w / nrm * _COV_SCALE + 0.5) / _COV_SCALE
             finals[int(c)] = val
             out.append(

@@ -764,7 +764,18 @@ def q_text_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     PushedFilters). df per term counts the tf rows (each is one
     distinct (doc, term)) — identical to the base op's
     count_distinct(doc_id). Values are identical to q_text_bm25 by
-    construction, which the shared oracle pins."""
+    construction, which the shared oracle pins.
+
+    Accepted ulp risk (ADVICE r13, noted not "fixed"): the ≤|Q|=3-term
+    float score sums in postings-read order here vs shuffle order in
+    the base op vs DuckDB's order in the shared oracle. A divergence
+    needs a score sitting exactly on a 6dp rounding boundary — none of
+    the three orders has ever produced one on this data (attested at 3
+    SFs + shuffle-5), and forcing a canonical order (sort_array fold
+    or int-quantized contributions) would perturb the base op's
+    currently-green boundary behavior for a risk that is last-ulp on a
+    3-term sum. If a hash flake ever appears here, quantize the
+    per-term contributions in all three places at once."""
     from copy_databasetables_spark.operators.similarity import (
         _ivf_index_path,
     )
