@@ -239,6 +239,37 @@ def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
         lambda: execute(queries["q_dedup_cluster"](spark, sf_dir)), runs=2
     )
     out["warm_end_to_end_q_dedup_cluster_runs"] = 2
+    # Persisted-index per-leg rows (VERDICT r13 item 5): the gate ops
+    # time build+search together, which buries the amortization story —
+    # these standing numbers split it. The BUILD is timed once (a
+    # corpus-sized write has no plan-warm to amortize and is the
+    # one-time cost by definition); the QUERY leg is warm end-to-end
+    # best-of-N against the SAME read-back artifacts — plan build +
+    # pruned reads + score + top-k, exactly what a deployment pays per
+    # query batch. Production bodies, not re-implementations.
+    from copy_databasetables_spark.operators.similarity import (
+        _ivfpq_index_build,
+        _ivfpq_query_leg,
+    )
+    from copy_databasetables_spark.operators.text import (
+        _bm25_index_build,
+        _bm25_query_leg,
+    )
+
+    t0 = _t.perf_counter()
+    ivf_path = _ivfpq_index_build(spark, sf_dir)
+    out["ivfpq_persisted_build_sec"] = round(_t.perf_counter() - t0, 4)
+    execute(_ivfpq_query_leg(spark, sf_dir, ivf_path))  # warm files/JVM
+    out["ivfpq_persisted_query_leg_sec"] = best(
+        lambda: execute(_ivfpq_query_leg(spark, sf_dir, ivf_path))
+    )
+    t0 = _t.perf_counter()
+    bm25_path = _bm25_index_build(spark, sf_dir)
+    out["bm25_persisted_build_sec"] = round(_t.perf_counter() - t0, 4)
+    execute(_bm25_query_leg(spark, bm25_path))  # warm
+    out["bm25_persisted_query_leg_sec"] = best(
+        lambda: execute(_bm25_query_leg(spark, bm25_path))
+    )
     return out
 
 

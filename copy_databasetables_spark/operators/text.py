@@ -776,6 +776,15 @@ def q_text_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     currently-green boundary behavior for a risk that is last-ulp on a
     3-term sum. If a hash flake ever appears here, quantize the
     per-term contributions in all three places at once."""
+    path = _bm25_index_build(spark, sf_dir)
+    return _bm25_query_leg(spark, path)
+
+
+def _bm25_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """The BM25 index BUILD leg (amortized at deployment; bench.py
+    times it separately so the amortization claim is a standing
+    number): tokenize + aggregate the WHOLE corpus once, write
+    postings/df/stats. Returns the per-call index path."""
     from copy_databasetables_spark.operators.similarity import (
         _ivf_index_path,
     )
@@ -801,7 +810,13 @@ def q_text_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_all.write.mode("overwrite").parquet(f"{path}/df")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    return path
 
+
+def _bm25_query_leg(spark: SparkSession, path: str) -> DataFrame:
+    """The BM25 QUERY leg: |Q|-bounded work against the read-back index
+    — pruned postings scan, |Q|-row df broadcast, one-row stats
+    broadcast, per-doc sum, TakeOrdered top-N."""
     p = spark.read.parquet(f"{path}/postings").where(
         F.col("term").isin(*_BM25_QUERY)
     )
