@@ -1128,3 +1128,109 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("in"))
         .alias("clip_flag"),
     )
+
+
+#: Count-min sketch geometry: d independent hash rows × w buckets.
+#: 150 distinct users over 64 buckets keeps collisions real (est >
+#: exact for some probes) without drowning the estimates; both are
+#: index-build constants at any corpus size — the sketch is 256 cells
+#: whether it summarizes 10k events or 100 TB of them.
+_CM_D = 4
+_CM_W = 64
+_CM_PROBES = 10
+#: portable 60-bit md5 hash (dedup.py's idiom): Spark conv(hex,16,10) ↔
+#: DuckDB CAST('0x'||hex AS BIGINT) — identical integers both sides.
+_CM_H_SPARK = (
+    "cast(conv(substring(md5(concat('{j}:', cast(user_id as string))), "
+    "1, 15), 16, 10) as bigint) % " + str(_CM_W)
+)
+_CM_H_SQL = (
+    "CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), ':', "
+    "CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % " + str(_CM_W)
+)
+
+
+@register(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    js AS (SELECT CAST(UNNEST(range(0, {_CM_D})) AS BIGINT) AS j),
+    cells AS (
+      SELECT day, j, bucket, COUNT(*) AS c FROM (
+        SELECT day, j, {_CM_H_SQL} AS bucket
+        FROM ev CROSS JOIN js)
+      GROUP BY day, j, bucket),
+    merged AS (SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS c
+               FROM cells GROUP BY j, bucket),
+    probes AS (SELECT DISTINCT user_id FROM ev ORDER BY user_id
+               LIMIT {_CM_PROBES}),
+    pb AS (SELECT user_id, j, {_CM_H_SQL} AS bucket
+           FROM probes CROSS JOIN js),
+    est AS (SELECT user_id, MIN(c) AS est_count
+            FROM pb JOIN merged USING (j, bucket) GROUP BY user_id),
+    exact AS (SELECT user_id, COUNT(*) AS exact_count
+              FROM ev GROUP BY user_id)
+    SELECT est.user_id, est.est_count, exact.exact_count,
+           est.est_count >= exact.exact_count AS never_undercounts
+    FROM est JOIN exact ON est.user_id = exact.user_id
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    FREQUENCY sketch beside the HLL (distinct) and KLL (quantile)
+    rollups: a daily job reduces each day's events to a fixed
+    ``_CM_D``×``_CM_W`` counter grid; the reporting query merges
+    days by CELL-WISE SUM (counters are exactly associative — unlike
+    the DataSketches estimates, every cell is a deterministic integer,
+    so the whole sketch is hash-checkable) and answers "how many
+    events did key k have" for any key WITHOUT re-scanning raw events:
+    est(k) = min over rows j of cell[j][h_j(k)]. At 100 TB the build
+    is one pass with map-side partial aggregation collapsing each task
+    to ≤ d·w = {_CM_D * _CM_W} cells — the shuffle carries
+    O(cells·partitions) rows no matter the corpus — and the sketch
+    table replaces a full per-key count per report. CM guarantees
+    est ≥ exact always (hash collisions only ADD) and est ≤ exact +
+    εN w.h.p.; the output carries both sides plus the one-sided
+    verdict, and the unit suite pins cell-wise merge associativity
+    (sum of per-day sketches ≡ the single-pass global sketch).
+    Probes are a deterministic TakeOrdered-bounded set, the BLAS-cap
+    discipline. Hashing is the portable 60-bit md5 idiom
+    (dedup.py:49), so both engines compute identical buckets."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    jb = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_CM_H_SPARK.format(j=j)).alias("bucket"),
+            )
+            for j in range(_CM_D)
+        ]
+    )
+    daily = (
+        ev.select("day", F.explode(jb).alias("jb"))
+        .groupBy("day", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = daily.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(_CM_PROBES)
+    pb = probes.select(
+        "user_id", F.explode(jb).alias("jb")
+    ).select(
+        "user_id",
+        F.col("jb.j").alias("j"),
+        F.col("jb.bucket").alias("bucket"),
+    )
+    est = (
+        pb.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("never_undercounts"),
+    )

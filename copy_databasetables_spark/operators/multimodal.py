@@ -661,3 +661,151 @@ def q_multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         _wav_frame_features,
         schema="doc_id bigint, frame_idx bigint, rms double, n_zero_cross bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image near-dup (r14): dHash over the real PGM decode,
+# Hamming-blocked pairs — multimodal dedup, the q_dedup_simhash design
+# applied to the image modality.
+# --------------------------------------------------------------------------
+
+_PHASH_TAU = 3
+
+
+def _ppm_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DECODE → 16-bit dHash: byte-parse the PGM (the same real parser
+    discipline as _ppm_decode_features — a corrupted payload raises),
+    sample a fixed 4×5 grid at floor-strided positions (w,h ≥ 8 so
+    every sample lands in-raster), and set bit k = r·4+c (MSB-first,
+    the simhash bit order) iff the left sample outvalues its right
+    neighbor — the classic difference-hash: invariant to global
+    brightness shifts, which is exactly the perturbation the synthetic
+    ramp applies between same-dim docs."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            if not payload.startswith(b"P5\n"):
+                raise ValueError(f"doc {doc_id}: not a binary PGM payload")
+            dims_end = payload.index(b"\n", 3)
+            maxval_end = payload.index(b"\n", dims_end + 1)
+            w, h = (int(t) for t in payload[3:dims_end].split())
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h, offset=maxval_end + 1
+            ).reshape(h, w)
+            rs = (np.arange(4, dtype=np.int64) * h) // 4
+            cs = (np.arange(5, dtype=np.int64) * w) // 5
+            g = arr[np.ix_(rs, cs)].astype(np.int64)  # 4 rows × 5 cols
+            bits = (g[:, :4] > g[:, 1:]).astype(np.int64).ravel()
+            ph = int((bits << (15 - np.arange(16, dtype=np.int64))).sum())
+            rows.append((int(doc_id), ph))
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+@register(
+    "q_multimodal_phash",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_aggregate(
+               list_transform(range(0, 16), k ->
+                 CASE WHEN
+                   ((doc_id * 31 + 7 * (((k // 4) * h // 4) * w
+                                        + ((k % 4) * w // 5))) % 256)
+                   >
+                   ((doc_id * 31 + 7 * (((k // 4) * h // 4) * w
+                                        + (((k % 4) + 1) * w // 5))) % 256)
+                 THEN CAST(2 ** (15 - k) AS BIGINT) ELSE 0 END),
+               'sum') AS BIGINT) AS phash
+      FROM dims),
+    vals AS (SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+             FROM fp GROUP BY phash),
+    blocks AS (
+      SELECT phash, r.blk,
+             (phash >> (CAST(r.blk AS BIGINT) * 4)) & 15 AS bval
+      FROM vals, range(0, 4) r(blk)),
+    cand AS (
+      SELECT DISTINCT a.phash AS ph_a, b.phash AS ph_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.phash < b.phash)
+    SELECT cand.ph_a, cand.ph_b,
+           bit_count(xor(cand.ph_a, cand.ph_b)) AS hamming,
+           va.n_docs AS n_docs_a, va.min_doc AS min_doc_a,
+           vb.n_docs AS n_docs_b, vb.min_doc AS min_doc_b
+    FROM cand
+    JOIN vals va ON va.phash = cand.ph_a
+    JOIN vals vb ON vb.phash = cand.ph_b
+    WHERE bit_count(xor(cand.ph_a, cand.ph_b)) <= {_PHASH_TAU}
+    """,
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash — the multimodal member of the
+    dedup family: ENCODE the per-doc PGM (real bytes), DECODE + dHash-16
+    in one Arrow-batched ``mapInPandas`` (fixed 4×5 sample grid,
+    horizontal-gradient bits — the standard difference hash, robust to
+    brightness shifts), then near-join at the DISTINCT-HASH level: docs
+    collapse to their hash value first (dHash is brightness-invariant,
+    so same-pattern images share a value exactly — those groups ARE the
+    exact-dup clusters, carried as n_docs/min_doc), and only the V
+    distinct values pair up, PIGEONHOLE-blocked exactly as
+    q_dedup_simhash (4 disjoint 4-bit blocks: a pair with hamming ≤
+    {_PHASH_TAU} must agree on ≥1 whole block, so the blocked result
+    equals the all-pairs result by construction).
+
+    The collapse is the scale design, learned from this very corpus:
+    pairing DOCS directly is O(n²/V) rows (112k pairs at 500 docs —
+    quadratic in every hash clique), while value-level pairs are
+    O(V²)-bounded with V ≪ n (the distinct perceptual patterns, not
+    the images). At 100 TB: decode+hash is the zero-shuffle 1:1 media
+    pass; the value table is groupBy-compressed (map-side combine);
+    widen to a 64-bit dHash with 8+ blocks for real photo corpora —
+    the same pigeonhole algebra. The DuckDB oracle recomputes the hash
+    from the generative pixel formula (a decoder that misparsed dims,
+    sampled off-grid, or packed bits in the wrong order hash-reds) and
+    replicates the collapse + blocking."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = docs.mapInPandas(
+        _ppm_encode, schema="doc_id bigint, payload binary"
+    ).mapInPandas(_ppm_dhash, schema="doc_id bigint, phash bigint")
+    vals = fp.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+    blk = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("blk")
+    blocks = vals.select("phash", blk).withColumn(
+        "bval", F.expr("(phash >> (blk * 4)) & 15")
+    )
+    a = blocks.select(F.col("phash").alias("ph_a"), "blk", "bval")
+    b = blocks.select(F.col("phash").alias("ph_b"), "blk", "bval")
+    cand = (
+        a.join(b, ["blk", "bval"])
+        .where(F.col("ph_a") < F.col("ph_b"))
+        .select("ph_a", "ph_b")
+        .distinct()
+    )
+    va = vals.select(
+        F.col("phash").alias("ph_a"),
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("min_doc").alias("min_doc_a"),
+    )
+    vb = vals.select(
+        F.col("phash").alias("ph_b"),
+        F.col("n_docs").alias("n_docs_b"),
+        F.col("min_doc").alias("min_doc_b"),
+    )
+    return (
+        cand.join(va, "ph_a")
+        .join(vb, "ph_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .where(F.col("hamming") <= _PHASH_TAU)
+        .select(
+            "ph_a", "ph_b", "hamming",
+            "n_docs_a", "min_doc_a", "n_docs_b", "min_doc_b",
+        )
+    )

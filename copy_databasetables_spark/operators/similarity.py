@@ -2825,12 +2825,21 @@ _IVF_PQ_ORACLE = f"""
     """
 
 
-def _ivf_pq_search(v: DataFrame, c: DataFrame, assign: DataFrame, npq: DataFrame) -> DataFrame:
-    """The IVFPQ query-time plan shared by q_sim_ivf_pq (in-plan index)
-    and q_sim_ivf_pq_persisted (index read back from parquet): probe →
-    nearest cell via the broadcast centroid table, one equi-join on
+def _ivf_pq_search(
+    v: DataFrame,
+    c: DataFrame,
+    assign: DataFrame,
+    npq: DataFrame,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The IVFPQ query-time plan shared by q_sim_ivf_pq (in-plan index),
+    q_sim_ivf_pq_persisted (index read back from parquet) and
+    q_sim_ivf_pq_multiprobe (nprobe > 1): probe → its ``nprobe``
+    nearest cells via the broadcast centroid table, one equi-join on
     cell id against the (assignment ⋈ PQ-reconstruction) members,
-    per-probe asymmetric-PQ top-k window."""
+    per-probe asymmetric-PQ top-k window. Corpus assignment is unique,
+    so the fan-out join can never emit a (probe, neighbor) pair twice
+    at any nprobe — the same disjointness argument as _ivf_search."""
     p = v.where(_PROBE_FILTER).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
@@ -2843,7 +2852,7 @@ def _ivf_pq_search(v: DataFrame, c: DataFrame, assign: DataFrame, npq: DataFrame
         p.crossJoin(F.broadcast(c))
         .withColumn("cos_c", _cent_affinity("pe"))
         .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= nprobe)
         .select("probe_id", "pe", "pn", "cid")
     )
     cell_members = assign.select(
@@ -2971,6 +2980,63 @@ def _ivfpq_query_leg(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
         spark.read.parquet(f"{path}/codebook"),
     )
     return _ivf_pq_search(v, c, assign, npq)
+
+
+@register(
+    "q_sim_ivf_pq_multiprobe",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
+    {_PQ_SUBS_SQL},
+    ranked AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {_qd_sql("v.e", "c.ce")} / c.cn
+                                           DESC,
+                                         c.cid ASC) AS rn
+      FROM v CROSS JOIN c),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    pcells AS (SELECT vec_id, cid FROM ranked WHERE rn <= {_NPROBE}),
+    p AS (SELECT vec_id AS probe_id, e AS pe,
+                 sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS pn
+          FROM v WHERE {_PROBE_FILTER}),
+    scored AS (
+      SELECT p.probe_id, m.vec_id AS neighbor_id,
+             list_dot_product(p.pe, n.d) / (p.pn * n.nrm) AS cos_raw,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_dot_product(p.pe, n.d)
+                                         / (p.pn * n.nrm) DESC,
+                                         m.vec_id ASC) AS rank_pos
+      FROM p
+      JOIN pcells pa ON pa.vec_id = p.probe_id
+      JOIN assign m  ON m.cid = pa.cid AND m.vec_id <> p.probe_id
+      JOIN n         ON n.vec_id = m.vec_id)
+    SELECT probe_id, neighbor_id, (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_IVF_K}
+    """,
+)
+def q_sim_ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with multi-probe (nprobe=``_NPROBE``) — the FAISS
+    PRODUCTION default composed from two verified levers: q_sim_ivf_pq
+    supplies the memory story (coarse cells bound the candidate scan,
+    8-byte codes bound the resident index) and q_sim_ivf_multiprobe
+    supplies the recall lever (each query scans its N nearest cells,
+    recovering true neighbors that fell across a cell boundary — PQ's
+    noise floor makes nprobe>1 MORE valuable than in IVF-Flat, which
+    is why FAISS ships IVFPQ with nprobe tuning as the first knob).
+    Plan shape is q_sim_ivf_pq's exactly — only the tiny probe→cell
+    fan-out table grows N×; the corpus stays partitioned by its single
+    home cell, candidate work scales linearly in nprobe, and the
+    fan-out join stays duplicate-free because corpus assignment is
+    unique. Determinism: the same quantized centroid affinity ranks
+    probe cells and corpus assignment (one shared ``ranked`` frame in
+    the oracle), and PQ scoring tie-breaks on vec_id as everywhere."""
+    v = _vecs(spark, sf_dir)
+    c = _centroids(v)
+    assign = _ivf_assign(v, c)
+    npq = _pq_index(v)
+    return _ivf_pq_search(v, c, assign, npq, nprobe=_NPROBE)
 
 
 # --------------------------------------------------------------------------

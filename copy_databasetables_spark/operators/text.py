@@ -1492,3 +1492,71 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_pos") <= _KW_TOP)
         .select("doc_id", F.col("term").alias("keyword"), "tfidf", "rank_pos")
     )
+
+
+#: entropy quantization scale — runtime-read (mutation-pinned).
+_ENT_SCALE = 1_000_000
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    d AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_types,
+                 CAST(SUM(CAST(FLOOR(c * ln(c) * 1000000.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS slc_q
+          FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           (round(ln(n_tokens)
+                  - (CAST(slc_q AS DOUBLE) / 1000000.0) / n_tokens, 6)
+            + 0.0) AS entropy_nats
+    FROM d
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the classic
+    repetitiveness/quality signal (low entropy = boilerplate, keyword
+    stuffing, degenerate generations; the CCNet/Gopher filter family
+    beside q_text_repetition's n-gram ratios): H = ln(n) − Σ c·ln(c)/n
+    in nats over the doc's term counts, emitted with the token/type
+    counts the ratio filters already use.
+
+    Scale shape (100 TB): explode → ONE (doc, term) groupBy with
+    map-side combine → ONE doc groupBy — the q_text_tfidf scan shape,
+    no joins, no windows; per-doc state is its distinct-term counts,
+    bounded by doc length. Determinism: the Σ c·ln(c) term is summed
+    as int64-quantized contributions (floor(x·10⁶+0.5) — exact,
+    order-independent, the house _scaled idiom), so shuffle order
+    cannot move the hash; ln on identical integer inputs is the same
+    accepted last-ulp class as every idf/lm_score log in this file."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    slc_q = F.sum(
+        F.floor(
+            F.col("c") * F.log("c") * F.lit(float(_ENT_SCALE)) + F.lit(0.5)
+        ).cast("bigint")
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        slc_q.alias("slc_q"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log("n_tokens")
+            - (F.col("slc_q").cast("double") / float(_ENT_SCALE))
+            / F.col("n_tokens"),
+            6,
+        ).alias("entropy_nats"),
+    )

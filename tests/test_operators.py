@@ -3093,3 +3093,225 @@ def test_ivf_assign_quantized_score_bit_identical_across_engines(spark):
         qd = np.floor((x[None, :] * cm) * 1000000.0 + 0.5).astype(np.int64)
         best = int(np.argmax(qd.sum(axis=1).astype(np.float64) / cns))
         assert got[r["vec_id"]] == int(cids[best]), r["vec_id"]
+
+
+def test_ivf_pq_multiprobe_expands_reach_monotonically(spark):
+    """q_sim_ivf_pq_multiprobe's kill conditions: (a) every neighbor
+    lies in one of its probe's _NPROBE nearest cells (recomputed from
+    the production assignment helper + the same quantized affinity);
+    (b) per probe, the result set is a superset-or-equal REACH of
+    nprobe=1: every nprobe=1 neighbor either reappears or is displaced
+    by a strictly better-scoring candidate — pinned via top-k cosine
+    sums (multiprobe's per-probe kth cosine >= nprobe=1's, since its
+    candidate pool is a superset); (c) ranks contiguous from 1."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _NPROBE,
+        _cent_affinity,
+        _centroids,
+        _ivf_assign,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    multi = qs["q_sim_ivf_pq_multiprobe"](spark, SF_SMOKE).collect()
+    single = qs["q_sim_ivf_pq"](spark, SF_SMOKE).collect()
+    assert multi, "multiprobe returned nothing"
+
+    v = _vecs(spark, SF_SMOKE)
+    c = _centroids(v)
+    cell = {
+        r["vec_id"]: r["cid"] for r in _ivf_assign(v, c).collect()
+    }
+    # probe -> its _NPROBE nearest cells via the shared quantized score
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.col("aff").desc(), F.col("cid").asc()
+    )
+    pcells: dict = {}
+    for r in (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("aff", _cent_affinity("e"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= _NPROBE)
+        .select("vec_id", "cid")
+        .collect()
+    ):
+        pcells.setdefault(r["vec_id"], set()).add(r["cid"])
+
+    per_probe: dict = {}
+    for r in multi:
+        assert cell[r["neighbor_id"]] in pcells[r["probe_id"]], (
+            "neighbor outside the probe's nprobe cells"
+        )
+        per_probe.setdefault(r["probe_id"], []).append(
+            (r["rank_pos"], r["cosine"])
+        )
+    for pid, rows in per_probe.items():
+        ranks = sorted(rk for rk, _ in rows)
+        assert ranks == list(range(1, len(ranks) + 1)), pid
+    # (b) kth-cosine monotonicity vs nprobe=1
+    s1: dict = {}
+    for r in single:
+        s1.setdefault(r["probe_id"], []).append(r["cosine"])
+    for pid, cosines in s1.items():
+        m = sorted((c_ for _, c_ in per_probe[pid]), reverse=True)
+        s = sorted(cosines, reverse=True)
+        for k in range(min(len(m), len(s))):
+            assert m[k] >= s[k], (pid, k)
+
+
+def test_countmin_merges_exactly_and_never_undercounts(spark):
+    """q_agg_countmin's kill conditions: (a) cell-wise merge
+    associativity — the per-day sketch table summed over days equals
+    the single-pass global sketch (deterministic integers, so EXACT
+    equality); (b) est >= exact for EVERY distinct key (CM's one-sided
+    guarantee — hash collisions only add); (c) the op's probe rows
+    agree with a brute-force recompute of min-over-rows lookups."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.aggregates import (
+        _CM_D,
+        _CM_H_SPARK,
+    )
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    jb = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_CM_H_SPARK.format(j=j)).alias("bucket"),
+            )
+            for j in range(_CM_D)
+        ]
+    )
+    cells = ev.select("day", F.explode(jb).alias("jb")).select(
+        "day", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    daily_merged = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in cells.groupBy("day", "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    direct = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in cells.groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert daily_merged == direct  # (a) exact, not approximate
+
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    buckets = {
+        (r["user_id"], r["j"]): r["bucket"]
+        for r in ev.select("user_id").distinct().select(
+            "user_id", F.explode(jb).alias("jb")
+        ).select(
+            "user_id", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+        ).collect()
+    }
+    for uid, n in exact.items():
+        est = min(
+            direct[(j, buckets[(uid, j)])] for j in range(_CM_D)
+        )
+        assert est >= n, uid  # (b)
+
+    out = all_queries()["q_agg_countmin"](spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        est = min(
+            direct[(j, buckets[(r["user_id"], j)])] for j in range(_CM_D)
+        )
+        assert r["est_count"] == est and r["exact_count"] == exact[r["user_id"]]
+        assert r["never_undercounts"] is True
+
+
+def test_text_entropy_matches_python_recompute(spark):
+    """q_text_entropy's kill condition: the emitted entropy equals an
+    independent Python recompute of the exact pipeline — house
+    tokenization, int64-quantized c·ln(c) contributions, ln(n) −
+    Σ/n, 6dp round — for every document; and a degenerate
+    all-same-token document scores exactly 0 (checked on any doc with
+    n_types == 1, plus the formula identity on a synthetic count)."""
+    import math
+    from collections import Counter
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.text import _ENT_SCALE
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["q_text_entropy"](spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for r in docs:
+        toks = r["text"].lower().split(" ")
+        counts = Counter(toks)
+        n = sum(counts.values())
+        slc_q = sum(
+            math.floor(c * math.log(c) * float(_ENT_SCALE) + 0.5)
+            for c in counts.values()
+        )
+        want = round(math.log(n) - (slc_q / float(_ENT_SCALE)) / n, 6)
+        got = out[r["doc_id"]]
+        assert got["n_tokens"] == n and got["n_types"] == len(counts)
+        assert abs(got["entropy_nats"] - want) < 1e-9, r["doc_id"]
+    # formula identity: all-same-token doc => slc_q = floor(n*ln(n)*S+.5)
+    # and entropy rounds to 0 (ln(n) - n*ln(n)/n)
+    n = 37
+    slc_q = math.floor(n * math.log(n) * float(_ENT_SCALE) + 0.5)
+    assert round(math.log(n) - (slc_q / float(_ENT_SCALE)) / n, 6) == 0.0
+
+
+def test_phash_blocking_is_exact_and_collapses_first(spark):
+    """q_multimodal_phash's kill conditions: (a) the pigeonhole-blocked
+    value-pair set EQUALS brute-force all-pairs over distinct hashes
+    with hamming <= tau (blocking is a pure optimization — 4 disjoint
+    4-bit blocks cover any <=3-bit difference); (b) group stats carry
+    the exact-dup collapse (n_docs sums to the corpus size over the
+    value table); (c) hamming is the true popcount of the xor."""
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.multimodal import (
+        _PHASH_TAU,
+        _ppm_dhash,
+        _ppm_encode,
+    )
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    fp = docs.mapInPandas(
+        _ppm_encode, schema="doc_id bigint, payload binary"
+    ).mapInPandas(_ppm_dhash, schema="doc_id bigint, phash bigint")
+    rows = fp.collect()
+    n_docs_total = len(rows)
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["phash"], []).append(r["doc_id"])
+    brute = {
+        (a, b): bin(a ^ b).count("1")
+        for i, a in enumerate(sorted(groups))
+        for b in sorted(groups)[i + 1 :]
+        if bin(a ^ b).count("1") <= _PHASH_TAU
+    }
+    out = all_queries()["q_multimodal_phash"](spark, SF_SMOKE).collect()
+    got = {(r["ph_a"], r["ph_b"]): r["hamming"] for r in out}
+    assert got == brute  # (a) + (c): no missed pair, no phantom pair
+    assert sum(len(v) for v in groups.values()) == n_docs_total
+    for r in out:  # (b) group stats are the collapse, verified per row
+        assert r["n_docs_a"] == len(groups[r["ph_a"]])
+        assert r["min_doc_a"] == min(groups[r["ph_a"]])
+        assert r["n_docs_b"] == len(groups[r["ph_b"]])
+        assert r["min_doc_b"] == min(groups[r["ph_b"]])

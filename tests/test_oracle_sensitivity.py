@@ -37,6 +37,7 @@ from copy_databasetables_spark.operators import (  # noqa: E402
     aggregates,
     dedup,
     joins,
+    multimodal,
     pipeline,
     similarity,
     text,
@@ -92,6 +93,11 @@ MUTATIONS = [
     (similarity, "_PCA_K", 3, "q_emb_pca_k"),
     (dedup, "_MINIMIZER_W", 6, "q_dedup_substring_minimizer"),
     (text, "_BM25_TOPN", 11, "q_text_bm25_persisted"),
+    # r14 ops — each verified to KILL on sf0.001 on entry:
+    (similarity, "_NPROBE", 3, "q_sim_ivf_pq_multiprobe"),
+    (aggregates, "_CM_PROBES", 5, "q_agg_countmin"),
+    (text, "_ENT_SCALE", 1_000, "q_text_entropy"),
+    (multimodal, "_PHASH_TAU", 2, "q_multimodal_phash"),
 ]
 
 

@@ -1075,3 +1075,58 @@ def test_pca_k_projection_is_in_row_all_k_eigvecs_broadcast(spark):
     assert "CartesianProduct" not in p
     assert "zip_with" in p
     assert p.count("BroadcastExchange") >= _PCA_K  # one array row per comp
+
+
+def test_ivf_pq_multiprobe_keeps_pq_plan_shape(spark):
+    """q_sim_ivf_pq_multiprobe inherits q_sim_ivf_pq's plan verbatim —
+    nprobe only widens the bounded probe→cell fan-out table, so the
+    plan must still show broadcast index halves and no cartesian."""
+    p = plan(all_queries()["q_sim_ivf_pq_multiprobe"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastExchange") >= 2  # centroids + codebook/probes
+    assert "BroadcastHashJoin [cid" in final or "BroadcastHashJoin [ncid" in final
+
+
+def test_countmin_aggregates_partially_with_no_window(spark):
+    """q_agg_countmin's 100 TB contract: the sketch build is ONE
+    groupBy over (day, j, bucket) with MAP-SIDE partial aggregation
+    (the shuffle carries <= cells x partitions rows, never the corpus),
+    the merge is another tiny groupBy, the probe lookup joins a
+    BROADCAST of the 256-cell sketch, and nothing needs a Window or a
+    Python worker."""
+    p = plan(all_queries()["q_agg_countmin"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
+    assert "partial_count" in final or "partial_sum" in final
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
+
+
+def test_text_entropy_is_two_aggregations_no_python(spark):
+    """q_text_entropy must stay the tfidf scan shape: explode -> one
+    (doc, term) groupBy with partial aggregation -> one doc groupBy —
+    no joins beyond none, no Window, no Python evaluation (the
+    quantized contributions are builtin floor/log expressions)."""
+    p = plan(all_queries()["q_text_entropy"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
+    assert "partial_count" in final or "partial_sum" in final
+    assert "Generate explode" in final or "Generate" in final
+
+
+def test_phash_pairs_at_value_level_through_equi_join(spark):
+    """q_multimodal_phash's scale contract: decode+hash is the
+    zero-shuffle 1:1 media pass (two MapInPandas stages, no exchange
+    between them), docs COLLAPSE to distinct hash values before any
+    pairing (a groupBy feeds the join), and the candidate join is an
+    equi-join on (blk, bval) — never a cartesian or a doc x doc
+    nested loop."""
+    p = plan(all_queries()["q_multimodal_phash"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") >= 1  # encode+dhash (may fuse/reuse)
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "Join [blk" in final or "join [blk" in final.lower()
