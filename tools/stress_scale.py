@@ -563,6 +563,15 @@ def main() -> None:
         "documents/embeddings/events — for the TPC-H composite alphas",
     )
     ap.add_argument(
+        "--docs-only",
+        action="store_true",
+        help="blow up ONLY the documents table (embeddings/events "
+        "symlinked constant) for the regular --ops timing path — the "
+        "doc-side third decade (--copies 1000 turns sf0.1's 5k docs "
+        "into 5M) without paying a 100M-row events build the "
+        "span-dedup/BM25 legs never read",
+    )
+    ap.add_argument(
         "--reuse",
         action="store_true",
         help="skip the blowup build if --out already holds a "
@@ -607,7 +616,7 @@ def main() -> None:
         ):
             build_blowup(
                 spark, args.src, args.out, args.copies,
-                docs_only=args.candidates_only,
+                docs_only=args.candidates_only or args.docs_only,
                 emb_only=args.embeddings_only,
             )
 
