@@ -149,6 +149,15 @@ HEADLINE = [
     # r13 continuation: the lexical persisted-index counterpart,
     # benched beside its in-plan twin q_text_bm25
     "q_text_bm25_persisted",
+    # r14: the four new ops, benched from day one — IVFPQ multiprobe
+    # (the FAISS production default, benched beside q_sim_ivf_pq so the
+    # nprobe cost is a measured delta), the count-min sketch rollup,
+    # per-doc token entropy, and perceptual-hash image dedup. Entry
+    # bands in BASELINE.md §Round-14.
+    "q_sim_ivf_pq_multiprobe",
+    "q_agg_countmin",
+    "q_text_entropy",
+    "q_multimodal_phash",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
