@@ -3733,3 +3733,95 @@ def q_sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_pos",
         )
     )
+
+
+@register(
+    "q_sim_ivf_recall",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    c AS ({_C_SQL}),
+    assign AS ({_ASSIGN_CTE}),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE {_PROBE_FILTER}),
+    ivf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY list_cosine_similarity(p.pe, nv.e)
+                                             DESC,
+                                           n.vec_id ASC) AS rank_pos
+        FROM p
+        JOIN assign pa ON pa.vec_id = p.probe_id
+        JOIN assign n  ON n.cid = pa.cid AND n.vec_id <> p.probe_id
+        JOIN v nv      ON nv.vec_id = n.vec_id)
+      WHERE rank_pos <= {_IVF_K}),
+    exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY list_cosine_similarity(p.pe, v.e)
+                                             DESC,
+                                           v.vec_id ASC) AS rank_pos
+        FROM p JOIN v ON v.vec_id <> p.probe_id)
+      WHERE rank_pos <= {_IVF_K})
+    SELECT exact.probe_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           (round(COUNT(ivf.neighbor_id) / (1.0 * COUNT(*)), 4) + 0.0)
+             AS recall
+    FROM exact
+    LEFT JOIN ivf ON ivf.probe_id = exact.probe_id
+                 AND ivf.neighbor_id = exact.neighbor_id
+    GROUP BY exact.probe_id
+    """,
+)
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe RECALL audit of the IVF index against exact brute
+    force — the number every ANN deployment tunes nprobe/K against,
+    made a standing checked op (the q_dedup_lsh_recall pattern applied
+    to the vector index): recall@{_IVF_K} = |ivf top-k ∩ exact top-k| /
+    |exact top-k| per probe. Deliberately pays the exact all-pairs leg
+    — probes are the bounded {_PROBE_FILTER} batch, so the audit costs
+    O(|probes|·n), not O(n²); run it on a sampled probe set at corpus
+    scale exactly as FAISS recall sweeps do. The IVF leg reuses the
+    production search (same quantized assignment, same tie-breaks), so
+    a recall regression from ANY index change — centroid drift, an
+    assignment bug, a probe-routing bug — lands in this op's hash."""
+    v = _vecs(spark, sf_dir)
+    p = v.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        F.broadcast(p)
+        .join(v, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= _IVF_K)
+        .select("probe_id", "neighbor_id")
+    )
+    ivf = _ivf_search(spark, sf_dir, nprobe=1).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / (F.lit(1.0) * F.count(F.lit(1))),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -1560,3 +1560,97 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+#: bigram-LM add-k smoothing constant — runtime-read (mutation-pinned).
+_LM2_K = 0.5
+
+
+@register(
+    "q_text_lm_bigram",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1])) AS bg
+      FROM documents),
+    c12 AS (SELECT bg, COUNT(*) AS cnt12 FROM bg GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                  CAST(SUM(cnt12) AS BIGINT) AS cnt1
+           FROM c12 GROUP BY w1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(FLOOR(ln((c12.cnt12 + {{k}}) / (c1.cnt1 + {{k}} * vocab.v))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lpq
+      FROM bg
+      JOIN c12 USING (bg)
+      JOIN c1 ON c1.w1 = string_split(bg.bg, ' ')[1]
+      CROSS JOIN vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (round(-(CAST(SUM(lpq) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+            + 0.0) AS surprisal_bigram
+    FROM scored GROUP BY doc_id
+    """.replace("{k}", "0.5"),
+)
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — q_text_lm_score's unigram
+    proxy upgraded one Markov order, the shape real LM-filter cascades
+    (CCNet's KenLM stage) actually use: train add-k-smoothed bigram
+    probabilities on the corpus itself, P(w₂|w₁) = (c₁₂ + k) /
+    (c₁ + k·V), and score each doc by mean bigram surprisal
+    −avg(ln P). Repetitive/templated text scores low, rare-transition
+    noise scores high; quality gates keep the middle band.
+
+    Scale shape (100 TB): bigrams come from the attested in-row slice
+    idiom (q_text_ngrams — no position self-join); the "LM" is one
+    (bigram → count) two-phase aggregate whose left-context totals
+    derive from the SAME counts table (no second corpus pass); scoring
+    re-joins the bigram stream on its key — hash-partitionable at any
+    scale, vocab ~log(corpus). Determinism: per-bigram log
+    contributions are int64-quantized (floor(x·10⁶+0.5), exact
+    order-free sums — the house _scaled idiom), so only ln's accepted
+    last-ulp class remains; the smoothing constant k and V are exact
+    on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(split(text,' '), 1, size(split(text,' ')) - 1), "
+        "(t, i) -> concat(t, ' ', split(text,' ')[i + 1]))"
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt12"))
+    c1 = (
+        c12.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
+        .agg(F.sum("cnt12").cast("bigint").alias("cnt1"))
+    )
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .agg(F.count_distinct("term").cast("double").alias("v"))
+    )
+    k = float(_LM2_K)
+    lpq = F.floor(
+        F.log(
+            (F.col("cnt12") + F.lit(k)) / (F.col("cnt1") + F.lit(k) * F.col("v"))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        bg.join(c12, "bg")
+        .join(c1, F.split("bg", " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lpq.alias("lpq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                -(F.sum("lpq").cast("double") / 1000000.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("surprisal_bigram"),
+        )
+    )

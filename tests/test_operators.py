@@ -3315,3 +3315,98 @@ def test_phash_blocking_is_exact_and_collapses_first(spark):
         assert r["min_doc_a"] == min(groups[r["ph_a"]])
         assert r["n_docs_b"] == len(groups[r["ph_b"]])
         assert r["min_doc_b"] == min(groups[r["ph_b"]])
+
+
+def test_lm_bigram_matches_python_recompute(spark):
+    """q_text_lm_bigram's kill condition: per-doc surprisal equals an
+    independent Python recompute of the whole pipeline — in-row
+    bigrams, add-k bigram LM trained on the corpus (left-context
+    totals derived from the bigram counts, V = distinct unigrams),
+    int64-quantized log contributions, 6dp round — for every doc
+    (tolerance: ONE 6dp rounding quantum, because Python's libm ln and
+    the JVM's Math.log differ in the last ulp and a single quantized
+    term can straddle a floor/round boundary — the documented accepted
+    class; any semantic mutation moves values orders beyond 1e-6)."""
+    import math
+    from collections import Counter
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.text import _LM2_K
+    from copy_databasetables_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    c12: Counter = Counter()
+    vocab = set()
+    doc_bgs = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        vocab.update(toks)
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        doc_bgs[r["doc_id"]] = bgs
+        c12.update(bgs)
+    c1: Counter = Counter()
+    for bg_key, n in c12.items():
+        c1[bg_key.split(" ")[0]] += n
+    v_sz, k = float(len(vocab)), float(_LM2_K)
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["q_text_lm_bigram"](spark, SF_SMOKE).collect()
+    }
+    assert len(out) == sum(1 for bgs in doc_bgs.values() if bgs)
+    for did, bgs in doc_bgs.items():
+        if not bgs:
+            assert did not in out
+            continue
+        slq = 0
+        for bg_key in bgs:
+            p = (c12[bg_key] + k) / (c1[bg_key.split(" ")[0]] + k * v_sz)
+            slq += math.floor(math.log(p) * 1000000.0 + 0.5)
+        want = round(-(slq / 1000000.0) / len(bgs), 6)
+        got = out[did]
+        assert got["n_bigrams"] == len(bgs), did
+        assert abs(got["surprisal_bigram"] - want) <= 1.0000001e-6, did
+
+
+def test_ivf_recall_counts_true_overlap(spark):
+    """q_sim_ivf_recall's kill conditions: (a) n_hit equals the true
+    |ivf∩exact| recomputed from the production q_sim_ivf output and a
+    Python brute-force exact top-k; (b) n_hit <= n_exact and recall is
+    exactly their 4dp ratio; (c) n_exact == _IVF_K whenever the corpus
+    offers at least that many candidates."""
+    import math
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import _IVF_K, _vecs
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    out = {r["probe_id"]: r for r in qs["q_sim_ivf_recall"](spark, SF_SMOKE).collect()}
+    assert out
+    ivf: dict = {}
+    for r in qs["q_sim_ivf"](spark, SF_SMOKE).collect():
+        ivf.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+
+    vecs = {
+        r["vec_id"]: (r["e"], r["nrm"])
+        for r in _vecs(spark, SF_SMOKE).collect()
+    }
+    n_corpus = len(vecs)
+    for pid, row in out.items():
+        pe, pn = vecs[pid]
+        scored = sorted(
+            (
+                (-sum(x * y for x, y in zip(pe, e)) / (pn * nn), nid)
+                for nid, (e, nn) in vecs.items()
+                if nid != pid
+            ),
+        )[:_IVF_K]
+        exact = {nid for _, nid in scored}
+        hits = len(exact & ivf.get(pid, set()))
+        assert row["n_hit"] == hits, pid
+        assert row["n_exact"] == min(_IVF_K, n_corpus - 1)
+        assert row["n_hit"] <= row["n_exact"]
+        assert math.isclose(
+            row["recall"], round(hits / row["n_exact"], 4), abs_tol=1e-9
+        )

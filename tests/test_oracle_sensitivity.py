@@ -98,6 +98,8 @@ MUTATIONS = [
     (aggregates, "_CM_PROBES", 5, "q_agg_countmin"),
     (text, "_ENT_SCALE", 1_000, "q_text_entropy"),
     (multimodal, "_PHASH_TAU", 2, "q_multimodal_phash"),
+    (text, "_LM2_K", 1.0, "q_text_lm_bigram"),
+    (similarity, "_IVF_K", 4, "q_sim_ivf_recall"),
 ]
 
 

@@ -1130,3 +1130,29 @@ def test_phash_pairs_at_value_level_through_equi_join(spark):
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
     assert "Join [blk" in final or "join [blk" in final.lower()
+
+
+def test_lm_bigram_trains_from_one_corpus_pass_no_python(spark):
+    """q_text_lm_bigram's scale contract: bigrams come from the in-row
+    slice idiom (one Generate, no position self-join), the LM is
+    two-phase aggregation with map-side partials, the left-context
+    totals derive from the counts table (no extra corpus scan shape),
+    and nothing crosses to Python."""
+    p = plan(all_queries()["q_text_lm_bigram"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
+    assert "partial_count" in final or "partial_sum" in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+
+
+def test_ivf_recall_exact_leg_broadcasts_probes(spark):
+    """q_sim_ivf_recall deliberately pays the exact O(|probes|·n) leg;
+    the plan must show the PROBE side broadcast into that scan (never
+    a corpus×corpus cartesian) and the overlap join as an equi-join on
+    (probe_id, neighbor_id)."""
+    p = plan(all_queries()["q_sim_ivf_recall"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" in final  # probes × corpus, bounded side
+    assert final.count("BroadcastNestedLoopJoin") <= 2
