@@ -130,9 +130,13 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram frequencies via array slicing (multiset — duplicates count),
     top-30 with deterministic tie-break."""
     d = load_table(spark, sf_dir, "documents")
+    # let-binding idiom (dedup.py's HOF-inlining fix): bind the token
+    # array ONCE per row as a lambda variable — a bare split() inside
+    # the lambda re-splits the whole text per element (O(len²)/doc).
     bigrams = F.expr(
-        "transform(slice(split(text,' '), 1, size(split(text,' ')) - 1), "
-        "(t, i) -> concat(t, ' ', split(text,' ')[i + 1]))"
+        "element_at(transform(array(split(text,' ')), ts -> "
+        "transform(slice(ts, 1, size(ts) - 1), "
+        "(t, i) -> concat(t, ' ', ts[i + 1]))), 1)"
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -314,12 +318,15 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     core of winnowing-style fingerprint indexes. Identical md5-derived
     integers on both engines."""
     d = load_table(spark, sf_dir, "documents")
+    # let-binding idiom — see q_text_ngrams: bind the lowered token
+    # array once per row instead of re-splitting per shingle.
     shingle_hashes = F.expr(
-        "transform(slice(split(lower(text),' '), 1, size(split(lower(text),' ')) - 2), "
+        "element_at(transform(array(split(lower(text),' ')), ts -> "
+        "transform(slice(ts, 1, size(ts) - 2), "
         "(t, i) -> " + _H.format(
-            x="concat(t, ' ', split(lower(text),' ')[i + 1], ' ', split(lower(text),' ')[i + 2])"
+            x="concat(t, ' ', ts[i + 1], ' ', ts[i + 2])"
         )
-        + ")"
+        + ")), 1)"
     )
     return d.select(
         "doc_id",
@@ -1617,9 +1624,13 @@ def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp class remains; the smoothing constant k and V are exact
     on both sides."""
     d = load_table(spark, sf_dir, "documents")
+    # let-binding idiom (dedup.py's HOF-inlining fix): bind the token
+    # array ONCE per row as a lambda variable — a bare split() inside
+    # the lambda re-splits the whole text per element (O(len²)/doc).
     bigrams = F.expr(
-        "transform(slice(split(text,' '), 1, size(split(text,' ')) - 1), "
-        "(t, i) -> concat(t, ' ', split(text,' ')[i + 1]))"
+        "element_at(transform(array(split(text,' ')), ts -> "
+        "transform(slice(ts, 1, size(ts) - 1), "
+        "(t, i) -> concat(t, ' ', ts[i + 1]))), 1)"
     )
     bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
     c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt12"))
