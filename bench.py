@@ -158,6 +158,11 @@ HEADLINE = [
     "q_agg_countmin",
     "q_text_entropy",
     "q_multimodal_phash",
+    # r14 continuation: the bigram LM scorer and the IVF recall audit
+    # (quadratic-by-design at fixed probe fraction — the
+    # q_dedup_lsh_recall adjudication rule applies)
+    "q_text_lm_bigram",
+    "q_sim_ivf_recall",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

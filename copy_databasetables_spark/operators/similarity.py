@@ -761,7 +761,18 @@ def _ivf_persisted_search(
     v = _vecs(spark, sf_dir)
     c = _centroids(v, k)
     path = _ivf_index_path(sf_dir)
-    _ivf_assign(v, c).write.mode("overwrite").partitionBy("cid").parquet(path)
+    # repartition("cid") first: one file per cell instead of
+    # (partitions × cells) shards — the id-pair exchange is tiny and is
+    # the standard partitioned-write shape (the stress harness always
+    # wrote it this way; without it the gate-scale write fans out ~1024
+    # small files and the read-back pays their open cost).
+    (
+        _ivf_assign(v, c)
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
     index = spark.read.parquet(path).select(
         "vec_id", F.col("cid").cast("bigint").alias("cid")
     )
@@ -2958,8 +2969,12 @@ def _ivfpq_index_build(spark: SparkSession, sf_dir: str) -> str:
     v = _vecs(spark, sf_dir)
     c = _centroids(v)
     path = _ivf_index_path(sf_dir)
-    _ivf_assign(v, c).write.mode("overwrite").partitionBy("cid").parquet(
-        f"{path}/assign"
+    (
+        _ivf_assign(v, c)
+        .repartition("cid")  # one file per cell — see _ivf_persisted_search
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/assign")
     )
     sub_cb, codes = _pq_parts(v)
     sub_cb.write.mode("overwrite").parquet(f"{path}/codebook")
