@@ -163,6 +163,10 @@ HEADLINE = [
     # q_dedup_lsh_recall adjudication rule applies)
     "q_text_lm_bigram",
     "q_sim_ivf_recall",
+    # r14 continuation 2: the PSI drift monitor (one-pass fixed-bin
+    # histogram; sub-second rule, 0.757 s standalone best-of-3 at
+    # sf0.1 on entry)
+    "q_emb_drift_psi",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -3840,3 +3840,102 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+#: PSI drift-monitor geometry: fixed bin edges (data-INDEPENDENT — the
+#: portable choice: quantile edges would make bin membership depend on
+#: a cross-engine sort) and Laplace add-1 smoothing so empty bins stay
+#: finite. Runtime-read (mutation-pinned).
+_PSI_BINS = 10
+_PSI_LO = -0.4
+_PSI_STEP = 0.08
+
+
+@register(
+    "q_emb_drift_psi",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    f AS (SELECT vec_id % 2 AS side,
+                 LEAST(GREATEST(CAST(FLOOR((e[1] - ({_PSI_LO}))
+                                           / {_PSI_STEP}) AS BIGINT),
+                                0), {_PSI_BINS - 1}) AS bin
+          FROM v),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM f GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+                   CAST(SUM(n_cur) AS DOUBLE) AS t_cur
+            FROM cells)
+    SELECT bin, n_ref, n_cur,
+           (round((n_ref + 1) / (t_ref + {_PSI_BINS}), 6) + 0.0) AS p_ref,
+           (round((n_cur + 1) / (t_cur + {_PSI_BINS}), 6) + 0.0) AS p_cur,
+           (round(((n_cur + 1) / (t_cur + {_PSI_BINS})
+                   - (n_ref + 1) / (t_ref + {_PSI_BINS}))
+                  * ln(((n_cur + 1) / (t_cur + {_PSI_BINS}))
+                       / ((n_ref + 1) / (t_ref + {_PSI_BINS}))), 6)
+            + 0.0) AS psi_term
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q_emb_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT monitor — the population stability
+    index (PSI), the standard production check that a new data slice
+    still looks like the reference before it enters training or an
+    index: histogram a per-vector scalar (here the first embedding
+    component; norms are unit by construction) over FIXED bins for the
+    reference and current slices (vec_id parity — at deployment the
+    two sides are "yesterday's corpus" vs "today's batch"), Laplace-
+    smooth, and emit each bin's PSI term (p_cur − p_ref)·ln(p_cur/
+    p_ref); Σ terms < 0.1 is the conventional no-drift verdict, > 0.25
+    the alarm.
+
+    Scale shape (100 TB): ONE pass — project the scalar, bin by fixed
+    edges (no quantile sort, no cross-slice join), and a single
+    groupBy over ≤{_PSI_BINS} bins with conditional partial counts
+    (map-side combine collapses every task to the bin set); the
+    smoothing/log algebra runs on the {_PSI_BINS}-row result.
+    Determinism: fixed edges mean bin membership is one identical
+    float expression on both engines; counts are exact integers; the
+    per-bin float algebra is single IEEE ops on identical inputs plus
+    the accepted-ulp ln."""
+    v = _vecs(spark, sf_dir)
+    bin_col = F.least(
+        F.greatest(
+            F.floor(
+                (F.element_at("e", 1) - F.lit(_PSI_LO)) / F.lit(_PSI_STEP)
+            ).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(_PSI_BINS - 1),
+    )
+    cells = (
+        v.select((F.col("vec_id") % 2).alias("side"), bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    b = float(_PSI_BINS)
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + F.lit(b))
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + F.lit(b))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

@@ -3410,3 +3410,48 @@ def test_ivf_recall_counts_true_overlap(spark):
         assert math.isclose(
             row["recall"], round(hits / row["n_exact"], 4), abs_tol=1e-9
         )
+
+
+def test_drift_psi_matches_recompute_and_parity_split_shows_no_drift(spark):
+    """q_emb_drift_psi's kill conditions: (a) every bin row equals an
+    independent Python recompute (fixed edges, clamp, Laplace add-1,
+    PSI term) from the raw vectors; (b) counts partition the corpus
+    (Σ n_ref + Σ n_cur = |v|); (c) the vec_id-parity split of an
+    i.i.d. corpus is NOT drifted: Σ psi_term < 0.1, the conventional
+    no-drift threshold — a binning or smoothing bug that skews one
+    side inflates the total and trips this."""
+    import math
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _PSI_BINS,
+        _PSI_LO,
+        _PSI_STEP,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _vecs(spark, SF_SMOKE).select("vec_id", "e").collect()
+    n_ref = [0] * _PSI_BINS
+    n_cur = [0] * _PSI_BINS
+    for r in rows:
+        b = int(math.floor((r["e"][0] - _PSI_LO) / _PSI_STEP))
+        b = min(max(b, 0), _PSI_BINS - 1)
+        (n_ref if r["vec_id"] % 2 == 0 else n_cur)[b] += 1
+    t_ref, t_cur = float(sum(n_ref)), float(sum(n_cur))
+
+    out = {r["bin"]: r for r in all_queries()["q_emb_drift_psi"](spark, SF_SMOKE).collect()}
+    assert sum(r["n_ref"] + r["n_cur"] for r in out.values()) == len(rows)
+    total = 0.0
+    for b in range(_PSI_BINS):
+        if n_ref[b] == 0 and n_cur[b] == 0:
+            assert b not in out
+            continue
+        pr = (n_ref[b] + 1) / (t_ref + _PSI_BINS)
+        pc = (n_cur[b] + 1) / (t_cur + _PSI_BINS)
+        term = round((pc - pr) * math.log(pc / pr), 6)
+        got = out[b]
+        assert got["n_ref"] == n_ref[b] and got["n_cur"] == n_cur[b], b
+        assert abs(got["psi_term"] - term) <= 1.0000001e-6, b
+        total += got["psi_term"]
+    assert total < 0.1, total  # parity split of i.i.d. vectors: no drift

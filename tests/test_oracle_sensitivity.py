@@ -100,6 +100,7 @@ MUTATIONS = [
     (multimodal, "_PHASH_TAU", 2, "q_multimodal_phash"),
     (text, "_LM2_K", 1.0, "q_text_lm_bigram"),
     (similarity, "_IVF_K", 4, "q_sim_ivf_recall"),
+    (similarity, "_PSI_STEP", 0.1, "q_emb_drift_psi"),
 ]
 
 

@@ -1156,3 +1156,16 @@ def test_ivf_recall_exact_leg_broadcasts_probes(spark):
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" in final  # probes × corpus, bounded side
     assert final.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_drift_psi_is_one_pass_fixed_bins(spark):
+    """q_emb_drift_psi's scale contract: ONE corpus pass — fixed-edge
+    binning (no quantile sort), one groupBy over <=10 bins with
+    map-side partial aggregation, the totals joined back as a
+    broadcast of a bin-bounded frame; no Window, no Python worker."""
+    p = plan(all_queries()["q_emb_drift_psi"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
+    assert "partial_sum" in final or "partial_count" in final
+    assert "CartesianProduct" not in final  # the tot join is broadcast-NL on 1 row
