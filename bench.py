@@ -167,6 +167,10 @@ HEADLINE = [
     # histogram; sub-second rule, 0.757 s standalone best-of-3 at
     # sf0.1 on entry)
     "q_emb_drift_psi",
+    # r14 continuation 3: binary-quantization ANN (sign-bit sketch
+    # scan + bounded exact rerank), benched beside its float twins
+    # q_sim_topk / q_sim_quantized. Entry band in BASELINE.md §r14.
+    "q_sim_binary_hamming",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

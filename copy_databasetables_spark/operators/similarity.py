@@ -3939,3 +3939,145 @@ def q_emb_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+#: binary-quantization geometry: the 64 sign bits pack into TWO 32-bit
+#: halves stored as BIGINTs (one 64-bit word would need bit 63, whose
+#: shifted value overflows signed int64 in portable SQL); Hamming ranks
+#: a candidate set of _BQ_RERANK_R per probe, exact cosine reranks to
+#: _K. Runtime-read (mutation-pinned in tests/test_oracle_sensitivity).
+_BQ_RERANK_R = 20
+
+#: sign-bit word CTE shared by the oracle: DuckDB's positional zip of
+#: two unnests (the q_emb_centroid idiom) explodes (pos, x); each half
+#: sums DISTINCT powers of two, so SUM ≡ bitwise OR and the word is an
+#: exact integer — bit i of w0/w1 set iff e[i]/e[32+i] > 0.
+_BQ_W_SQL = (
+    "SELECT vec_id, "
+    "CAST(SUM(CASE WHEN x > 0 AND pos < 32 "
+    "THEN (CAST(1 AS BIGINT) << CAST(pos AS INT)) ELSE 0 END) AS BIGINT)"
+    " AS w0, "
+    "CAST(SUM(CASE WHEN x > 0 AND pos >= 32 "
+    "THEN (CAST(1 AS BIGINT) << CAST(pos - 32 AS INT)) ELSE 0 END) AS"
+    " BIGINT) AS w1 "
+    "FROM (SELECT vec_id, unnest(range(0, len(e))) AS pos, unnest(e) AS x"
+    " FROM v) GROUP BY vec_id"
+)
+
+
+@register(
+    "q_sim_binary_hamming",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    w AS ({_BQ_W_SQL}),
+    n AS (SELECT v.vec_id, v.e,
+                 sqrt(list_aggregate(list_transform(v.e, x -> x * x),
+                                     'sum')) AS nrm,
+                 w.w0, w.w1
+          FROM v JOIN w USING (vec_id)),
+    p AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn,
+                 w0 AS pw0, w1 AS pw1
+          FROM n WHERE {_PROBE_FILTER}),
+    h AS (SELECT p.probe_id, p.pe, p.pn,
+                 n.vec_id AS neighbor_id, n.e AS ne, n.nrm AS nn,
+                 CAST(bit_count(xor(n.w0, p.pw0))
+                      + bit_count(xor(n.w1, p.pw1)) AS BIGINT) AS hamming
+          FROM p JOIN n ON n.vec_id <> p.probe_id),
+    cand AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY hamming ASC,
+                                                     neighbor_id ASC)
+                           AS hrank
+               FROM h) WHERE hrank <= {_BQ_RERANK_R}),
+    scored AS (SELECT probe_id, neighbor_id, hamming,
+                      list_dot_product(pe, ne) / (pn * nn) AS cos_raw,
+                      row_number() OVER (
+                        PARTITION BY probe_id
+                        ORDER BY list_dot_product(pe, ne) / (pn * nn) DESC,
+                                 neighbor_id ASC) AS rank_pos
+               FROM cand)
+    SELECT probe_id, neighbor_id, hamming,
+           (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_K}
+    """,
+)
+def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the FAISS-binary / sign-bit-sketch
+    path: each vector collapses to its 64 sign bits (two BIGINT words,
+    16 bytes vs 512 for the double vectors — a 32× memory cut), the
+    candidate scan ranks by integer Hamming distance
+    (XOR + popcount, whole-stage codegen, SIMD-friendly at the CPU
+    level), and only the top-{_BQ_RERANK_R} candidates per probe pay
+    the exact float cosine rerank that decides the reported
+    top-{_K}.
+
+    Scale shape (100 TB / 10B vectors): the sketch table is the thing
+    that FITS — 10B × 16 B = 160 GB cluster-wide, memory-resident
+    where the float corpus is not; the Hamming stage is one broadcast
+    (bounded probes) × corpus scan with integer ops only, and the
+    float rerank touches R·|probes| rows, not the corpus.
+
+    Determinism: sign bits (x > 0 on the double cast) and Hamming
+    distances are exact integers on both engines, so the candidate
+    ranking cannot drift; the rerank reuses the house raw-double
+    cosine ranking with vec_id tie-break (accepted-ulp class, 4dp
+    display rounding)."""
+    v = _vecs(spark, sf_dir)
+
+    def pack(lo: int) -> Column:
+        # distinct powers of two, so the integer sum IS the bitwise OR;
+        # (x, i) -> i is the index within the 32-element slice
+        return F.expr(
+            f"aggregate(transform(slice(e, {lo}, 32), "
+            "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
+            "0L, (a, b) -> a + b)"
+        )
+
+    n = v.select("vec_id", "e", "nrm", pack(1).alias("w0"), pack(33).alias("w1"))
+    p = n.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+        F.col("w0").alias("pw0"),
+        F.col("w1").alias("pw1"),
+    )
+    hw = Window.partitionBy("probe_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        F.broadcast(p)
+        .join(n, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "pe",
+            "pn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ne"),
+            F.col("nrm").alias("nn"),
+            F.expr("bit_count(w0 ^ pw0) + bit_count(w1 ^ pw1)")
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(hw))
+        .where(F.col("hrank") <= _BQ_RERANK_R)
+    )
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "probe_id",
+            "neighbor_id",
+            "hamming",
+            _cosine_pre("pe", "ne", "pn", "nn").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(rw))
+        .where(F.col("rank_pos") <= _K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "hamming",
+            rz("cos_raw", 4).alias("cosine"),
+            "rank_pos",
+        )
+    )

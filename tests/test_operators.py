@@ -3455,3 +3455,59 @@ def test_drift_psi_matches_recompute_and_parity_split_shows_no_drift(spark):
         assert abs(got["psi_term"] - term) <= 1.0000001e-6, b
         total += got["psi_term"]
     assert total < 0.1, total  # parity split of i.i.d. vectors: no drift
+
+
+def test_binary_hamming_matches_numpy_recompute(spark):
+    """q_sim_binary_hamming's kill conditions: (a) every output row
+    equals an independent numpy recompute of the full path — sign-bit
+    packing, integer Hamming candidate ranking (vec_id tie-break),
+    exact-cosine rerank — from the raw vectors; (b) hamming is the
+    true popcount of the sign-bit disagreement (so a packing bug in
+    EITHER 32-bit half trips it); (c) measured recall@k vs the exact
+    brute-force top-k clears the 0.4 floor (0.6 measured on entry) —
+    a sketch that degrades to chance (~k/n) fails loudly."""
+    import numpy as np
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _BQ_RERANK_R,
+        _K,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _vecs(spark, SF_SMOKE).select("vec_id", "e").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["e"] for r in rows])
+    nrm = np.linalg.norm(E, axis=1)
+    bits = E > 0
+
+    expected = {}
+    rec_hits = rec_tot = 0
+    for pi in np.where(ids % 50 == 0)[0]:
+        ham = (bits != bits[pi]).sum(axis=1)
+        ham[pi] = 10**9  # self excluded
+        cand = np.lexsort((ids, ham))[:_BQ_RERANK_R]
+        cos = (E[cand] @ E[pi]) / (nrm[cand] * nrm[pi])
+        rer = cand[np.lexsort((ids[cand], -cos))][:_K]
+        for rank, ni in enumerate(rer, start=1):
+            c = float(E[ni] @ E[pi] / (nrm[ni] * nrm[pi]))
+            expected[(int(ids[pi]), int(ids[ni]))] = (
+                int(ham[ni]),
+                round(c, 4),
+                rank,
+            )
+        ce = (E @ E[pi]) / (nrm * nrm[pi])
+        ce[pi] = -2.0
+        exact = set(ids[np.lexsort((ids, -ce))[:_K]])
+        rec_hits += len(exact & {int(ids[n]) for n in rer})
+        rec_tot += _K
+
+    out = all_queries()["q_sim_binary_hamming"](spark, SF_SMOKE).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        h, c, rank = expected[(r["probe_id"], r["neighbor_id"])]
+        assert r["hamming"] == h, r
+        assert abs(r["cosine"] - c) <= 1.0000001e-4, r
+        assert r["rank_pos"] == rank, r
+    assert rec_hits / rec_tot >= 0.4, rec_hits / rec_tot

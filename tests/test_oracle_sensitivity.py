@@ -101,6 +101,8 @@ MUTATIONS = [
     (text, "_LM2_K", 1.0, "q_text_lm_bigram"),
     (similarity, "_IVF_K", 4, "q_sim_ivf_recall"),
     (similarity, "_PSI_STEP", 0.1, "q_emb_drift_psi"),
+    # r14 continuation 3 — verified to KILL on sf0.001 on entry:
+    (similarity, "_BQ_RERANK_R", 5, "q_sim_binary_hamming"),
 ]
 
 

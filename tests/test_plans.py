@@ -1169,3 +1169,24 @@ def test_drift_psi_is_one_pass_fixed_bins(spark):
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
     assert "partial_sum" in final or "partial_count" in final
     assert "CartesianProduct" not in final  # the tot join is broadcast-NL on 1 row
+
+
+def test_binary_hamming_scan_is_integer_codegen(spark):
+    """q_sim_binary_hamming's scale contract: the corpus-sized Hamming
+    stage is ONE broadcast (bounded probes) × corpus scan of integer
+    XOR+popcount inside whole-stage codegen — no CartesianProduct, no
+    Python worker; the two Windows are both probe-partitioned
+    (candidate cut and rerank), and the float cosine only ever sees
+    the R-bounded candidate frame."""
+    import re
+
+    p = plan(all_queries()["q_sim_binary_hamming"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" in final
+    assert final.count("BroadcastNestedLoopJoin") == 1
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
+    # exactly the two probe-partitioned Windows (candidate cut, rerank);
+    # WindowGroupLimit nodes are the rank-limit pushdown — keep them
+    assert len(re.findall(r"Window \[", final)) == 2
+    assert "WindowGroupLimit" in final
