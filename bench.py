@@ -171,6 +171,10 @@ HEADLINE = [
     # scan + bounded exact rerank), benched beside its float twins
     # q_sim_topk / q_sim_quantized. Entry band in BASELINE.md §r14.
     "q_sim_binary_hamming",
+    # r14 continuation 4: the Matryoshka truncation recall audit
+    # (prefix-dim vs full-dim exact top-k), the dim-cut counterpart of
+    # q_sim_ivf_recall. Entry band in BASELINE.md §r14.
+    "q_emb_mrl_recall",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

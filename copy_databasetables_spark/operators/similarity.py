@@ -4081,3 +4081,137 @@ def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_pos",
         )
     )
+
+
+#: Matryoshka-truncation audit geometry: rank with only the first
+#: _MRL_DIM of the 64 dims (half — the standard MRL serving cut).
+#: Runtime-read (mutation-pinned in tests/test_oracle_sensitivity).
+_MRL_DIM = 32
+
+
+@register(
+    "q_emb_mrl_recall",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    t AS (SELECT vec_id, e, e[1:{_MRL_DIM}] AS te,
+                 sqrt(list_aggregate(list_transform(e, x -> x * x),
+                                     'sum')) AS nrm,
+                 sqrt(list_aggregate(list_transform(e[1:{_MRL_DIM}],
+                                                    x -> x * x),
+                                     'sum')) AS tn
+          FROM v
+          WHERE list_aggregate(list_transform(e[1:{_MRL_DIM}],
+                                              x -> x * x), 'sum') > 0),
+    p AS (SELECT vec_id AS probe_id, e AS pe, te AS pte,
+                 nrm AS pn, tn AS ptn
+          FROM t WHERE {_PROBE_FILTER}),
+    full_k AS (SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, t.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(p.pe, t.e) / (p.pn * t.nrm)
+                            DESC,
+                          t.vec_id ASC) AS r
+        FROM p JOIN t ON t.vec_id <> p.probe_id) WHERE r <= {_K}),
+    trunc_k AS (SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, t.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(p.pte, t.te) / (p.ptn * t.tn)
+                            DESC,
+                          t.vec_id ASC) AS r
+        FROM p JOIN t ON t.vec_id <> p.probe_id) WHERE r <= {_K})
+    SELECT full_k.probe_id,
+           CAST(COUNT(trunc_k.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           (round(COUNT(trunc_k.neighbor_id) / (1.0 * COUNT(*)), 4)
+            + 0.0) AS recall
+    FROM full_k
+    LEFT JOIN trunc_k ON trunc_k.probe_id = full_k.probe_id
+                     AND trunc_k.neighbor_id = full_k.neighbor_id
+    GROUP BY full_k.probe_id
+    """,
+)
+def q_emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation RECALL audit (the Matryoshka/MRL serving
+    question, Kusupati et al. 2022): rank neighbors using only the
+    first {_MRL_DIM} of 64 dims and measure per-probe recall@{_K}
+    against the full-dimension exact top-k — the number that decides
+    whether a prefix-truncated index (a dim-fraction memory and FLOP
+    cut with NO re-embedding) can serve first-stage retrieval. On
+    MRL-trained embeddings the prefix carries most of the signal; on
+    these isotropic synthetic vectors it does not — either way the
+    audit is the deliverable, exactly like q_sim_ivf_recall's nprobe
+    sweep.
+
+    Scale shape (100 TB): both legs are the bounded-probe broadcast ×
+    one corpus scan (O(|probes|·n), never O(n²)); the truncated leg's
+    per-pair dot is half the FLOPs of the exact leg, and at
+    deployment the truncated index READS half the bytes
+    (column-pruned prefix slices).
+
+    Determinism: both rankings are raw-double cosines with vec_id
+    tie-breaks (house accepted-ulp class); the recall arithmetic is
+    exact integer counts and one 4dp-rounded ratio."""
+    v = _vecs(spark, sf_dir)
+    t = (
+        v.select(
+            "vec_id",
+            "e",
+            "nrm",
+            F.expr(f"slice(e, 1, {_MRL_DIM})").alias("te"),
+        )
+        .withColumn(
+            "tn",
+            F.sqrt(
+                F.aggregate(F.col("te"), F.lit(0.0), lambda a, x: a + x * x)
+            ),
+        )
+        .where(F.col("tn") > 0.0)
+    )
+    p = t.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("te").alias("pte"),
+        F.col("nrm").alias("pn"),
+        F.col("tn").alias("ptn"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    cand = F.broadcast(p).join(t, F.col("vec_id") != F.col("probe_id"))
+    full_k = (
+        cand.select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _K)
+        .select("probe_id", "neighbor_id")
+    )
+    trunc_k = (
+        cand.select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_pre("pte", "te", "ptn", "tn").alias("cos_raw"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _K)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        full_k.join(trunc_k, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / (F.lit(1.0) * F.count(F.lit(1))),
+                4,
+            ).alias("recall"),
+        )
+    )

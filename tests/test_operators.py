@@ -3511,3 +3511,50 @@ def test_binary_hamming_matches_numpy_recompute(spark):
         assert abs(r["cosine"] - c) <= 1.0000001e-4, r
         assert r["rank_pos"] == rank, r
     assert rec_hits / rec_tot >= 0.4, rec_hits / rec_tot
+
+
+def test_mrl_recall_counts_true_truncation_overlap(spark):
+    """q_emb_mrl_recall's kill conditions: (a) n_hit equals the true
+    |trunc-topk ∩ full-topk| recomputed in numpy from the raw vectors
+    (prefix slice, both rankings, vec_id tie-breaks); (b) n_exact is
+    min(_K, corpus-1) for every probe; (c) recall is exactly the 4dp
+    ratio. A slice off-by-one (17 or 31 dims), a norm computed over
+    the wrong slice, or a tie-break flip all move some probe's n_hit."""
+    import math
+
+    import numpy as np
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _K,
+        _MRL_DIM,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _vecs(spark, SF_SMOKE).select("vec_id", "e").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["e"] for r in rows])
+    nrm = np.linalg.norm(E, axis=1)
+    T = E[:, :_MRL_DIM]
+    tn = np.linalg.norm(T, axis=1)
+
+    expected = {}
+    for pi in np.where(ids % 50 == 0)[0]:
+        ce = (E @ E[pi]) / (nrm * nrm[pi])
+        ce[pi] = -2.0
+        full = set(ids[np.lexsort((ids, -ce))[:_K]])
+        ct = (T @ T[pi]) / (tn * tn[pi])
+        ct[pi] = -2.0
+        trunc = set(ids[np.lexsort((ids, -ct))[:_K]])
+        expected[int(ids[pi])] = len(full & trunc)
+
+    out = all_queries()["q_emb_mrl_recall"](spark, SF_SMOKE).collect()
+    assert {r["probe_id"] for r in out} == set(expected)
+    n_corpus = len(ids)
+    for r in out:
+        assert r["n_hit"] == expected[r["probe_id"]], r
+        assert r["n_exact"] == min(_K, n_corpus - 1)
+        assert math.isclose(
+            r["recall"], round(r["n_hit"] / r["n_exact"], 4), abs_tol=1e-9
+        )

@@ -103,6 +103,7 @@ MUTATIONS = [
     (similarity, "_PSI_STEP", 0.1, "q_emb_drift_psi"),
     # r14 continuation 3 — verified to KILL on sf0.001 on entry:
     (similarity, "_BQ_RERANK_R", 5, "q_sim_binary_hamming"),
+    (similarity, "_MRL_DIM", 16, "q_emb_mrl_recall"),
 ]
 
 

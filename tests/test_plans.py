@@ -1190,3 +1190,16 @@ def test_binary_hamming_scan_is_integer_codegen(spark):
     # WindowGroupLimit nodes are the rank-limit pushdown — keep them
     assert len(re.findall(r"Window \[", final)) == 2
     assert "WindowGroupLimit" in final
+
+
+def test_mrl_recall_single_broadcast_scan(spark):
+    """q_emb_mrl_recall's scale contract: the bounded probe set
+    broadcasts against the corpus (no CartesianProduct); the overlap
+    join between the two k-bounded legs is NOT a second corpus-sized
+    exchange pattern; no Python worker touches the path."""
+    p = plan(all_queries()["q_emb_mrl_recall"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" in final
+    assert final.count("BroadcastNestedLoopJoin") <= 2  # one per leg
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
