@@ -175,6 +175,10 @@ HEADLINE = [
     # (prefix-dim vs full-dim exact top-k), the dim-cut counterpart of
     # q_sim_ivf_recall. Entry band in BASELINE.md §r14.
     "q_emb_mrl_recall",
+    # r14 continuation 5: the executable temperature mixture (epoch-
+    # repeat materialization of q_mixture_weights). Entry band in
+    # BASELINE.md §r14.
+    "q_sample_epochs",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

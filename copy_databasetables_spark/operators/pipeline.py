@@ -1230,3 +1230,120 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("res_key").asc(), F.col("doc_id").asc())
         .limit(_RESERVOIR_N)
     )
+
+
+#: epoch-repeat sampling granularity: the fractional epoch is decided
+#: by a hash threshold on [0, _EPOCH_GRAN) — 1/10000 resolution keeps
+#: the realized rate within 0.01% of the target factor. Runtime-read
+#: (mutation-pinned in tests/test_oracle_sensitivity).
+_EPOCH_GRAN = 10_000
+
+#: portable doc hash folded to [0, _EPOCH_GRAN) — the finer-grained
+#: sibling of _PCT/_D_PCT above.
+_EPOCH_PCT = (
+    "pmod(cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint),"
+    " 10000)"
+)
+_EPOCH_D_PCT = (
+    "(CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT) % 10000)"
+)
+
+
+@register(
+    "q_sample_epochs",
+    oracle=f"""
+    WITH t AS (SELECT source,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                        AS tokens
+               FROM documents GROUP BY source),
+    tot AS (SELECT SUM(pow(tokens, {_MIX_ALPHA})) AS raw_tot,
+                   SUM(tokens) AS tok_tot
+            FROM t),
+    f AS (SELECT source,
+                 (pow(tokens, {_MIX_ALPHA}) / raw_tot)
+                   / (tokens / (1.0 * tok_tot)) AS factor
+          FROM t CROSS JOIN tot),
+    ff AS (SELECT source,
+                  CAST(FLOOR(factor) AS BIGINT) AS base,
+                  CAST(FLOOR((factor - FLOOR(factor)) * {_EPOCH_GRAN}
+                             + 0.5) AS BIGINT) AS thresh
+           FROM f),
+    n AS (SELECT d.doc_id, d.source,
+                 ff.base + CASE WHEN
+                   {_EPOCH_D_PCT.format(x="CAST(d.doc_id AS VARCHAR)")}
+                     < ff.thresh THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN ff USING (source))
+    SELECT doc_id, source, n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+    FROM n WHERE n_copies > 0
+    """,
+)
+def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the temperature mixture: materialize each document's
+    per-epoch occurrences under the tokens^α (α={_MIX_ALPHA}) sampling
+    rule that q_mixture_weights only REPORTS — every doc in source s
+    appears floor(factor_s) times plus one more iff its hash lands
+    under the fractional remainder (factor = the upsample multiple vs
+    proportional sampling; factor < 1 means some docs drop entirely).
+    This is the multilingual/low-resource epoch-repeat move (XLM-R
+    style) as a deterministic dataset transform: the emitted
+    (doc_id, epoch) stream IS the training-order input.
+
+    Scale shape (100 TB): ONE two-phase token aggregate (shuffle
+    carries |sources| rows), the |sources|-row factor table broadcast
+    back onto the corpus, map-side n_copies and a bounded
+    sequence-explode (≤⌈factor⌉ rows per doc) — the corpus is scanned
+    once and never shuffled.
+
+    Determinism: repeats are a pure function of (doc_id, source
+    token count) via the portable md5 hash — stable across runs,
+    engines, and repartitioning; corpus growth only moves docs whose
+    hash sits within the factor delta. The float factor is quantized
+    to an integer threshold on [0, {_EPOCH_GRAN}) (round-half-up), so
+    a last-ulp pow/division disagreement between engines flips the
+    threshold only if the scaled fraction lies within an ulp of a
+    half-integer (~1e-12 likelihood per source — the q_mixture_weights
+    4dp-rounding argument, one notch finer)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    raw = F.pow(F.col("tokens").cast("double"), F.lit(_MIX_ALPHA))
+    tot = t.agg(
+        F.sum(raw).alias("raw_tot"),
+        F.sum("tokens").alias("tok_tot"),
+    )
+    factor = (raw / F.col("raw_tot")) / (
+        F.col("tokens").cast("double") / F.col("tok_tot")
+    )
+    ff = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(factor).cast("bigint").alias("base"),
+            F.floor((factor - F.floor(factor)) * _EPOCH_GRAN + 0.5)
+            .cast("bigint")
+            .alias("thresh"),
+        )
+    )
+    pct = F.expr(_EPOCH_PCT.format(x="cast(doc_id as string)"))
+    n = d.select("doc_id", "source").join(F.broadcast(ff), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.col("base")
+            + F.when(pct < F.col("thresh"), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        n.where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies")))
+            .alias("epoch"),
+        )
+    )

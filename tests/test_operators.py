@@ -3558,3 +3558,65 @@ def test_mrl_recall_counts_true_truncation_overlap(spark):
         assert math.isclose(
             r["recall"], round(r["n_hit"] / r["n_exact"], 4), abs_tol=1e-9
         )
+
+
+def test_sample_epochs_matches_python_recompute(spark):
+    """q_sample_epochs' kill conditions: (a) every (doc_id, epoch) row
+    equals a from-scratch Python recompute of the whole rule — token
+    counts, tokens^alpha factor, floor/threshold split, portable md5
+    hash — so a factor bug, a hash-fold bug, or an off-by-one in the
+    epoch sequence all trip it; (b) epochs for a doc are exactly
+    1..n_copies; (c) the realized per-source row share tracks the
+    q_mixture_weights target weight (the semantic the op exists to
+    execute) within 5 percentage points."""
+    import hashlib
+    from collections import Counter
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.pipeline import (
+        _EPOCH_GRAN,
+        _MIX_ALPHA,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    tokens = Counter()
+    for r in docs:
+        tokens[r["source"]] += len(r["text"].split(" "))
+    raw_tot = sum(t**_MIX_ALPHA for t in tokens.values())
+    tok_tot = sum(tokens.values())
+    ff = {}
+    for s, t in tokens.items():
+        factor = (t**_MIX_ALPHA / raw_tot) / (t / tok_tot)
+        base = int(factor)
+        thresh = int((factor - base) * _EPOCH_GRAN + 0.5)
+        ff[s] = (base, thresh)
+
+    expected = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+        base, thresh = ff[r["source"]]
+        n = base + (1 if h % _EPOCH_GRAN < thresh else 0)
+        if n > 0:
+            expected[r["doc_id"]] = (r["source"], n)
+
+    out = all_queries()["q_sample_epochs"](spark, SF_SMOKE).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r)
+    assert set(got) == set(expected)
+    realized = Counter()
+    for did, rows in got.items():
+        src, n = expected[did]
+        assert {r["epoch"] for r in rows} == set(range(1, n + 1)), did
+        assert all(r["n_copies"] == n and r["source"] == src for r in rows)
+        realized[src] += n
+    total = sum(realized.values())
+    for s, t in tokens.items():
+        weight = (t**_MIX_ALPHA / raw_tot)
+        assert abs(realized[s] / total - weight) < 0.05, s

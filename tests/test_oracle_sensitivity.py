@@ -104,6 +104,7 @@ MUTATIONS = [
     # r14 continuation 3 — verified to KILL on sf0.001 on entry:
     (similarity, "_BQ_RERANK_R", 5, "q_sim_binary_hamming"),
     (similarity, "_MRL_DIM", 16, "q_emb_mrl_recall"),
+    (pipeline, "_EPOCH_GRAN", 100, "q_sample_epochs"),
 ]
 
 

@@ -1203,3 +1203,18 @@ def test_mrl_recall_single_broadcast_scan(spark):
     assert "BroadcastNestedLoopJoin" in final
     assert final.count("BroadcastNestedLoopJoin") <= 2  # one per leg
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
+
+
+def test_sample_epochs_broadcasts_factor_table(spark):
+    """q_sample_epochs' scale contract: the corpus is scanned once and
+    never shuffled — the only exchange carries the |sources|-row token
+    aggregate; the factor table comes back as a broadcast join; the
+    epoch fan-out is a Generate (sequence explode), not a join; no
+    Python worker."""
+    p = plan(all_queries()["q_sample_epochs"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "Generate" in final and "explode" in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
