@@ -179,6 +179,9 @@ HEADLINE = [
     # repeat materialization of q_mixture_weights). Entry band in
     # BASELINE.md §r14.
     "q_sample_epochs",
+    # r14 continuation 6: PMI collocation mining (two key-hashed count
+    # aggregates + TakeOrdered cut). Entry band in BASELINE.md §r14.
+    "q_text_collocations",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -1665,3 +1665,129 @@ def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surprisal_bigram"),
         )
     )
+
+
+#: collocation-mining geometry: pairs must co-occur at least _PMI_MIN
+#: times (PMI is unstable on singletons), top _PMI_TOPN by PMI emitted;
+#: _PMI_SCALE is the integer rank-key resolution. Runtime-read
+#: (mutation-pinned in tests/test_oracle_sensitivity).
+_PMI_MIN = 3
+_PMI_TOPN = 20
+_PMI_SCALE = 1_000_000_000
+
+
+@register(
+    "q_text_collocations",
+    oracle=f"""
+    WITH bg AS (
+      SELECT UNNEST(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1])) AS bg
+      FROM documents),
+    c12 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM bg GROUP BY 1, 2),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_w
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS term
+                  FROM documents) GROUP BY term),
+    tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tok FROM uni),
+    btot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bg FROM c12),
+    j AS (SELECT c12.w1, c12.w2, c12.n_ab,
+                 ua.n_w AS n_a, ub.n_w AS n_b, tot.n_tok, btot.n_bg
+          FROM c12
+          JOIN uni ua ON ua.term = c12.w1
+          JOIN uni ub ON ub.term = c12.w2
+          CROSS JOIN tot CROSS JOIN btot
+          WHERE c12.n_ab >= {_PMI_MIN})
+    SELECT w1, w2, n_ab, n_a, n_b,
+           (round(ln((CAST(n_ab AS DOUBLE) * n_tok * n_tok)
+                     / (CAST(n_bg AS DOUBLE) * n_a * n_b)), 6) + 0.0)
+             AS pmi
+    FROM j
+    ORDER BY (n_ab * {_PMI_SCALE}) // (n_a * n_b) DESC,
+             n_ab DESC, w1 ASC, w2 ASC
+    LIMIT {_PMI_TOPN}
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the corpus-level PMI table (Church & Hanks
+    1990): rank adjacent word pairs by pointwise mutual information
+    ln(p(ab) / (p(a)·p(b))), the standard phrase/multiword-expression
+    extractor that tokenizer-vocab builds and phrase-aware dedup both
+    start from. Pairs must co-occur ≥{_PMI_MIN} times (PMI explodes on
+    hapax pairs); the top {_PMI_TOPN} are emitted with their counts so
+    the score is auditable.
+
+    Scale shape (100 TB): bigrams via the in-row slice idiom (no
+    position self-join), then TWO key-hashed two-phase aggregates
+    (pair counts, token counts) and two vocab-keyed equi-joins —
+    everything partitions by word key; the two scalar totals broadcast;
+    the final cut is TakeOrdered (per-partition top-N heaps), never a
+    global sort.
+
+    Determinism: ranking never touches a float — for fixed corpus
+    totals PMI order IS the order of n_ab/(n_a·n_b), compared via the
+    int64 key (n_ab·{_PMI_SCALE}) div (n_a·n_b) with (n_ab desc, w1,
+    w2) completing a total order; both engines floor-divide exact
+    integers. The displayed pmi is one ln on identical exact-integer
+    ratios, 6dp-rounded (accepted-ulp class)."""
+    d = load_table(spark, sf_dir, "documents")
+    # let-binding idiom (dedup.py's HOF-inlining fix): bind the token
+    # array once per row; a bare split() in the lambda is O(len²)/doc.
+    bigrams = F.expr(
+        "element_at(transform(array(split(text,' ')), ts -> "
+        "transform(slice(ts, 1, size(ts) - 1), "
+        "(t, i) -> concat(t, ' ', ts[i + 1]))), 1)"
+    )
+    c12_all = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .groupBy(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    # the bigram-total normalizer counts ALL pairs; the min-count cut
+    # applies only to which pairs are RANKED
+    btot = c12_all.agg(F.sum("n_ab").cast("bigint").alias("n_bg"))
+    c12 = c12_all.where(F.col("n_ab") >= _PMI_MIN)
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    tot = (
+        d.select(F.size(F.split("text", " ")).alias("nt"))
+        .agg(F.sum("nt").cast("bigint").alias("n_tok"))
+    )
+    j = (
+        c12.join(
+            uni.select(F.col("term").alias("w1"), F.col("n_w").alias("n_a")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("term").alias("w2"), F.col("n_w").alias("n_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    rank_key = F.expr(f"(n_ab * {_PMI_SCALE}L) div (n_a * n_b)")
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+            / (F.col("n_bg").cast("double") * F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return (
+        j.orderBy(
+            rank_key.desc(),
+            F.col("n_ab").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+        )
+        .limit(_PMI_TOPN)
+        .select("w1", "w2", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+    )

@@ -3620,3 +3620,60 @@ def test_sample_epochs_matches_python_recompute(spark):
     for s, t in tokens.items():
         weight = (t**_MIX_ALPHA / raw_tot)
         assert abs(realized[s] / total - weight) < 0.05, s
+
+
+def test_collocations_match_python_pmi_recompute(spark):
+    """q_text_collocations' kill conditions: (a) the emitted top-N set
+    and every count equal a from-scratch Python recompute (bigram and
+    unigram counts, min-count cut, integer rank key with the full
+    tie-break chain); (b) pmi equals ln(n_ab·N²/(B·n_a·n_b)) at 6dp;
+    (c) the integer rank-key ordering agrees with true-PMI ordering on
+    the emitted rows (the rank key is a coarsening — verify it did not
+    reorder the cut)."""
+    import math
+    from collections import Counter
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.text import (
+        _PMI_MIN,
+        _PMI_SCALE,
+        _PMI_TOPN,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    uni: Counter = Counter()
+    c12: Counter = Counter()
+    for r in docs:
+        toks = r["text"].split(" ")
+        uni.update(toks)
+        c12.update(zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    n_bg = sum(c12.values())
+    cands = [
+        (
+            -((n_ab * _PMI_SCALE) // (uni[w1] * uni[w2])),
+            -n_ab,
+            w1,
+            w2,
+        )
+        for (w1, w2), n_ab in c12.items()
+        if n_ab >= _PMI_MIN
+    ]
+    cands.sort()
+    top = cands[:_PMI_TOPN]
+
+    out = all_queries()["q_text_collocations"](spark, SF_SMOKE).collect()
+    assert len(out) == min(_PMI_TOPN, len(cands))
+    got = {(r["w1"], r["w2"]): r for r in out}
+    assert set(got) == {(w1, w2) for _, _, w1, w2 in top}
+    for _, _, w1, w2 in top:
+        r = got[(w1, w2)]
+        n_ab = c12[(w1, w2)]
+        assert r["n_ab"] == n_ab and r["n_a"] == uni[w1] and r["n_b"] == uni[w2]
+        pmi = math.log(n_ab * n_tok * n_tok / (n_bg * uni[w1] * uni[w2]))
+        assert abs(r["pmi"] - round(pmi, 6)) <= 1.0000001e-6, (w1, w2)
+    # (c) coarsened-key order vs true-PMI order on the emitted rows
+    true_sorted = sorted(top, key=lambda t: (t[0], t[1], t[2], t[3]))
+    assert true_sorted == top

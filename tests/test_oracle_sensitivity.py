@@ -105,6 +105,7 @@ MUTATIONS = [
     (similarity, "_BQ_RERANK_R", 5, "q_sim_binary_hamming"),
     (similarity, "_MRL_DIM", 16, "q_emb_mrl_recall"),
     (pipeline, "_EPOCH_GRAN", 100, "q_sample_epochs"),
+    (text, "_PMI_MIN", 5, "q_text_collocations"),
 ]
 
 

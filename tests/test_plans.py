@@ -1218,3 +1218,16 @@ def test_sample_epochs_broadcasts_factor_table(spark):
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
+
+
+def test_collocations_use_take_ordered_cut(spark):
+    """q_text_collocations' scale contract: the top-N cut is
+    TakeOrderedAndProject (per-partition heaps), never a global Sort;
+    both count tables aggregate two-phase (partial_count below the
+    exchange); no Python worker."""
+    p = plan(all_queries()["q_text_collocations"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "partial_count" in final or "partial_sum" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
