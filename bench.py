@@ -182,6 +182,10 @@ HEADLINE = [
     # r14 continuation 6: PMI collocation mining (two key-hashed count
     # aggregates + TakeOrdered cut). Entry band in BASELINE.md §r14.
     "q_text_collocations",
+    # r14 continuation 7: exact mergeable higher moments (8 DECIMAL
+    # power sums in one two-phase aggregate — the deliberate exactness
+    # tax is the op's documented constant). Entry band in §r14.
+    "q_agg_moments",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

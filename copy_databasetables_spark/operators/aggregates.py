@@ -1234,3 +1234,134 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("est_count") >= F.col("exact_count")).alias("never_undercounts"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_moments — EXACT higher moments from order-independent power sums.
+# q_agg_stats' builtin estimators (Welford merges) are partition-order
+# sensitive at ~1e-13 and need coarse display rounding; this op is the
+# mergeable-exact alternative: accumulate raw power/cross sums in
+# DECIMAL(38,6) (every term is an exact ≤6-decimal value, so the sums
+# are exact integers-of-1e-6 and associative), then evaluate the moment
+# algebra once per group on identical inputs in both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxxx,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                           * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS sxxxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n, sx / n AS mu,
+             sxx / n - (sx / n) * (sx / n) AS m2,
+             sxxx / n - 3 * (sx / n) * (sxx / n)
+               + 2 * (sx / n) * (sx / n) * (sx / n) AS m3,
+             sxxxx / n - 4 * (sx / n) * (sxxx / n)
+               + 6 * (sx / n) * (sx / n) * (sxx / n)
+               - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n) AS m4,
+             (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+      FROM s)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (round(mu, 6) + 0.0) AS mean_qty,
+           (round(m2, 6) + 0.0) AS var_qty,
+           (round(m3 / (m2 * sqrt(m2)), 6) + 0.0) AS skew_qty,
+           (round(m4 / (m2 * m2) - 3, 6) + 0.0) AS kurt_qty,
+           (round(r, 6) + 0.0) AS corr_price_qty
+    FROM m
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group higher moments — population variance, skewness,
+    EXCESS kurtosis (the two shape statistics no other operator covers;
+    the standard data-profiling outputs a feature-quality gate reads) —
+    plus the exact Pearson correlation, all derived from raw power and
+    cross sums Σx..Σx⁴, Σy, Σy², Σxy.
+
+    Scale shape (100 TB): ONE two-phase aggregate — the power sums are
+    map-side partial (each task ships 8 numbers per group), and the
+    moment algebra runs on the |groups|-row result. This is the
+    mergeable formulation: unioning two shards' sums IS the combined
+    statistic, so the same op rolls up daily profiles into monthly
+    ones without touching rows twice.
+
+    Determinism (why not q_agg_stats' builtins): Welford-style merge
+    estimators vary in the last bits with partition order, forcing
+    coarse display rounding. Every term here (quantity powers are
+    integers ≤6.25e6; price terms have ≤6 true decimals and y² ≤
+    1.2e14 < 2⁵³ stays exact in double) casts exactly to
+    DECIMAL(38,6); decimal sums are associative, so both engines hold
+    bit-identical sums (≤ ~7e15, exact as doubles), and the final
+    moment algebra is the SAME IEEE expression tree on identical
+    inputs — sqrt is correctly rounded, so results agree to the last
+    bit and 6dp rounding is safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def dexact(expr, alias):
+        return F.sum(expr.cast(DEC)).cast("double").alias(alias)
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dexact(x, "sx"),
+        dexact(x * x, "sxx"),
+        dexact(x * x * x, "sxxx"),
+        dexact(x * x * x * x, "sxxxx"),
+        dexact(y, "sy"),
+        dexact(y * y, "syy"),
+        dexact(x * y, "sxy"),
+    )
+    n, sx, sxx, sxxx, sxxxx, sy, syy, sxy = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sxx"),
+        F.col("sxxx"),
+        F.col("sxxxx"),
+        F.col("sy"),
+        F.col("syy"),
+        F.col("sxy"),
+    )
+    mu = sx / n
+    m2 = sxx / n - (sx / n) * (sx / n)
+    m3 = (
+        sxxx / n
+        - F.lit(3) * (sx / n) * (sxx / n)
+        + F.lit(2) * (sx / n) * (sx / n) * (sx / n)
+    )
+    m4 = (
+        sxxxx / n
+        - F.lit(4) * (sx / n) * (sxxx / n)
+        + F.lit(6) * (sx / n) * (sx / n) * (sxx / n)
+        - F.lit(3) * (sx / n) * (sx / n) * (sx / n) * (sx / n)
+    )
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_qty"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_qty"),
+        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurt_qty"),
+        F.round(r, 6).alias("corr_price_qty"),
+    )

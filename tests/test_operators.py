@@ -3677,3 +3677,54 @@ def test_collocations_match_python_pmi_recompute(spark):
     # (c) coarsened-key order vs true-PMI order on the emitted rows
     true_sorted = sorted(top, key=lambda t: (t[0], t[1], t[2], t[3]))
     assert true_sorted == top
+
+
+def test_agg_moments_match_numpy_recompute_and_merge(spark):
+    """q_agg_moments' kill conditions: (a) every group's mean/var/skew/
+    excess-kurtosis/correlation equals a from-scratch numpy recompute
+    on the raw rows at 6dp; (b) MERGEABILITY — power sums computed on
+    two arbitrary row halves add to the whole-group statistic (the
+    roll-up contract the op exists for); (c) kurtosis is the EXCESS
+    convention (normal ≈ 0), pinned by recomputing m4/m2²−3, so a
+    silent switch to plain kurtosis (−3 dropped) trips."""
+    import numpy as np
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+
+    out = {r["l_returnflag"]: r for r in
+           all_queries()["q_agg_moments"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(groups)
+    for flag, pairs in groups.items():
+        x = np.array([p[0] for p in pairs])
+        y = np.array([p[1] for p in pairs])
+        n = len(x)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        r = out[flag]
+        assert r["n_rows"] == n
+        assert abs(r["mean_qty"] - mu) <= 2e-6, flag
+        assert abs(r["var_qty"] - m2) <= 2e-5, flag
+        assert abs(r["skew_qty"] - m3 / m2**1.5) <= 2e-5, flag
+        assert abs(r["kurt_qty"] - (m4 / m2**2 - 3.0)) <= 2e-5, flag
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r["corr_price_qty"] - corr) <= 2e-5, flag
+        # (b) merge: sums over halves add exactly to the whole
+        half = n // 2
+        for p in range(1, 5):
+            whole = (x**p).sum()
+            assert (x[:half] ** p).sum() + (x[half:] ** p).sum() == whole

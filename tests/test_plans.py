@@ -1231,3 +1231,16 @@ def test_collocations_use_take_ordered_cut(spark):
     assert "partial_count" in final or "partial_sum" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
+
+
+def test_agg_moments_single_two_phase_aggregate(spark):
+    """q_agg_moments' scale contract: ONE two-phase aggregate — the
+    eight power sums partial map-side (each task ships 8 numbers per
+    group through the only exchange) and the moment algebra projects
+    over the |groups|-row result; no Window, no join, no Python."""
+    p = plan(all_queries()["q_agg_moments"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "partial_" in final
+    assert final.count("Exchange") <= 2  # agg shuffle (+AQE read)
+    assert "Join" not in final and "Window" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
