@@ -186,6 +186,10 @@ HEADLINE = [
     # power sums in one two-phase aggregate — the deliberate exactness
     # tax is the op's documented constant). Entry band in §r14.
     "q_agg_moments",
+    # r14 continuation 8: energy-VAD segmentation (two chained
+    # mapInPandas stages, zero exchanges — the islands fan-in is
+    # Arrow-batch-local). Entry band in §r14.
+    "q_multimodal_wav_vad",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -809,3 +809,148 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_a", "min_doc_a", "n_docs_b", "min_doc_b",
         )
     )
+
+
+
+#: energy VAD threshold on the 1e-4-quantized frame RMS (int16 full
+#: scale ≈ 2048/√3 ≈ 1182 for the uniform ramp; 1150 marks ~35% of
+#: frames voiced on the testdata). RMS values live on the exact 1e-4
+#: grid, so the >= compare has no float-boundary risk. Runtime-read
+#: (mutation-pinned in tests/test_oracle_sensitivity).
+_VAD_TAU = 1150.0
+
+
+def _wav_vad_segments(tau: float):
+    """Factory returning the Arrow-batch VAD stage with ``tau`` bound
+    BY VALUE into the closure: a module-global read inside the worker
+    function would resolve against the executor's own fresh import of
+    this module (cloudpickle serializes importable functions by
+    reference), silently ignoring any driver-side change to
+    ``_VAD_TAU`` — binding at call time keeps the constant
+    runtime-read (mutation-pinned).
+
+    Frame RMS (the q_multimodal_wav_frames quantization, shared grid)
+    → threshold → run-length-encode contiguous voiced runs, ALL inside
+    the Arrow batch: numpy flatnonzero + split on index gaps, no
+    Python loop over samples and no shuffle — the segment fan-in
+    happens where the frames already live."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = _riff_pcm_samples(bytes(payload), doc_id)
+                n_frames = len(samples) // _FRAME
+                fr = (
+                    samples[: n_frames * _FRAME]
+                    .astype(np.float64)
+                    .reshape(n_frames, _FRAME)
+                )
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                rms = np.floor(rms * 10_000 + 0.5) / 10_000
+                voiced = np.flatnonzero(rms >= tau)
+                if voiced.size == 0:
+                    continue
+                runs = np.split(
+                    voiced, np.flatnonzero(np.diff(voiced) > 1) + 1
+                )
+                for seg_idx, run in enumerate(runs):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            seg_idx,
+                            int(run[0]),
+                            int(run[-1]),
+                            len(run),
+                            float(rms[run].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "seg_idx",
+                    "start_frame",
+                    "end_frame",
+                    "n_frames",
+                    "peak_rms",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "seg_idx": "int64",
+                    "start_frame": "int64",
+                    "end_frame": "int64",
+                    "n_frames": "int64",
+                    "peak_rms": "float64",
+                }
+            )
+
+    return stage
+
+
+@register(
+    "q_multimodal_wav_vad",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 64 + (doc_id % 37) * 8 AS n FROM documents),
+    smp AS (
+      SELECT d.doc_id, t.i // {_FRAME} AS frame_idx,
+             CAST((d.doc_id * 13 + 5 * t.i) % 4096 - 2048 AS DOUBLE) AS v
+      FROM dims d JOIN range(0, 352) t(i)
+        ON t.i < (d.n // {_FRAME}) * {_FRAME}),
+    fr AS (
+      SELECT doc_id, frame_idx,
+             FLOOR(sqrt(SUM(v * v) / {_FRAME}.0) * 10000 + 0.5) / 10000
+               AS rms
+      FROM smp GROUP BY doc_id, frame_idx),
+    voiced AS (SELECT doc_id, frame_idx, rms FROM fr
+               WHERE rms >= {_VAD_TAU}),
+    isl AS (
+      SELECT doc_id, frame_idx, rms,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx ASC) AS grp
+      FROM voiced)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY MIN(frame_idx) ASC) - 1
+                AS BIGINT) AS seg_idx,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           MAX(rms) AS peak_rms
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_multimodal_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity SEGMENTATION on real decoded PCM — the step after
+    q_multimodal_wav_frames in a speech-data pipeline (silence
+    trimming, utterance splitting before ASR/transcription): a frame
+    is voiced iff its quantized RMS ≥ {_VAD_TAU}, and contiguous
+    voiced runs become segments (doc_id, seg_idx, start/end frame,
+    length, peak RMS) — the classic energy VAD, the gaps-and-islands
+    pattern applied to audio frames.
+
+    Scale shape: scan → mapInPandas(encode) → mapInPandas(decode +
+    frame + threshold + run-length-encode) — ZERO shuffles: framing,
+    thresholding, and the island fan-in are all row-local to the doc,
+    so they run inside the Arrow batch (numpy split on index gaps); a
+    window-function islands implementation would shuffle every frame
+    row on doc_id for no reason. The DuckDB oracle recomputes segments
+    from the generative ramp with the SQL gaps-and-islands idiom —
+    a framer misalignment, a threshold boundary slip (the RMS grid and
+    {_VAD_TAU} compare exactly on both engines), an off-by-one in run
+    splitting, or a dropped single-frame segment all hash-red.
+    Swap a model VAD (silero) in at production; the plumbing —
+    schema, batch shape, zero-exchange plan — is what this pins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(_wav_encode, schema="doc_id bigint, payload binary")
+    return encoded.mapInPandas(
+        _wav_vad_segments(float(_VAD_TAU)),
+        schema=(
+            "doc_id bigint, seg_idx bigint, start_frame bigint, "
+            "end_frame bigint, n_frames bigint, peak_rms double"
+        ),
+    )

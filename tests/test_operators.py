@@ -3728,3 +3728,59 @@ def test_agg_moments_match_numpy_recompute_and_merge(spark):
         for p in range(1, 5):
             whole = (x**p).sum()
             assert (x[:half] ** p).sum() + (x[half:] ** p).sum() == whole
+
+
+def test_wav_vad_segments_match_python_rle(spark):
+    """q_multimodal_wav_vad's kill conditions: (a) every segment equals
+    an independent Python recompute from the generative ramp —
+    quantized frame RMS, threshold, run-length encoding with 0-based
+    per-doc seg_idx; (b) segments within a doc are disjoint, ordered,
+    and separated by at least one unvoiced frame (a run-split
+    off-by-one merges or splits a segment and trips this); (c) every
+    segment's peak_rms clears the threshold."""
+    import numpy as np
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.multimodal import (
+        _FRAME,
+        _VAD_TAU,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out: dict = {}
+    for r in all_queries()["q_multimodal_wav_vad"](spark, SF_SMOKE).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+
+    from copy_databasetables_spark.io import load_table
+
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    expected_total = 0
+    for doc_id in doc_ids:
+        n = 64 + (doc_id % 37) * 8
+        i = np.arange((n // _FRAME) * _FRAME)
+        v = (doc_id * 13 + 5 * i) % 4096 - 2048
+        fr = v.astype(np.float64).reshape(-1, _FRAME)
+        rms = np.floor(np.sqrt((fr * fr).mean(axis=1)) * 10_000 + 0.5) / 10_000
+        voiced = np.flatnonzero(rms >= _VAD_TAU)
+        runs = (
+            np.split(voiced, np.flatnonzero(np.diff(voiced) > 1) + 1)
+            if voiced.size
+            else []
+        )
+        expected_total += len(runs)
+        got = sorted(out.get(doc_id, []), key=lambda r: r["seg_idx"])
+        assert len(got) == len(runs), doc_id
+        for seg_idx, (run, r) in enumerate(zip(runs, got)):
+            assert r["seg_idx"] == seg_idx
+            assert r["start_frame"] == run[0] and r["end_frame"] == run[-1]
+            assert r["n_frames"] == len(run)
+            assert abs(r["peak_rms"] - rms[run].max()) < 1e-12
+            assert r["peak_rms"] >= _VAD_TAU
+        for a, b in zip(got, got[1:]):
+            assert b["start_frame"] > a["end_frame"] + 1  # gap >= 1 frame
+    assert sum(len(v) for v in out.values()) == expected_total

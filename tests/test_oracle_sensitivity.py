@@ -106,6 +106,7 @@ MUTATIONS = [
     (similarity, "_MRL_DIM", 16, "q_emb_mrl_recall"),
     (pipeline, "_EPOCH_GRAN", 100, "q_sample_epochs"),
     (text, "_PMI_MIN", 5, "q_text_collocations"),
+    (multimodal, "_VAD_TAU", 900.0, "q_multimodal_wav_vad"),
 ]
 
 

@@ -1244,3 +1244,16 @@ def test_agg_moments_single_two_phase_aggregate(spark):
     assert final.count("Exchange") <= 2  # agg shuffle (+AQE read)
     assert "Join" not in final and "Window" not in final
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
+
+
+def test_wav_vad_zero_shuffle(spark):
+    """q_multimodal_wav_vad's scale contract: encode → decode+frame+
+    threshold+RLE are two chained mapInPandas stages with ZERO
+    exchanges — the islands fan-in is row-local to the doc, so a
+    window-function implementation (which would shuffle every frame
+    row on doc_id) must never reappear."""
+    p = plan(all_queries()["q_multimodal_wav_vad"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2
+    assert "Exchange" not in final
+    assert "Window" not in final
