@@ -190,6 +190,9 @@ HEADLINE = [
     # mapInPandas stages, zero exchanges — the islands fan-in is
     # Arrow-batch-local). Entry band in §r14.
     "q_multimodal_wav_vad",
+    # r14 continuation 9: per-key EWMA state (sequential in-row fold
+    # over span-bounded bucket arrays). Entry band in §r14.
+    "q_ts_ewma",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -236,3 +236,112 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         us("pt", "grid_us"),
         F.round(interp, 4).alias("value_interp"),
     )
+
+
+#: EWMA smoothing weight: s_t = α·x_t + β·s_{t-1}. β is precomputed
+#: in PYTHON and embedded as the same literal on both engines: writing
+#: "1.0 - α" in the SQL would evaluate in IEEE double on Spark but in
+#: exact DECIMAL on DuckDB — one ulp apart, compounding ~1e-5 over a
+#: 60-step fold (caught by the gate on entry). Runtime-read
+#: (mutation-pinned in tests/test_oracle_sensitivity).
+_EWMA_ALPHA = 0.3
+_EWMA_BETA = 1.0 - _EWMA_ALPHA
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id,
+             epoch_us(date_trunc('hour', ts)) AS bucket_us,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             MAX(bucket_us) AS last_bucket_us,
+             list_reduce(list(x ORDER BY bucket_us ASC),
+                         (a, b) -> CAST({_EWMA_ALPHA} AS DOUBLE) * b
+                                   + CAST({_EWMA_BETA!r} AS DOUBLE) * a)
+               AS ewma
+      FROM h GROUP BY user_id)
+    SELECT user_id, n_buckets, last_bucket_us,
+           (round(ewma, 6) + 0.0) AS ewma
+    FROM s
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially-weighted moving average — the smoothed
+    "current state" every monitoring/feature pipeline keeps per entity
+    (the batch computation of exactly the state an
+    applyInPandasWithState streaming job would carry): hourly bucket
+    means per user, folded in time order through s_t = α·x_t +
+    (1−α)·s_{t−1} with α={_EWMA_ALPHA}; one row per user with the
+    final state, bucket count, and last bucket. Compose with
+    q_ts_resample_ffill first when gap hours must decay the state
+    (this op is as-observed: missing hours don't step the
+    recurrence).
+
+    Scale shape (100 TB): two key-hashed aggregates — (user, hour)
+    bucket means (map-side partial), then one collect per user whose
+    array is bounded by the user's SPAN IN HOURS, never the event
+    count; the fold runs in-row in codegen. No window functions, no
+    driver round-trip.
+
+    Determinism: the closed form Σ α(1−α)^ⁿ⁻ⁱxᵢ via pow would differ
+    across engines in the last ulp; the sequential fold is the SAME
+    chain of IEEE mul/adds on both sides — Spark's aggregate() over
+    the sort_array'd bucket series and DuckDB's list_reduce over
+    list(... ORDER BY bucket) evaluate left-to-right with the first
+    element as seed, so the result is bit-identical before the 6dp
+    display rounding. Bucket means divide an exact DECIMAL numerator
+    by an exact count; bucket keys are unique per user so the sort
+    order is total."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    h = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+        .select(
+            "user_id",
+            us("bucket", "bucket_us"),
+            "x",
+        )
+    )
+    a = float(_EWMA_ALPHA)
+    series = F.expr(
+        "transform(sort_array(collect_list(struct(bucket_us, x))), "
+        "s -> s.x)"
+    )
+    b = float(_EWMA_BETA)
+    # element_at is 1-based like slice; bare xs[1] would be the SECOND
+    # element (Spark bracket indexing is 0-based) — dropping the first
+    # bucket and double-counting the second (caught by the gate on
+    # entry: 2 of 15 smoke users moved at the 6th decimal).
+    fold = F.expr(
+        f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+        f"(acc, v) -> {a!r}D * v + {b!r}D * acc)"
+    )
+    return (
+        h.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("bucket_us").alias("last_bucket_us"),
+            series.alias("xs"),
+        )
+        .select(
+            "user_id",
+            "n_buckets",
+            "last_bucket_us",
+            F.round(fold, 6).alias("ewma"),
+        )
+    )

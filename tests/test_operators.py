@@ -3784,3 +3784,50 @@ def test_wav_vad_segments_match_python_rle(spark):
         for a, b in zip(got, got[1:]):
             assert b["start_frame"] > a["end_frame"] + 1  # gap >= 1 frame
     assert sum(len(v) for v in out.values()) == expected_total
+
+
+def test_ts_ewma_matches_python_sequential_fold(spark):
+    """q_ts_ewma's kill conditions: (a) every user's state equals a
+    Python recompute — hourly bucket means in time order folded through
+    s_t = α·x_t + β·s_{t−1} — to full double precision (the fold must
+    be bit-identical, not approximately right: the entry bug where the
+    seed took the SECOND bucket moved only the 6th decimal and only
+    for 2 of 15 users, exactly the class this pins); (b) n_buckets
+    and last_bucket_us match; (c) a single-bucket user's state is the
+    bucket mean itself (seed path)."""
+    from collections import defaultdict
+    from datetime import timezone
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.timeseries import (
+        _EWMA_ALPHA,
+        _EWMA_BETA,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("value IS NOT NULL")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    buckets: dict = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        t = r["ts"].replace(minute=0, second=0, microsecond=0)
+        us = int(t.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        buckets[r["user_id"]][us].append(r["value"])
+
+    out = {r["user_id"]: r for r in
+           all_queries()["q_ts_ewma"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(buckets)
+    for uid, bs in buckets.items():
+        keys = sorted(bs)
+        xs = [sum(bs[k]) / len(bs[k]) for k in keys]
+        s = xs[0]
+        for v in xs[1:]:
+            s = _EWMA_ALPHA * v + _EWMA_BETA * s
+        r = out[uid]
+        assert r["n_buckets"] == len(keys), uid
+        assert r["last_bucket_us"] == keys[-1], uid
+        assert abs(r["ewma"] - round(s, 6)) <= 1.0000001e-6, uid

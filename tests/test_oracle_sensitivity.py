@@ -41,6 +41,7 @@ from copy_databasetables_spark.operators import (  # noqa: E402
     pipeline,
     similarity,
     text,
+    timeseries,
     tpch,
 )
 from tests.conftest import SF_SMOKE
@@ -107,6 +108,7 @@ MUTATIONS = [
     (pipeline, "_EPOCH_GRAN", 100, "q_sample_epochs"),
     (text, "_PMI_MIN", 5, "q_text_collocations"),
     (multimodal, "_VAD_TAU", 900.0, "q_multimodal_wav_vad"),
+    (timeseries, "_EWMA_ALPHA", 0.5, "q_ts_ewma"),
 ]
 
 

@@ -1257,3 +1257,16 @@ def test_wav_vad_zero_shuffle(spark):
     assert final.count("MapInPandas") == 2
     assert "Exchange" not in final
     assert "Window" not in final
+
+
+def test_ts_ewma_no_window_no_python(spark):
+    """q_ts_ewma's scale contract: two key-hashed aggregates (bucket
+    means, then the per-user collect+fold) — the fold is an in-row
+    codegen HOF over the span-bounded bucket array; no window
+    functions, no Python worker, no join."""
+    p = plan(all_queries()["q_ts_ewma"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
+    assert "Join" not in final
+    assert "partial_" in final  # bucket means combine map-side
