@@ -193,6 +193,10 @@ HEADLINE = [
     # r14 continuation 9: per-key EWMA state (sequential in-row fold
     # over span-bounded bucket arrays). Entry band in §r14.
     "q_ts_ewma",
+    # r14 continuation 10: nearest-centroid classification (O(L) per
+    # vector vs q_knn_label's O(n); 1-row centroid-book broadcast,
+    # in-row argmax). Entry band in §r14.
+    "q_emb_centroid_classify",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -4215,3 +4215,115 @@ def q_emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+
+@register(
+    "q_emb_centroid_classify",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    vn AS (SELECT vec_id, label, e,
+                  sqrt(list_aggregate(list_transform(e, x -> x * x),
+                                      'sum')) AS nrm
+           FROM v),
+    ex AS (SELECT label, unnest(range(0, len(e))) AS pos, unnest(e) AS x
+           FROM v),
+    cent AS (SELECT label, CAST(pos AS INT) AS pos,
+                    (round(CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT))
+                                AS DOUBLE) / (1e6 * COUNT(*)), 6) + 0.0)
+                      AS cv
+             FROM ex GROUP BY label, pos),
+    cl AS (SELECT label AS clabel, list(cv ORDER BY pos) AS ce
+           FROM cent GROUP BY label),
+    cl2 AS (SELECT clabel, ce,
+                   sqrt(list_aggregate(list_transform(ce, c -> c * c),
+                                       'sum')) AS cn
+            FROM cl),
+    scored AS (
+      SELECT vn.vec_id, vn.label, c.clabel,
+             list_dot_product(vn.e, c.ce) / (vn.nrm * c.cn) AS cos_raw,
+             row_number() OVER (
+               PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.e, c.ce) / (vn.nrm * c.cn)
+                          DESC,
+                        c.clabel ASC) AS rnk
+      FROM vn CROSS JOIN cl2 c)
+    SELECT vec_id, label AS true_label, clabel AS pred_label,
+           (round(cos_raw, 4) + 0.0) AS cosine,
+           label = clabel AS correct
+    FROM scored WHERE rnk = 1
+    """,
+)
+def q_emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification — the PRODUCTION
+    counterpart of q_knn_label: the per-label mean embeddings
+    (q_emb_centroid's quantized prototypes) become the model, and each
+    vector scores against L centroids instead of n neighbors — O(L)
+    per vector where kNN pays O(n), the difference between a model
+    that classifies 10B vectors in one scan and one that cannot.
+
+    Scale shape (100 TB): the centroid build is one (label, pos)
+    two-phase aggregate (shuffle carries |labels|·dim partial sums);
+    the L-row model collapses to ONE sorted array row broadcast to the
+    corpus scan, and the argmax runs ENTIRELY IN-ROW (the r13
+    PQ-encode pattern: transform computes each centroid's cosine once
+    — the d2-double-evaluation lesson — then a fold keeps the best) —
+    zero joins, zero windows, zero shuffles on the corpus side.
+
+    Determinism: centroid components are the quantized exact means
+    (identical 6dp doubles on both engines); cosines are raw-double
+    ranks with the label tie-break (accepted-ulp class; the fold's
+    strict > keeps the lowest label on ties, matching the oracle's
+    DESC/ASC order)."""
+    v = _vecs(spark, sf_dir)
+    ex = v.select("label", F.posexplode("e").alias("pos", "x"))
+    raw = F.sum(_scaled(F.col("x"))).cast("double") / (
+        F.lit(float(_SCALE)) * F.count(F.lit(1))
+    )
+    cent = ex.groupBy(
+        "label", F.col("pos").cast("int").alias("pos")
+    ).agg(rz(raw, 6).alias("cv"))
+    cl = (
+        cent.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, cv))),"
+                " s -> s.cv)"
+            ).alias("ce")
+        )
+        .withColumn(
+            "cn",
+            F.sqrt(
+                F.aggregate(F.col("ce"), F.lit(0.0), lambda a, c: a + c * c)
+            ),
+        )
+    )
+    book = cl.agg(
+        F.expr("sort_array(collect_list(struct(clabel, ce, cn)))").alias(
+            "cb"
+        )
+    )
+    scored = (
+        "transform(cb, c -> struct("
+        "aggregate(zip_with(e, c.ce, (a, b) -> a * b), 0D,"
+        " (s, t) -> s + t) / (nrm * c.cn) AS cos,"
+        " c.clabel AS clabel))"
+    )
+    best = (
+        f"aggregate({scored}, "
+        "struct(cast(-2.0 as double) AS cos, cast(-1 as int) AS clabel), "
+        "(acc, s) -> IF(s.cos > acc.cos, s, acc))"
+    )
+    # bind the fold result ONCE per row (three inline f"{best}" copies
+    # would re-run the whole L-centroid argmax per output column)
+    return (
+        v.crossJoin(F.broadcast(book))
+        .select("vec_id", "label", F.expr(best).alias("b"))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("b.clabel").alias("pred_label"),
+            rz(F.col("b.cos"), 4).alias("cosine"),
+            (F.col("label") == F.col("b.clabel")).alias("correct"),
+        )
+    )

@@ -3831,3 +3831,43 @@ def test_ts_ewma_matches_python_sequential_fold(spark):
         assert r["n_buckets"] == len(keys), uid
         assert r["last_bucket_us"] == keys[-1], uid
         assert abs(r["ewma"] - round(s, 6)) <= 1.0000001e-6, uid
+
+
+def test_centroid_classify_matches_numpy_recompute(spark):
+    """q_emb_centroid_classify's kill conditions: (a) every vector's
+    predicted label, cosine, and correct flag equal a numpy recompute
+    of the full path — quantized per-label centroid means (the 6dp
+    grid), cosine argmax with lowest-label tie-keep; (b) the argmax
+    fold agrees with an explicit sort over all L centroid scores; (c)
+    predictions cover every vector exactly once."""
+    import numpy as np
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import _vecs
+    from tests.conftest import SF_SMOKE
+
+    rows = _vecs(spark, SF_SMOKE).select("vec_id", "label", "e").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    E = np.array([r["e"] for r in rows])
+    cents = {}
+    for lab in np.unique(labels):
+        m = E[labels == lab]
+        q = np.floor(m * 1e6 + 0.5).sum(axis=0)
+        cents[int(lab)] = np.round(q / (1e6 * len(m)), 6)
+    labs = sorted(cents)
+    C = np.array([cents[lab] for lab in labs])
+    cn = np.linalg.norm(C, axis=1)
+    nrm = np.linalg.norm(E, axis=1)
+
+    out = {r["vec_id"]: r for r in
+           all_queries()["q_emb_centroid_classify"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(int(i) for i in ids)
+    for k in range(len(ids)):
+        cos = (C @ E[k]) / (cn * nrm[k])
+        best = min(range(len(labs)), key=lambda j: (-cos[j], labs[j]))
+        r = out[int(ids[k])]
+        assert r["pred_label"] == labs[best], ids[k]
+        assert abs(r["cosine"] - round(float(cos[best]), 4)) <= 1.1e-4
+        assert r["correct"] == (labs[best] == labels[k])
+        assert r["true_label"] == labels[k]

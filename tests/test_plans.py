@@ -1270,3 +1270,17 @@ def test_ts_ewma_no_window_no_python(spark):
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
     assert "Join" not in final
     assert "partial_" in final  # bucket means combine map-side
+
+
+def test_centroid_classify_corpus_side_is_map_only(spark):
+    """q_emb_centroid_classify's scale contract: the corpus leg is one
+    scan × one 1-row broadcast (the centroid book) with the argmax
+    entirely in-row — no Window, no Python, and the only join is that
+    single broadcast nested loop; exchanges exist only in the
+    |labels|·dim centroid build."""
+    p = plan(all_queries()["q_emb_centroid_classify"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
+    assert final.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
