@@ -197,6 +197,9 @@ HEADLINE = [
     # vector vs q_knn_label's O(n); 1-row centroid-book broadcast,
     # in-row argmax). Entry band in §r14.
     "q_emb_centroid_classify",
+    # r14 continuation 11: the event-stream Markov transition table
+    # (one user shuffle, type-bounded tail). Entry band in §r14.
+    "q_events_transitions",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
@@ -470,3 +471,66 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@register(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS prev_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                                               ASC,
+                                             event_id ASC) AS next_type
+      FROM events),
+    pair AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_ab
+             FROM seq WHERE next_type IS NOT NULL
+             GROUP BY prev_type, next_type),
+    outc AS (SELECT prev_type, CAST(SUM(n_ab) AS BIGINT) AS n_prev
+             FROM pair GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, p.n_ab, o.n_prev,
+           (round(CAST(p.n_ab AS DOUBLE) / o.n_prev, 6) + 0.0) AS prob
+    FROM pair p JOIN outc o USING (prev_type)
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov transition table: adjacent event-type pairs
+    per user (ordered by event time with event_id as the total
+    tie-break) → transition counts and conditional probabilities
+    P(next | prev) — the first-order user-journey model under churn
+    prediction, anomaly detection (q_events_anomaly's sequence-level
+    sibling), and funnel design; q_text_lm_bigram's shape applied to
+    event streams instead of tokens.
+
+    Scale shape (100 TB): ONE shuffle on user_id for the lead window
+    (per-user state is a single row), then a two-phase count over the
+    |types|² pair space and a |types|-row normalizer join — the output
+    and every post-window aggregate are bounded by the type vocabulary,
+    not the event count.
+
+    Determinism: (ts, event_id) is a total order (event_id unique), so
+    the lead pairing is identical on both engines; counts are exact
+    integers; prob is one double division on exact inputs, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    pair = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    outc = pair.groupBy("prev_type").agg(
+        F.sum("n_ab").cast("bigint").alias("n_prev")
+    )
+    return pair.join(F.broadcast(outc), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_ab",
+        "n_prev",
+        F.round(F.col("n_ab").cast("double") / F.col("n_prev"), 6).alias(
+            "prob"
+        ),
+    )

@@ -3871,3 +3871,44 @@ def test_centroid_classify_matches_numpy_recompute(spark):
         assert abs(r["cosine"] - round(float(cos[best]), 4)) <= 1.1e-4
         assert r["correct"] == (labs[best] == labels[k])
         assert r["true_label"] == labels[k]
+
+
+def test_events_transitions_match_python_recompute(spark):
+    """q_events_transitions' kill conditions: (a) every transition's
+    count equals a Python recompute that orders each user's events by
+    (ts, event_id) and counts adjacent type pairs — an ordering bug, a
+    cross-user pairing leak, or a dropped last-event boundary all move
+    counts; (b) Σ n_ab per prev_type equals n_prev and prob is the
+    exact 6dp ratio; (c) Σ all n_ab = total events − number of users
+    (each user contributes exactly len−1 transitions)."""
+    from collections import Counter, defaultdict
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pairs: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (a, b) in zip(seq, seq[1:]):
+            pairs[(a[2], b[2])] += 1
+
+    out = all_queries()["q_events_transitions"](spark, SF_SMOKE).collect()
+    assert {(r["prev_type"], r["next_type"]) for r in out} == set(pairs)
+    n_prev: Counter = Counter()
+    for (a, _), n in pairs.items():
+        n_prev[a] += n
+    for r in out:
+        key = (r["prev_type"], r["next_type"])
+        assert r["n_ab"] == pairs[key], key
+        assert r["n_prev"] == n_prev[key[0]], key
+        assert abs(r["prob"] - round(r["n_ab"] / r["n_prev"], 6)) <= 1e-9
+    assert sum(pairs.values()) == len(rows) - len(by_user)

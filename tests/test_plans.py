@@ -1284,3 +1284,16 @@ def test_centroid_classify_corpus_side_is_map_only(spark):
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
     assert final.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+
+def test_events_transitions_single_user_shuffle(spark):
+    """q_events_transitions' scale contract: one user_id exchange feeds
+    the lead window; everything after it is bounded by the type
+    vocabulary (two-phase pair counts, broadcast normalizer join) —
+    no sort-merge join, no Python."""
+    p = plan(all_queries()["q_events_transitions"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
