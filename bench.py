@@ -200,6 +200,10 @@ HEADLINE = [
     # r14 continuation 11: the event-stream Markov transition table
     # (one user shuffle, type-bounded tail). Entry band in §r14.
     "q_events_transitions",
+    # r14 continuation 12: the binary-sketch recall audit (standing
+    # checked recall@k of q_sim_binary_hamming vs exact; audit-cost
+    # rule). Entry: sub-second protocol row.
+    "q_sim_binary_recall",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -4327,3 +4327,139 @@ def q_emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("b.clabel")).alias("correct"),
         )
     )
+
+
+
+@register(
+    "q_sim_binary_recall",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    w AS ({_BQ_W_SQL}),
+    n AS (SELECT v.vec_id, v.e,
+                 sqrt(list_aggregate(list_transform(v.e, x -> x * x),
+                                     'sum')) AS nrm,
+                 w.w0, w.w1
+          FROM v JOIN w USING (vec_id)),
+    p AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn,
+                 w0 AS pw0, w1 AS pw1
+          FROM n WHERE {_PROBE_FILTER}),
+    h AS (SELECT p.probe_id, p.pe, p.pn,
+                 n.vec_id AS neighbor_id, n.e AS ne, n.nrm AS nn,
+                 CAST(bit_count(xor(n.w0, p.pw0))
+                      + bit_count(xor(n.w1, p.pw1)) AS BIGINT) AS hamming
+          FROM p JOIN n ON n.vec_id <> p.probe_id),
+    cand AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY hamming ASC,
+                                                     neighbor_id ASC)
+                           AS hrank
+               FROM h) WHERE hrank <= {_BQ_RERANK_R}),
+    sketch_k AS (SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY list_dot_product(pe, ne) / (pn * nn) DESC,
+                          neighbor_id ASC) AS rank_pos
+        FROM cand) WHERE rank_pos <= {_K}),
+    exact_k AS (SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(p.pe, n.e) / (p.pn * n.nrm)
+                            DESC,
+                          n.vec_id ASC) AS rank_pos
+        FROM p JOIN n ON n.vec_id <> p.probe_id) WHERE rank_pos <= {_K})
+    SELECT exact_k.probe_id,
+           CAST(COUNT(sketch_k.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           (round(COUNT(sketch_k.neighbor_id) / (1.0 * COUNT(*)), 4)
+            + 0.0) AS recall
+    FROM exact_k
+    LEFT JOIN sketch_k ON sketch_k.probe_id = exact_k.probe_id
+                      AND sketch_k.neighbor_id = exact_k.neighbor_id
+    GROUP BY exact_k.probe_id
+    """,
+)
+def q_sim_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe RECALL audit of the binary-quantization index against
+    exact brute force — q_sim_ivf_recall's pattern applied to the
+    sign-bit sketch: recall@{_K} = |sketch top-k ∩ exact top-k| /
+    |exact top-k| per probe, where the sketch leg reuses the FULL
+    production path (packing, integer Hamming candidate ranking,
+    R={_BQ_RERANK_R} rerank — same tie-breaks), so any regression in
+    the packing or the candidate cut lands in this op's hash, not just
+    in a one-off test measurement. Deliberately pays the exact
+    all-pairs leg over the bounded probe batch (O(|probes|·n), the
+    standing audit-cost rule)."""
+    v = _vecs(spark, sf_dir)
+
+    def pack(lo: int) -> Column:
+        return F.expr(
+            f"aggregate(transform(slice(e, {lo}, 32), "
+            "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
+            "0L, (a, b) -> a + b)"
+        )
+
+    n = v.select("vec_id", "e", "nrm", pack(1).alias("w0"), pack(33).alias("w1"))
+    p = n.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+        F.col("w0").alias("pw0"),
+        F.col("w1").alias("pw1"),
+    )
+    hw = Window.partitionBy("probe_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    joined = F.broadcast(p).join(n, F.col("vec_id") != F.col("probe_id"))
+    sketch_k = (
+        joined.select(
+            "probe_id",
+            "pe",
+            "pn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ne"),
+            F.col("nrm").alias("nn"),
+            F.expr("bit_count(w0 ^ pw0) + bit_count(w1 ^ pw1)")
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(hw))
+        .where(F.col("hrank") <= _BQ_RERANK_R)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine_pre("pe", "ne", "pn", "nn").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(rw))
+        .where(F.col("rank_pos") <= _K)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact_k = (
+        joined.select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_pre("pe", "e", "pn", "nrm").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(rw))
+        .where(F.col("rank_pos") <= _K)
+        .select("probe_id", "neighbor_id")
+    )
+    return (
+        exact_k.join(sketch_k, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / (F.lit(1.0) * F.count(F.lit(1))),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -3912,3 +3912,47 @@ def test_events_transitions_match_python_recompute(spark):
         assert r["n_prev"] == n_prev[key[0]], key
         assert abs(r["prob"] - round(r["n_ab"] / r["n_prev"], 6)) <= 1e-9
     assert sum(pairs.values()) == len(rows) - len(by_user)
+
+
+def test_binary_recall_counts_true_overlap(spark):
+    """q_sim_binary_recall's kill conditions: (a) n_hit equals the true
+    |sketch-topk ∩ exact-topk| recomputed from the production
+    q_sim_binary_hamming output and a numpy exact top-k; (b) n_exact is
+    min(_K, corpus−1); (c) recall is the exact 4dp ratio and the mean
+    recall matches the sketch's entry measurement (≥0.4 floor)."""
+    import math
+
+    import numpy as np
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import _K, _vecs
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    sketch: dict = {}
+    for r in qs["q_sim_binary_hamming"](spark, SF_SMOKE).collect():
+        sketch.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+
+    rows = _vecs(spark, SF_SMOKE).select("vec_id", "e").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["e"] for r in rows])
+    nrm = np.linalg.norm(E, axis=1)
+
+    out = {r["probe_id"]: r for r in
+           qs["q_sim_binary_recall"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(sketch)
+    total_hit = total = 0
+    for pid, row in out.items():
+        pi = int(np.where(ids == pid)[0][0])
+        ce = (E @ E[pi]) / (nrm * nrm[pi])
+        ce[pi] = -2.0
+        exact = set(int(i) for i in ids[np.lexsort((ids, -ce))[:_K]])
+        hits = len(exact & sketch[pid])
+        assert row["n_hit"] == hits, pid
+        assert row["n_exact"] == min(_K, len(ids) - 1)
+        assert math.isclose(
+            row["recall"], round(hits / row["n_exact"], 4), abs_tol=1e-9
+        )
+        total_hit += hits
+        total += row["n_exact"]
+    assert total_hit / total >= 0.4

@@ -109,6 +109,7 @@ MUTATIONS = [
     (text, "_PMI_MIN", 5, "q_text_collocations"),
     (multimodal, "_VAD_TAU", 900.0, "q_multimodal_wav_vad"),
     (timeseries, "_EWMA_ALPHA", 0.5, "q_ts_ewma"),
+    (similarity, "_BQ_RERANK_R", 5, "q_sim_binary_recall"),
 ]
 
 

@@ -1297,3 +1297,16 @@ def test_events_transitions_single_user_shuffle(spark):
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
+
+
+def test_binary_recall_single_broadcast_two_legs(spark):
+    """q_sim_binary_recall's scale contract: both legs share the one
+    bounded-probe broadcast against the corpus; the overlap join is an
+    equi-join on (probe_id, neighbor_id); no CartesianProduct, no
+    Python."""
+    p = plan(all_queries()["q_sim_binary_recall"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" in final
+    assert final.count("BroadcastNestedLoopJoin") <= 2
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
