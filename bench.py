@@ -204,6 +204,10 @@ HEADLINE = [
     # checked recall@k of q_sim_binary_hamming vs exact; audit-cost
     # rule). Entry: sub-second protocol row.
     "q_sim_binary_recall",
+    # r14 continuation 13: last-touch attribution (carry-forward window
+    # instead of the naive as-of self-join; one user_id shuffle,
+    # channel-bounded tail). Entry band in §r14.
+    "q_events_attribution",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

@@ -534,3 +534,116 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN event_type <> 'purchase' THEN event_type
+                  END AS touch_type,
+             value
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')),
+    attr AS (
+      SELECT is_conv, value,
+             last_value(touch_type IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY tus ASC, is_conv ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+      FROM base)
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           (round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+            + 0.0) AS total_value,
+           (round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*), 6) + 0.0) AS avg_value
+    FROM attr WHERE is_conv = 1
+    GROUP BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase is credited to the
+    user's most recent preceding touch event (click or view; a same-
+    timestamp touch outranks the purchase via the is_conv sort key, and
+    event_id makes the order total), purchases with no prior touch fall
+    into an explicit 'unattributed' channel, and the report aggregates
+    conversion counts + revenue per channel — the marketing-attribution
+    primitive behind q_funnel/q_retention-style growth analytics.
+
+    Scale shape (100 TB): the naive formulation is a per-conversion
+    as-of SELF-JOIN on an inequality (touches × purchases per user);
+    this op expresses it instead as ONE shuffle on user_id feeding a
+    linear carry-forward window — last(touch_type, ignorenulls) over
+    rows-unbounded-preceding — so the attribution is a single sorted
+    scan per user with O(1) state, the same last-observation-
+    carried-forward shape q_ts_resample_ffill runs. Everything after
+    the window is bounded by the channel vocabulary (≤ |touch types|+1
+    rows).
+
+    Determinism: (ts, is_conv, event_id) is a total order reproduced on
+    both engines (the oracle orders by epoch-µs of the same instants);
+    revenue sums accumulate in DECIMAL(18,6) — value carries 2dp, so
+    the sum is exact and shuffle-order-free — and only the final
+    per-channel scalars are cast to double, 6dp-rounded, signed-zero
+    canonicalized."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_conv"),
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("touch_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_conv").asc(), F.col("event_id").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conv = (
+        base.withColumn(
+            "channel", F.last("touch_type", ignorenulls=True).over(w)
+        )
+        .where(F.col("is_conv") == 1)
+        .select(
+            F.coalesce(F.col("channel"), F.lit("unattributed")).alias(
+                "channel"
+            ),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("conversions"),
+            F.sum("v").alias("sv"),
+        )
+        .select(
+            "channel",
+            "conversions",
+            (F.round(F.col("sv").cast("double"), 6) + F.lit(0.0)).alias(
+                "total_value"
+            ),
+            (
+                F.round(
+                    F.col("sv").cast("double")
+                    / F.col("conversions").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value"),
+        )
+    )

@@ -3956,3 +3956,57 @@ def test_binary_recall_counts_true_overlap(spark):
         total_hit += hits
         total += row["n_exact"]
     assert total_hit / total >= 0.4
+
+
+def test_events_attribution_matches_python_recompute(spark):
+    """q_events_attribution's kill conditions: (a) every purchase's
+    channel equals a Python recompute that sorts each user's filtered
+    events by (ts, is_conv, event_id) and carries the last touch type
+    forward — an ordering bug, a cross-user leak, or a dropped
+    unattributed bucket all move the per-channel counts; (b) per-channel
+    revenue equals the exact cent-level sum (value has 2dp, so summing
+    scaled integers is exact); (c) Σ conversions over channels equals
+    the total purchase count."""
+    from collections import Counter, defaultdict
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type in ('click','view','purchase')")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        is_conv = 1 if r["event_type"] == "purchase" else 0
+        by_user[r["user_id"]].append(
+            (r["ts"], is_conv, r["event_id"], r["event_type"], r["value"])
+        )
+    n_purchases = 0
+    counts: Counter = Counter()
+    cents: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort(key=lambda t: t[:3])
+        channel = None
+        for (_, is_conv, _, etype, value) in seq:
+            if is_conv:
+                ch = channel if channel is not None else "unattributed"
+                counts[ch] += 1
+                cents[ch] += round(value * 100)
+                n_purchases += 1
+            else:
+                channel = etype
+    out = all_queries()["q_events_attribution"](spark, SF_SMOKE).collect()
+    assert {r["channel"] for r in out} == set(counts)
+    for r in out:
+        ch = r["channel"]
+        assert r["conversions"] == counts[ch], ch
+        assert abs(r["total_value"] - cents[ch] / 100.0) <= 1e-6, ch
+        assert (
+            abs(r["avg_value"] - round(cents[ch] / 100.0 / counts[ch], 6))
+            <= 1e-9
+        ), ch
+    assert sum(r["conversions"] for r in out) == n_purchases

@@ -1310,3 +1310,18 @@ def test_binary_recall_single_broadcast_two_legs(spark):
     assert "BroadcastNestedLoopJoin" in final
     assert final.count("BroadcastNestedLoopJoin") <= 2
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
+
+
+def test_events_attribution_single_window_no_self_join(spark):
+    """q_events_attribution's scale contract: the as-of attribution is
+    ONE carry-forward window over a user_id exchange — NOT the naive
+    touches x purchases self-join — so the plan holds exactly one
+    Window, no join of any kind before the channel-bounded aggregate,
+    and no Python."""
+    p = plan(all_queries()["q_events_attribution"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Window") == 1
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in final, j
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
