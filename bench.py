@@ -208,6 +208,9 @@ HEADLINE = [
     # instead of the naive as-of self-join; one user_id shuffle,
     # channel-bounded tail). Entry band in §r14.
     "q_events_attribution",
+    # r14 continuation 14: the 24h-lookback variant (same single-window
+    # shape; the cut is one integer subtraction). Entry band in §r14.
+    "q_events_attribution_tolerance",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):

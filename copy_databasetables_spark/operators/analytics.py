@@ -536,6 +536,31 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution_base(ev: DataFrame) -> DataFrame:
+    """Shared touch/conversion projection for the attribution pair:
+    click/view/purchase rows with the (is_conv, touch_type) split and
+    the touch's epoch-µs instant carried alongside (both engines order
+    and subtract in exact integer microseconds)."""
+    return ev.where(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        us("ts", "tus"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_conv"),
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("touch_type"),
+        F.when(F.col("event_type") != "purchase", us("ts")).alias(
+            "touch_tus"
+        ),
+    )
+
+
 @register(
     "q_events_attribution",
     oracle="""
@@ -591,21 +616,7 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum is exact and shuffle-order-free — and only the final
     per-channel scalars are cast to double, 6dp-rounded, signed-zero
     canonicalized."""
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.where(
-        F.col("event_type").isin("click", "view", "purchase")
-    ).select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(F.col("event_type") == "purchase", F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_conv"),
-        F.when(
-            F.col("event_type") != "purchase", F.col("event_type")
-        ).alias("touch_type"),
-    )
+    base = _attribution_base(load_table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(
@@ -622,6 +633,113 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("channel"), F.lit("unattributed")).alias(
                 "channel"
             ),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("conversions"),
+            F.sum("v").alias("sv"),
+        )
+        .select(
+            "channel",
+            "conversions",
+            (F.round(F.col("sv").cast("double"), 6) + F.lit(0.0)).alias(
+                "total_value"
+            ),
+            (
+                F.round(
+                    F.col("sv").cast("double")
+                    / F.col("conversions").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "q_events_attribution_tolerance",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN event_type <> 'purchase' THEN event_type
+                  END AS touch_type,
+             CASE WHEN event_type <> 'purchase'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS touch_tus,
+             value
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')),
+    attr AS (
+      SELECT is_conv, value, tus,
+             last_value(touch_type IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY tus ASC, is_conv ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt,
+             last_value(touch_tus IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY tus ASC, is_conv ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ltus
+      FROM base)
+    SELECT CASE WHEN ltus IS NOT NULL
+                 AND tus - ltus <= 86400000000 THEN lt
+                ELSE 'unattributed' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           (round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+            + 0.0) AS total_value,
+           (round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*), 6) + 0.0) AS avg_value
+    FROM attr WHERE is_conv = 1
+    GROUP BY 1
+    """,
+)
+def q_events_attribution_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_events_attribution with a 24-hour lookback window — the
+    production attribution contract: a touch older than the tolerance
+    no longer earns credit, so stale sessions fall into 'unattributed'
+    instead of inflating a channel (the q_join_asof_tolerance semantics
+    applied to the carry-forward-window shape; at the sf grid the
+    24 h cut lands mid-distribution — gap p50≈18 h, p75≈37 h — so both
+    branches are exercised, not vacuously one).
+
+    Scale shape (100 TB): identical to the base op — ONE user_id
+    shuffle, one linear carry-forward window, channel-bounded tail.
+    The tolerance adds no join and no second window: the same
+    (ts, is_conv, event_id)-ordered frame carries BOTH the last touch
+    type and its epoch-µs instant (the two last(ignorenulls) columns
+    are null on exactly the same rows, so the pair stays consistent),
+    and the cut is one integer subtraction per conversion row.
+
+    Determinism: the gap test is exact integer microseconds on both
+    engines (86 400 000 000 µs = 24 h); everything else inherits the
+    base op's discipline (total order, DECIMAL-exact sums, 6dp,
+    signed-zero canon)."""
+    base = _attribution_base(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_conv").asc(), F.col("event_id").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tol_us = 24 * 3600 * 1000 * 1000  # 24 h in exact integer µs
+    conv = (
+        base.withColumn("lt", F.last("touch_type", ignorenulls=True).over(w))
+        .withColumn("ltus", F.last("touch_tus", ignorenulls=True).over(w))
+        .where(F.col("is_conv") == 1)
+        .select(
+            F.when(
+                F.col("ltus").isNotNull()
+                & (F.col("tus") - F.col("ltus") <= F.lit(tol_us)),
+                F.col("lt"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel"),
             F.col("value").cast("decimal(18,6)").alias("v"),
         )
     )

@@ -4010,3 +4010,74 @@ def test_events_attribution_matches_python_recompute(spark):
             <= 1e-9
         ), ch
     assert sum(r["conversions"] for r in out) == n_purchases
+
+
+def test_events_attribution_tolerance_matches_python_recompute(spark):
+    """q_events_attribution_tolerance's kill conditions: (a) per-channel
+    counts and cent-exact revenue equal a Python recompute that carries
+    the last touch (type, instant) forward per user and voids credit
+    when the purchase-touch gap exceeds 24 h of exact integer µs — an
+    off-by-one on the boundary, an inconsistent (type, instant) pair,
+    or a dropped void branch all move counts; (b) the tolerance op's
+    unattributed bucket is a SUPERSET of the base op's (voiding can
+    only grow it) and both ops see the same total purchase count; (c)
+    the 24 h cut is non-vacuous at the smoke SF: both branches occur."""
+    from collections import Counter, defaultdict
+
+    from copy_databasetables_spark.io import load_table
+    from copy_databasetables_spark.operators import all_queries
+    from tests.conftest import SF_SMOKE
+
+    tol = 24 * 3600 * 1000 * 1000
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type in ('click','view','purchase')")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) as tus",
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        is_conv = 1 if r["event_type"] == "purchase" else 0
+        by_user[r["user_id"]].append(
+            (r["tus"], is_conv, r["event_id"], r["event_type"], r["value"])
+        )
+    counts: Counter = Counter()
+    cents: Counter = Counter()
+    n_purchases = 0
+    for seq in by_user.values():
+        seq.sort(key=lambda t: t[:3])
+        touch = None  # (type, tus) pair, carried together
+        for (tus, is_conv, _, etype, value) in seq:
+            if is_conv:
+                ch = (
+                    touch[0]
+                    if touch is not None and tus - touch[1] <= tol
+                    else "unattributed"
+                )
+                counts[ch] += 1
+                cents[ch] += round(value * 100)
+                n_purchases += 1
+            else:
+                touch = (etype, tus)
+    qs = all_queries()
+    out = qs["q_events_attribution_tolerance"](spark, SF_SMOKE).collect()
+    assert {r["channel"] for r in out} == set(counts)
+    for r in out:
+        ch = r["channel"]
+        assert r["conversions"] == counts[ch], ch
+        assert abs(r["total_value"] - cents[ch] / 100.0) <= 1e-6, ch
+    assert sum(r["conversions"] for r in out) == n_purchases
+    base = {
+        r["channel"]: r["conversions"]
+        for r in qs["q_events_attribution"](spark, SF_SMOKE).collect()
+    }
+    assert sum(base.values()) == n_purchases
+    assert counts["unattributed"] >= base.get("unattributed", 0)
+    assert counts["unattributed"] > 0
+    assert sum(v for k, v in counts.items() if k != "unattributed") > 0

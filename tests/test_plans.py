@@ -1325,3 +1325,17 @@ def test_events_attribution_single_window_no_self_join(spark):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in final, j
     assert "BatchEvalPython" not in final and "MapInPandas" not in final
+
+
+def test_events_attribution_tolerance_single_window_no_self_join(spark):
+    """The tolerance variant inherits the base op's scale contract
+    unchanged: the 24 h cut must NOT introduce a second window pass or
+    any join — one Window (two last(ignorenulls) columns share the one
+    ordered frame), zero joins, no Python."""
+    p = plan(all_queries()["q_events_attribution_tolerance"](spark, SF_SMOKE))
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Window") == 1
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in final, j
+    assert "BatchEvalPython" not in final and "MapInPandas" not in final
