@@ -59,75 +59,78 @@ _loaded = False
 #: Driver-window priority. The correctness driver records the FIRST 50
 #: ``queries()`` entries each round (observed: CORRECTNESS_r01.json stops
 #: at exactly 50, in declaration order), so the dict order below rotates
-#: which keys get a driver-green row. Round 14 window (per VERDICT.md r13
-#: "Next round" item 1): slots 1-5 are the five r13-new keys with ZERO
-#: driver attestation so far (judge-green in the r13 full gate but never
-#: in a CORRECTNESS file; the only registry keys in that state — they sat
-#: at registry slots 51-55 last round, exactly fronting this rotation).
-#: Slots 6-12 are the seven remaining r8-stale keys (the tail of the
-#: r8 cohort whose first 43 rotated through r13), retiring the r8
-#: staleness floor entirely. Slots 13-50 are the first 38 (sorted) of
-#: the 50-key r9-stale cohort — keys whose LATEST driver attestation is
-#: r9, per the judge's aggregation of CORRECTNESS_r01-r13. The remaining
-#: 12 of that cohort (q_retention .. src_orc_roundtrip, sorted) lead the
-#: r15 window. All 50 slots are pinned EXPLICITLY (slot-50 displacement
-#: rule, r12): keys newly added THIS round land in ``_window_order``'s
-#: never-checked middle bucket at positions 51+ and front the r15
-#: window, the same new-key cadence every earlier round used.
+#: which keys get a driver-green row. Round 15 window (per VERDICT.md r14
+#: "Next round" item 1): slots 1-19 are the 19 registry keys with ZERO
+#: driver attestation at r14 close — the 16 r14-session ops plus the
+#: three post-close additions (q_sim_binary_recall, q_events_attribution,
+#: q_events_attribution_tolerance); they sat at registry slots 51-69 last
+#: round, exactly fronting this rotation, and are listed here in that
+#: registry order. Slots 20-31 are the 12 remaining r9-stale keys
+#: (q_retention .. src_orc_roundtrip, sorted — the tail of the r9 cohort
+#: whose first 38 rotated through r14), retiring the r9 staleness floor
+#: entirely; note six of them are the §2.9 streaming rows, five rounds
+#: stale. Slots 32-50 are the first 19 (sorted) of the 49-key r10-stale
+#: cohort, per the judge's aggregation of CORRECTNESS_r01-r14. The
+#: remaining 30 of that cohort (q_dedup_survivor_pagerank ..
+#: src_parquet_scan_nanos, sorted) lead the r16 window. All 50 slots are
+#: pinned EXPLICITLY (slot-50 displacement rule, r12): keys newly added
+#: THIS round land in ``_window_order``'s never-checked middle bucket at
+#: positions 51+ and front the r16 window, the same new-key cadence every
+#: earlier round used.
 DRIVER_WINDOW: list[str] = [
-    # slots 1-5: the r13-new keys, never driver-attested (VERDICT item 1)
-    "q_dedup_substring_minimizer",
-    "q_sim_ivf_pq_persisted",
-    "q_emb_remove_top_pc_fast",
-    "q_emb_pca_k",
-    "q_text_bm25_persisted",
-    # slots 6-12: the seven remaining r8-stale keys — r8 floor retired
-    "q_text_fingerprint",
-    "q_text_fuzzy_match",
-    "q_text_lm_score",
-    "q_text_pack",
-    "q_text_repetition",
-    "schema_introspect_constraints",
-    "schema_introspect_grants",
-    # slots 13-50: first 38 of the r9-stale cohort, sorted
-    "copy_table",
-    "copy_table_partitioned",
-    "copy_tables_many",
-    "q_agg_approx_distinct",
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_heavy_hitters_skewed",
-    "q_agg_percentile",
-    "q_agg_percentile_approx",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_dedup_cluster",
-    "q_dedup_survivor",
-    "q_distinct",
-    "q_filter_compound",
-    "q_filter_like",
-    "q_filter_null",
-    "q_filter_simple",
-    "q_funnel",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_interval",
-    "q_join_left",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_theta",
-    "q_pivot",
-    "q_project",
-    "q_project_expr",
+    # slots 1-19: the 19 never-attested keys at r14 close (VERDICT item 1)
+    "q_agg_countmin",
+    "q_agg_moments",
+    "q_events_transitions",
+    "q_events_attribution",
+    "q_events_attribution_tolerance",
+    "q_ts_ewma",
+    "q_sim_ivf_pq_multiprobe",
+    "q_sim_ivf_recall",
+    "q_emb_drift_psi",
+    "q_sim_binary_hamming",
+    "q_emb_mrl_recall",
+    "q_emb_centroid_classify",
+    "q_sim_binary_recall",
+    "q_text_entropy",
+    "q_text_lm_bigram",
+    "q_text_collocations",
+    "q_sample_epochs",
+    "q_multimodal_phash",
+    "q_multimodal_wav_vad",
+    # slots 20-31: the 12 remaining r9-stale keys - r9 floor retired
+    "q_retention",
+    "q_sessionize",
+    "q_stream_dedup",
+    "q_stream_late_data",
+    "q_stream_rate_agg",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_unpivot",
+    "q_win_distinct_count",
+    "src_jdbc_decimal",
+    "src_orc_roundtrip",
+    # slots 32-50: first 19 of the r10-stale cohort, sorted
+    "copy_table_cdc_apply",
+    "copy_table_evolve",
+    "copy_table_mapped",
+    "copy_table_scd2",
+    "q_agg_cms_err",
+    "q_agg_heavy_hitters_pruned",
+    "q_agg_hll_mergeable",
+    "q_agg_mode",
+    "q_assign_global_ids",
+    "q_decontaminate_bloom",
+    "q_dedup_bucket_stats",
+    "q_dedup_cluster_containment",
+    "q_dedup_cluster_lsh",
+    "q_dedup_containment",
+    "q_dedup_embed_lsh",
+    "q_dedup_embed_lsh_capped",
+    "q_dedup_minhash_est",
+    "q_dedup_substring",
+    "q_dedup_survivor_lsh",
 ]
 
 def _prior_driver_green(repo: str | None = None) -> set[str]:
