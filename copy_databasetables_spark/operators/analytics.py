@@ -660,9 +660,16 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: attribution lookback tolerance in exact integer microseconds (24 h).
+#: ONE constant feeds both engines — f-strung into the oracle at import,
+#: read from the module at Spark call time — so the two sides cannot
+#: drift apart. Mutation-pinned in tests/test_oracle_sensitivity.
+_ATTR_TOL_US = 24 * 3600 * 1000 * 1000
+
+
 @register(
     "q_events_attribution_tolerance",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
@@ -687,7 +694,7 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ltus
       FROM base)
     SELECT CASE WHEN ltus IS NOT NULL
-                 AND tus - ltus <= 86400000000 THEN lt
+                 AND tus - ltus <= {_ATTR_TOL_US} THEN lt
                 ELSE 'unattributed' END AS channel,
            CAST(COUNT(*) AS BIGINT) AS conversions,
            (round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
@@ -727,7 +734,7 @@ def q_events_attribution_tolerance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tol_us = 24 * 3600 * 1000 * 1000  # 24 h in exact integer µs
+    tol_us = int(_ATTR_TOL_US)  # runtime module read (mutation-pinned)
     conv = (
         base.withColumn("lt", F.last("touch_type", ignorenulls=True).over(w))
         .withColumn("ltus", F.last("touch_tus", ignorenulls=True).over(w))

@@ -1670,7 +1670,15 @@ def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collocation-mining geometry: pairs must co-occur at least _PMI_MIN
 #: times (PMI is unstable on singletons), top _PMI_TOPN by PMI emitted;
 #: _PMI_SCALE is the integer rank-key resolution. Runtime-read
-#: (mutation-pinned in tests/test_oracle_sensitivity).
+#: (mutation-pinned in tests/test_oracle_sensitivity). The rank key
+#: n_ab*_PMI_SCALE is computed in 128-bit integer space on BOTH engines
+#: (Spark decimal(38,0) `div`, DuckDB HUGEINT `//`) so it cannot wrap
+#: at 100 TB: int64 would overflow once a single bigram count exceeds
+#: ~9.2e9 (plausible for "of the" at 1e13 corpus tokens), and Spark
+#: bigint `div` wraps SILENTLY while DuckDB `//` errors — the two
+#: engines would diverge exactly where it matters. 128-bit headroom:
+#: n_ab ≤ 1e13 tokens → n_ab*1e9 ≤ 1e22 and n_a*n_b ≤ 1e26, both far
+#: inside decimal(38,0)/int128.
 _PMI_MIN = 3
 _PMI_TOPN = 20
 _PMI_SCALE = 1_000_000_000
@@ -1705,7 +1713,8 @@ _PMI_SCALE = 1_000_000_000
                      / (CAST(n_bg AS DOUBLE) * n_a * n_b)), 6) + 0.0)
              AS pmi
     FROM j
-    ORDER BY (n_ab * {_PMI_SCALE}) // (n_a * n_b) DESC,
+    ORDER BY (CAST(n_ab AS HUGEINT) * {_PMI_SCALE})
+               // (CAST(n_a AS HUGEINT) * n_b) DESC,
              n_ab DESC, w1 ASC, w2 ASC
     LIMIT {_PMI_TOPN}
     """,
@@ -1773,7 +1782,13 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(btot))
     )
-    rank_key = F.expr(f"(n_ab * {_PMI_SCALE}L) div (n_a * n_b)")
+    # 128-bit rank key (see the _PMI_SCALE note): decimal(38,0) keeps
+    # n_ab*SCALE exact past the int64 wrap point; `div` on decimals
+    # truncates toward zero = DuckDB HUGEINT `//` on non-negatives.
+    rank_key = F.expr(
+        f"(cast(n_ab as decimal(38,0)) * {_PMI_SCALE}) "
+        "div (cast(n_a as decimal(38,0)) * n_b)"
+    )
     pmi = F.round(
         F.log(
             (F.col("n_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))

@@ -243,7 +243,10 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: "1.0 - α" in the SQL would evaluate in IEEE double on Spark but in
 #: exact DECIMAL on DuckDB — one ulp apart, compounding ~1e-5 over a
 #: 60-step fold (caught by the gate on entry). Runtime-read
-#: (mutation-pinned in tests/test_oracle_sensitivity).
+#: (mutation-pinned in tests/test_oracle_sensitivity). The Spark body
+#: re-derives β from α at call time so the pair can never desynchronize
+#: under a runtime α change; _EWMA_BETA here exists only to bake the
+#: import-time oracle literal.
 _EWMA_ALPHA = 0.3
 _EWMA_BETA = 1.0 - _EWMA_ALPHA
 
@@ -322,7 +325,12 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sort_array(collect_list(struct(bucket_us, x))), "
         "s -> s.x)"
     )
-    b = float(_EWMA_BETA)
+    # β derived from α AT CALL TIME (not the frozen import-time
+    # _EWMA_BETA): a runtime reconfiguration of _EWMA_ALPHA alone must
+    # never yield a fold with α+β != 1 — that's not an EWMA. Same
+    # Python-double arithmetic as the oracle's baked literal, so the
+    # unmutated pair is bit-identical.
+    b = 1.0 - float(_EWMA_ALPHA)
     # element_at is 1-based like slice; bare xs[1] would be the SECOND
     # element (Spark bracket indexing is 0-based) — dropping the first
     # bucket and double-counting the second (caught by the gate on

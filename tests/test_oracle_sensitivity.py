@@ -35,6 +35,7 @@ from copy_databasetables_spark.operators import (  # noqa: E402
 )
 from copy_databasetables_spark.operators import (  # noqa: E402
     aggregates,
+    analytics,
     dedup,
     joins,
     multimodal,
@@ -110,6 +111,9 @@ MUTATIONS = [
     (multimodal, "_VAD_TAU", 900.0, "q_multimodal_wav_vad"),
     (timeseries, "_EWMA_ALPHA", 0.5, "q_ts_ewma"),
     (similarity, "_BQ_RERANK_R", 5, "q_sim_binary_recall"),
+    # r15 hoists — verified to KILL on sf0.001 on entry:
+    (analytics, "_ATTR_TOL_US", 3600 * 1000 * 1000,
+     "q_events_attribution_tolerance"),
 ]
 
 
