@@ -211,6 +211,11 @@ HEADLINE = [
     # r14 continuation 14: the 24h-lookback variant (same single-window
     # shape; the cut is one integer subtraction). Entry band in §r14.
     "q_events_attribution_tolerance",
+    # r15: the pigeonhole-bucketed binary ANN search leg, benched
+    # beside its flat audit twin q_sim_binary_hamming so the
+    # bucket-join-vs-nested-loop cost split is a measured delta.
+    # Entry band in BASELINE.md §Round-15.
+    "q_sim_binary_bucketed",
 ]
 
 #: best-of count, THE SAME for every benched query (flagship included):
@@ -565,6 +570,14 @@ def main() -> None:
         "protocol": _flagship_protocol(spark, queries, sf_dir),
         "skew_ab": _skew_ab(spark, sf_dir),
         "jdbc_copy": _jdbc_copy(spark, sf_dir),
+        # Self-describing adjudication flag (VERDICT r14 item 2): the
+        # committed BENCH_FULL.json must say whether it came from a
+        # quiet two-clean-run pinning session (builder exports
+        # SPARK_GRAFT_BENCH_ADJUDICATED=1 only then) or from an
+        # arbitrary — possibly contended — driver/CI invocation, so a
+        # reader never has to reconstruct that from commit archaeology.
+        "adjudicated": os.environ.get("SPARK_GRAFT_BENCH_ADJUDICATED")
+        == "1",
     }
 
     # restore + replay stderr, then assert the tail clean: any

@@ -4463,3 +4463,218 @@ def q_sim_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+#: pigeonhole bucket geometry for the BUCKETED sign-bit search: the 64
+#: sketch bits split into _BQ_NBLOCKS equal blocks (width 64/_BQ_NBLOCKS;
+#: must divide 32 so no block straddles the two packed words). A
+#: candidate must share at least ONE whole block with the probe — the
+#: SimHash pigeonhole cover (dedup.py q_dedup_simhash) applied to the
+#: ANN index: sound for Hamming < _BQ_NBLOCKS, a recall/cost dial above
+#: it. 8 blocks of 8 bits (not 4×16): on near-uniform sign bits a
+#: 16-bit block collides at ~n²/2¹⁶ — vacuously sparse at the shipped
+#: corpus sizes (1 candidate pair at sf0.1) — while 8-bit buckets give
+#: every probe a real candidate list to rank, and the wider pigeonhole
+#: cover (sound to Hamming 7) is the better recall point for retrieval.
+#: Runtime-read (mutation-pinned in tests/test_oracle_sensitivity).
+_BQ_NBLOCKS = 8
+
+#: import-time block width/mask for the oracle literals; the Spark body
+#: re-derives both from _BQ_NBLOCKS at call time (the _EWMA_BETA rule:
+#: derived constants may never desynchronize under a runtime mutation).
+_BQ_BLOCK_W = 64 // _BQ_NBLOCKS
+_BQ_BLOCK_MASK = (1 << _BQ_BLOCK_W) - 1
+
+
+@register(
+    "q_sim_binary_bucketed",
+    oracle=f"""
+    WITH v AS ({_V_SQL}),
+    w AS ({_BQ_W_SQL}),
+    n AS (SELECT v.vec_id, v.e,
+                 sqrt(list_aggregate(list_transform(v.e, x -> x * x),
+                                     'sum')) AS nrm,
+                 w.w0, w.w1
+          FROM v JOIN w USING (vec_id)),
+    p AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn,
+                 w0 AS pw0, w1 AS pw1
+          FROM n WHERE {_PROBE_FILTER}),
+    nb AS (SELECT vec_id, r.blk,
+                  ((CASE WHEN r.blk * {_BQ_BLOCK_W} < 32 THEN w0 ELSE w1
+                    END)
+                   >> CAST((r.blk * {_BQ_BLOCK_W}) % 32 AS INT))
+                    & {_BQ_BLOCK_MASK} AS bval
+           FROM n, range(0, {_BQ_NBLOCKS}) r(blk)),
+    pb AS (SELECT probe_id, r.blk,
+                  ((CASE WHEN r.blk * {_BQ_BLOCK_W} < 32 THEN pw0 ELSE pw1
+                    END)
+                   >> CAST((r.blk * {_BQ_BLOCK_W}) % 32 AS INT))
+                    & {_BQ_BLOCK_MASK} AS bval
+           FROM p, range(0, {_BQ_NBLOCKS}) r(blk)),
+    cand0 AS (SELECT DISTINCT pb.probe_id, nb.vec_id AS neighbor_id
+              FROM pb JOIN nb ON nb.blk = pb.blk AND nb.bval = pb.bval
+                             AND nb.vec_id <> pb.probe_id),
+    h AS (SELECT c.probe_id, p.pe, p.pn,
+                 c.neighbor_id, n.e AS ne, n.nrm AS nn,
+                 CAST(bit_count(xor(n.w0, p.pw0))
+                      + bit_count(xor(n.w1, p.pw1)) AS BIGINT) AS hamming
+          FROM cand0 c
+          JOIN n ON n.vec_id = c.neighbor_id
+          JOIN p ON p.probe_id = c.probe_id),
+    cand AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY hamming ASC,
+                                                     neighbor_id ASC)
+                           AS hrank
+               FROM h) WHERE hrank <= {_BQ_RERANK_R}),
+    scored AS (SELECT probe_id, neighbor_id, hamming,
+                      list_dot_product(pe, ne) / (pn * nn) AS cos_raw,
+                      row_number() OVER (
+                        PARTITION BY probe_id
+                        ORDER BY list_dot_product(pe, ne) / (pn * nn) DESC,
+                                 neighbor_id ASC) AS rank_pos
+               FROM cand)
+    SELECT probe_id, neighbor_id, hamming,
+           (round(cos_raw, 4) + 0.0) AS cosine, rank_pos
+    FROM scored WHERE rank_pos <= {_K}
+    """,
+)
+def q_sim_binary_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed binary ANN — the pigeonhole-blocked SEARCH leg for the
+    sign-bit index (VERDICT r14 item 3): the 64-bit sketch splits into
+    {_BQ_NBLOCKS} blocks of {_BQ_BLOCK_W} bits and candidate generation
+    becomes an EQUI join on (block, value) — exactly the Hamming block
+    decomposition proven in the SimHash dedup family
+    (dedup.py q_dedup_simhash), applied to retrieval. Only bucket-mates
+    (≥1 bit-identical block with the probe) ever reach the Hamming
+    ranking; the flat twin q_sim_binary_hamming stays registered as the
+    exact audit baseline and q_sim_binary_recall prices the sketch's
+    recall against exact float search.
+
+    Scale shape (100 TB / 10B vectors): the flat twin's candidate stage
+    is a probe×corpus nested-loop scan — O(P·N) XOR+popcounts, rescanned
+    per probe batch. Here the corpus sketch table is read ONCE into an
+    exploded ({_BQ_NBLOCKS}·N)-row bucket table of 16-byte keys, the
+    bounded probe blocks broadcast, and the candidate stage is a
+    BroadcastHashJoin on (blk, bval): work is proportional to actual
+    bucket collisions (expected N·P/2^{_BQ_BLOCK_W} per block under
+    uniform bits — a ~2^{_BQ_BLOCK_W}/{_BQ_NBLOCKS}× cut), not to P·N.
+    The whole plan is equi-joins: no CartesianProduct, no
+    BroadcastNestedLoopJoin anywhere (plan-pinned in tests/test_plans).
+    Pair dedup (a pair can collide in up to {_BQ_NBLOCKS} blocks) is a
+    DISTINCT on the (probe, neighbor) key, shuffled on ids, then
+    rebalanced so the per-pair Hamming+cosine work keeps full
+    parallelism (the simhash candidate idiom).
+
+    Semantics/recall: NOT identical to the flat twin by design — a
+    true Hamming-R-set member sharing no whole block with the probe is
+    missed (sound only below Hamming {_BQ_NBLOCKS}); the oracle blocks
+    the SAME way, so the hash gate pins the blocked semantics exactly
+    while the SCALE.md row prices blocked-vs-flat cost and the recall
+    op prices quality.
+
+    Determinism: bucket values, collisions, and Hamming distances are
+    exact integers on both engines; ranking ties break on neighbor_id;
+    the rerank reuses the house raw-double cosine with 4dp display
+    rounding (accepted-ulp class)."""
+    v = _vecs(spark, sf_dir)
+
+    def pack(lo: int) -> Column:
+        return F.expr(
+            f"aggregate(transform(slice(e, {lo}, 32), "
+            "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
+            "0L, (a, b) -> a + b)"
+        )
+
+    n = v.select("vec_id", "e", "nrm", pack(1).alias("w0"), pack(33).alias("w1"))
+    # block geometry re-derived AT CALL TIME from _BQ_NBLOCKS (the
+    # _EWMA_BETA rule): width and mask can never desynchronize from it.
+    nb_blocks = int(_BQ_NBLOCKS)
+    bw = 64 // nb_blocks
+    mask = (1 << bw) - 1
+    blks = F.explode(F.sequence(F.lit(0), F.lit(nb_blocks - 1))).alias("blk")
+    corpus_blocks = n.select("vec_id", "w0", "w1", blks).select(
+        "vec_id",
+        "blk",
+        F.expr(
+            f"shiftright(IF(blk * {bw} < 32, w0, w1), (blk * {bw}) % 32)"
+            f" & {mask}L"
+        ).alias("bval"),
+    )
+    p = n.where(_PROBE_FILTER).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+        F.col("w0").alias("pw0"),
+        F.col("w1").alias("pw1"),
+    )
+    probe_blocks = p.select("probe_id", "pw0", "pw1", blks).select(
+        "probe_id",
+        "blk",
+        F.expr(
+            f"shiftright(IF(blk * {bw} < 32, pw0, pw1), (blk * {bw}) % 32)"
+            f" & {mask}L"
+        ).alias("bval"),
+    )
+    cand0 = (
+        F.broadcast(probe_blocks)
+        .join(
+            corpus_blocks,
+            (probe_blocks.blk == corpus_blocks.blk)
+            & (probe_blocks.bval == corpus_blocks.bval)
+            & (corpus_blocks.vec_id != probe_blocks.probe_id),
+        )
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+        # collision-pair ids are few bytes → AQE coalesces the DISTINCT
+        # to ~1 partition, but each row owes a Hamming + maybe a cosine —
+        # rebalance so verification keeps full parallelism (see simhash).
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    hw = Window.partitionBy("probe_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand0.join(
+            n.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ne"),
+                F.col("nrm").alias("nn"),
+                "w0",
+                "w1",
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(p), "probe_id")
+        .select(
+            "probe_id",
+            "pe",
+            "pn",
+            "neighbor_id",
+            "ne",
+            "nn",
+            F.expr("bit_count(w0 ^ pw0) + bit_count(w1 ^ pw1)")
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(hw))
+        .where(F.col("hrank") <= _BQ_RERANK_R)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "hamming",
+            _cosine_pre("pe", "ne", "pn", "nn").alias("cos_raw"),
+        )
+        .withColumn("rank_pos", F.row_number().over(rw))
+        .where(F.col("rank_pos") <= _K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "hamming",
+            rz("cos_raw", 4).alias("cosine"),
+            "rank_pos",
+        )
+    )

@@ -4081,3 +4081,66 @@ def test_events_attribution_tolerance_matches_python_recompute(spark):
     assert counts["unattributed"] >= base.get("unattributed", 0)
     assert counts["unattributed"] > 0
     assert sum(v for k, v in counts.items() if k != "unattributed") > 0
+
+
+def test_binary_bucketed_matches_numpy_recompute(spark):
+    """q_sim_binary_bucketed's kill conditions: (a) every output row
+    equals an independent numpy recompute of the full blocked path —
+    sign-bit packing, 8-bit pigeonhole buckets, candidates = share ≥1
+    whole block with the probe, Hamming ranking WITHIN candidates only
+    (vec_id tie-break), exact-cosine rerank; (b) the bucketing is
+    non-vacuous BOTH ways on the smoke corpus: at least one probe's
+    candidate set is a strict subset of the corpus (the cut is real)
+    and at least one probe has ≥ _K candidates (the ranking path runs);
+    (c) hamming is the true popcount of the sign-bit disagreement."""
+    import numpy as np
+
+    from copy_databasetables_spark.operators import all_queries
+    from copy_databasetables_spark.operators.similarity import (
+        _BQ_NBLOCKS,
+        _BQ_RERANK_R,
+        _K,
+        _vecs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = _vecs(spark, SF_SMOKE).select("vec_id", "e").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["e"] for r in rows])
+    nrm = np.linalg.norm(E, axis=1)
+    bits = E > 0
+    bw = 64 // _BQ_NBLOCKS
+    # block values as integers: bits are little-endian within a block
+    # (bit i of the packed word = dim i), matching shiftleft(1, i)
+    blocks = np.zeros((len(ids), _BQ_NBLOCKS), dtype=np.int64)
+    for b in range(_BQ_NBLOCKS):
+        for j in range(bw):
+            blocks[:, b] |= bits[:, b * bw + j].astype(np.int64) << j
+
+    expected = {}
+    strict_cut = ranked_full = False
+    for pi in np.where(ids % 50 == 0)[0]:
+        coll = (blocks == blocks[pi]).any(axis=1)
+        coll[pi] = False
+        cand_all = np.where(coll)[0]
+        if len(cand_all) < len(ids) - 1:
+            strict_cut = True
+        if len(cand_all) >= _K:
+            ranked_full = True
+        ham = (bits[cand_all] != bits[pi]).sum(axis=1)
+        cand = cand_all[np.lexsort((ids[cand_all], ham))][:_BQ_RERANK_R]
+        cos = (E[cand] @ E[pi]) / (nrm[cand] * nrm[pi])
+        rer = cand[np.lexsort((ids[cand], -cos))][:_K]
+        for rank, ni in enumerate(rer, start=1):
+            c = float(E[ni] @ E[pi] / (nrm[ni] * nrm[pi]))
+            h = int((bits[ni] != bits[pi]).sum())
+            expected[(int(ids[pi]), int(ids[ni]))] = (h, round(c, 4), rank)
+    assert strict_cut and ranked_full
+
+    out = all_queries()["q_sim_binary_bucketed"](spark, SF_SMOKE).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        h, c, rank = expected[(r["probe_id"], r["neighbor_id"])]
+        assert r["hamming"] == h, r
+        assert abs(r["cosine"] - c) <= 1.0000001e-4, r
+        assert r["rank_pos"] == rank, r

@@ -114,6 +114,9 @@ MUTATIONS = [
     # r15 hoists — verified to KILL on sf0.001 on entry:
     (analytics, "_ATTR_TOL_US", 3600 * 1000 * 1000,
      "q_events_attribution_tolerance"),
+    # r15 ops — verified to KILL on sf0.001 on entry (4×16-bit blocks
+    # collide on NOTHING at this corpus size: spark=0 vs oracle=50):
+    (similarity, "_BQ_NBLOCKS", 4, "q_sim_binary_bucketed"),
 ]
 
 
