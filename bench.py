@@ -337,6 +337,33 @@ def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
     out["bm25_persisted_query_leg_sec"] = best(
         lambda: execute(_bm25_query_leg(spark, bm25_path))
     )
+    # r15: the incremental-maintenance legs (VERDICT r14 item 4). The
+    # day-0 build is the amortized one-time cost (timed once, like the
+    # other builds); the APPLY leg is the recurring daily cost a
+    # standing deployment pays per CDC batch — idempotent by
+    # construction (re-applying replaces the delta's rows with
+    # identical content), so warm best-of-N on the same prebuilt index
+    # measures the true steady-state apply.
+    from copy_databasetables_spark.operators.similarity import (
+        _centroids,
+        _ivfpq_cdc_apply,
+        _ivfpq_cdc_base_build,
+        _ivfpq_cdc_old_corpus,
+        _pq_codebook,
+        _vecs,
+    )
+
+    vv = _vecs(spark, sf_dir)
+    old = _ivfpq_cdc_old_corpus(vv)
+    cc = _centroids(old)
+    _scb, cb_row = _pq_codebook(old)
+    t0 = _t.perf_counter()
+    cdc_path = _ivfpq_cdc_base_build(spark, old, cc, sf_dir)
+    out["ivfpq_cdc_base_build_sec"] = round(_t.perf_counter() - t0, 4)
+    _ivfpq_cdc_apply(spark, vv, cc, cb_row, cdc_path)  # warm
+    out["ivfpq_cdc_apply_leg_sec"] = best(
+        lambda: _ivfpq_cdc_apply(spark, vv, cc, cb_row, cdc_path)
+    )
     return out
 
 

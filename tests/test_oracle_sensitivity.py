@@ -117,6 +117,11 @@ MUTATIONS = [
     # r15 ops — verified to KILL on sf0.001 on entry (4×16-bit blocks
     # collide on NOTHING at this corpus size: spark=0 vs oracle=50):
     (similarity, "_BQ_NBLOCKS", 4, "q_sim_binary_bucketed"),
+    # a delta over the coarse-centroid ids violates the frozen-quantizer
+    # premise (day-0-trained centroids ≠ current corpus's) — maintained
+    # index diverges from the full-rebuild oracle on every probe
+    (similarity, "_IDX_DELTA_FILTER", "vec_id % 50 = 7",
+     "q_sim_ivf_pq_cdc"),
 ]
 
 

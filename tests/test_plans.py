@@ -1359,3 +1359,35 @@ def test_binary_bucketed_candidate_stage_is_equi_only(spark):
     # contrast pinned so the two rows can't silently converge
     pflat = plan(all_queries()["q_sim_binary_hamming"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in pflat.split("== Initial Plan ==")[0]
+
+
+def test_ivfpq_cdc_apply_read_prunes_partitions(spark):
+    """q_sim_ivf_pq_cdc's apply leg reads the base index through
+    `where(cid.isin(affected))` over the partitionBy(cid) layout — the
+    scan must carry the cid list as PartitionFilters (only delta
+    cells' files opened), and the behavioral twin
+    (test_operators.py::test_ivfpq_cdc_touches_only_affected_cells)
+    pins the write side at file level. Probed on the same layout the
+    op writes."""
+    from copy_databasetables_spark.operators.similarity import (
+        _centroids,
+        _ivfpq_cdc_base_build,
+        _ivfpq_cdc_old_corpus,
+        _vecs,
+    )
+
+    v = _vecs(spark, SF_SMOKE)
+    old = _ivfpq_cdc_old_corpus(v)
+    c = _centroids(old)
+    path = _ivfpq_cdc_base_build(spark, old, c, SF_SMOKE)
+    pruned = spark.read.parquet(f"{path}/members").where(
+        F.col("cid").cast("bigint").isin([1, 2, 3])
+    )
+    p = full_plan(pruned)
+    seen = False
+    for line in p.splitlines():
+        if "PartitionFilters" not in line:
+            continue
+        clause = line.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        seen = seen or "cid" in clause
+    assert seen, "members scan did not prune on cid"
