@@ -2234,30 +2234,55 @@ def q_emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sign convention: v₀ = 1/√d (all-positive) fixes the eigenvector's
     sign deterministically. Output: (pos, eigvec_val, eigenvalue≈‖Cv‖
     at the last round, the Rayleigh estimate for a unit v)."""
-    v, lam = _power_iterate(spark, sf_dir)
-    return v.crossJoin(lam).select(
-        "pos",
-        F.col("val").alias("eigvec_val"),
-        F.round("nrm", 6).alias("eigenvalue"),
+    v, nrm = _power_iterate(spark, sf_dir)
+    out = spark.createDataFrame(
+        [(int(p), float(v[p]), float(nrm)) for p in range(len(v))],
+        "pos int, eigvec_val double, nrm double",
+    )
+    return out.select(
+        "pos", "eigvec_val", F.round("nrm", 6).alias("eigenvalue")
     )
 
 
 def _power_iterate(spark: SparkSession, sf_dir: str):
-    """Shared power-iteration core: one-pass partial-Gram covariance,
-    then _PI_ITERS quantized matvec+renormalize rounds. Returns the
-    final unit vector ``v`` as a d-row (pos, val) frame plus the 1-row
-    ``lam`` (nrm) frame — both d-bounded, never corpus-sized. Shared
-    by q_emb_top_eigvec (readout), q_emb_remove_top_pc (per-vector
-    projection removal) and q_emb_pca2 (deflation) so the consumers
-    can never iterate differently."""
-    cov, v0 = _build_cov(spark, sf_dir)
-    return _pi_rounds(cov, v0)
+    """Shared power-iteration core: one-pass partial-Gram covariance
+    (distributed, corpus-sized), then _PI_ITERS quantized
+    matvec+renormalize rounds ON THE DRIVER (d-bounded numpy). Returns
+    the final unit vector ``v`` as a numpy float64 array plus the
+    scalar ``nrm`` (λ₁ estimate). Shared by q_emb_top_eigvec
+    (readout), q_emb_remove_top_pc[_fast] (per-vector projection
+    removal) and q_emb_pca2 (deflation) so the consumers can never
+    iterate differently.
+
+    r15 optimization (guide §1.2 step 1 — fix the distributed
+    algorithm): the iteration state is d-bounded (a d-row vector and
+    the d×d matrix), yet the previous formulation ran every round as a
+    distributed join + two aggregates + an eager localCheckpoint —
+    6 scheduled Spark jobs of microseconds of arithmetic each, pure
+    scheduling overhead at ANY corpus size (the corpus only enters the
+    one-pass Gram build). Spark MLlib's own RowMatrix does exactly
+    this split (computeGramianMatrix distributed → local breeze
+    eigensolve on the driver), which is the public-precedent shape.
+    The numpy rounds reproduce the quantized arithmetic bit-for-bit
+    (see _pi_rounds), so every consumer's oracle hash is unchanged —
+    verified against the unchanged DuckDB mirrors."""
+    C = _build_cov(spark, sf_dir)
+    return _pi_rounds(C)
 
 
 def _build_cov(spark: SparkSession, sf_dir: str):
-    """The one-pass partial-Gram covariance build plus the deterministic
-    all-positive unit start vector v₀ = 1/√d. Corpus contact: ONE
-    mapInPandas pass; everything returned is d-bounded."""
+    """The one-pass partial-Gram covariance build, collected to the
+    driver as a dense symmetric d×d numpy float64 matrix. Corpus
+    contact: ONE mapInPandas pass; the driver transfer is d(d+1)/2
+    rows — 2 080 at d=64, ~8 MB even at d=4096 — an index-build
+    constant in the q_emb_remove_top_pc_fast v₁-pull / _ivf_assign
+    centroid-pull tradition, never corpus-sized. Every cell value is
+    computed AND rounded by Spark (the same rz(…, 6) expression as
+    before) prior to the collect, so the matrix entries are
+    bit-identical to the ones the distributed r14 formulation
+    iterated on, and to the DuckDB oracle's ``cov`` CTE."""
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings").select(
         F.expr("transform(embedding, x -> cast(x as double))").alias("e")
     )
@@ -2281,71 +2306,76 @@ def _build_cov(spark: SparkSession, sf_dir: str):
         * (F.col("sx_j").cast("double") / sc / F.col("n")),
         6,
     )
-    upper = agg.select("i", "j", cval.alias("c"))
-    # mirror the strict upper triangle so the matvec sees the full matrix
-    cov = upper.unionByName(
-        upper.where(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    ).localCheckpoint()
-    d = cov.agg((F.max("i") + 1).alias("d")).collect()[0]["d"]  # bounded scalar
-    v0 = cov.select("i").distinct().select(
-        F.col("i").alias("pos"), F.lit(1.0 / (d ** 0.5)).alias("val")
-    )
-    return cov, v0
+    rows = agg.select("i", "j", cval.alias("c")).collect()
+    if not rows:
+        raise ValueError("covariance build: empty embeddings corpus")
+    d = max(r["i"] for r in rows) + 1
+    C = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        C[r["i"], r["j"]] = r["c"]
+        C[r["j"], r["i"]] = r["c"]
+    return C
 
 
-def _pi_rounds(cov: DataFrame, v0: DataFrame, iters: int | None = None):
-    """``iters`` quantized matvec+renormalize rounds over a (i, j, c)
-    matrix frame from a (pos, val) start vector — the exact loop body
-    q_emb_top_eigvec verified, factored so q_emb_pca2 can run it a
-    second time on the DEFLATED matrix. Every reduction quantizes
-    per-term to int64; the vector re-quantizes to 10⁻⁹ per round.
+def _v0(d: int):
+    """The deterministic all-positive unit start vector v₀ = 1/√d —
+    the identical Python expression the r14 frame version embedded via
+    F.lit(1.0 / (d ** 0.5))."""
+    import numpy as np
+
+    return np.full(d, 1.0 / (d ** 0.5), dtype=np.float64)
+
+
+def _pi_rounds(C, iters: int | None = None):
+    """``iters`` quantized matvec+renormalize rounds over a dense d×d
+    numpy matrix from v₀ — the exact loop body q_emb_top_eigvec
+    verified, now evaluated on the driver (r15; d-bounded work needs
+    no cluster). Arithmetic is REPRODUCED OPERATION-FOR-OPERATION from
+    the r14 distributed plan, so the result is bit-identical:
+
+    - matvec term: floor((c·val)·10¹² + 0.5) — the identical
+      left-associated IEEE product chain; int64 term values (≤ ~10¹²
+      per term, d-term sums ≪ 2⁶³) sum EXACTLY, so neither numpy's
+      batching nor Spark's partition order can move a bit;
+    - norm: sqrt(Σ floor((w·w)·10¹² + 0.5) / 10¹²) — math.sqrt is the
+      same correctly-rounded IEEE sqrt as Spark's Math.sqrt and
+      DuckDB's sqrt;
+    - renormalize: floor((w/nrm)·10⁹ + 0.5)/10⁹ — one identical IEEE
+      division/multiply chain per component.
+
     ``iters`` resolves the module-level _PI_ITERS at CALL time (not a
     def-time default) so the oracle-sensitivity mutation pin still
     binds the constant."""
+    import numpy as np
+
     if iters is None:
         iters = _PI_ITERS
-    v = v0
+    v = _v0(C.shape[0])
     nrm = None
     for _ in range(iters):
         w = (
-            cov.join(v, cov["j"] == v["pos"])
-            .groupBy(cov["i"].alias("pos"))
-            .agg(
-                (
-                    F.sum(
-                        F.floor(
-                            F.col("c") * F.col("val") * _PI_SCALE + F.lit(0.5)
-                        ).cast("bigint")
-                    ).cast("double")
-                    / _PI_SCALE
-                ).alias("w")
-            )
+            np.floor(C * v[None, :] * _PI_SCALE + 0.5)
+            .astype(np.int64)
+            .sum(axis=1)
+            .astype(np.float64)
+            / _PI_SCALE
         )
-        nrm = F.broadcast(
-            w.agg(
-                F.sqrt(
-                    F.sum(
-                        F.floor(
-                            F.col("w") * F.col("w") * _PI_SCALE + F.lit(0.5)
-                        ).cast("bigint")
-                    ).cast("double")
-                    / _PI_SCALE
-                ).alias("nrm")
-            )
+        nrm = math.sqrt(
+            float(np.floor(w * w * _PI_SCALE + 0.5).astype(np.int64).sum())
+            / _PI_SCALE
         )
-        v = w.crossJoin(nrm).select(
-            "pos",
-            (
-                F.floor(
-                    F.col("w") / F.col("nrm") * _COV_SCALE + F.lit(0.5)
-                ).cast("double")
-                / _COV_SCALE
-            ).alias("val"),
-        ).localCheckpoint()
-        lam = nrm
-    return v, lam
+        v = np.floor(w / nrm * _COV_SCALE + 0.5) / _COV_SCALE
+    return v, nrm
+
+
+def _np_array_row(spark: SparkSession, arr, name: str) -> DataFrame:
+    """ONE-row DataFrame [``name``: array<double>] holding a driver-side
+    numpy vector — the broadcastable shape the per-vector projection
+    legs fold against in-row (the q_emb_whitening broadcast-mean
+    discipline). Python floats transfer bit-exactly."""
+    return spark.createDataFrame(
+        [([float(x) for x in arr],)], f"{name} array<double>"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3101,10 +3131,10 @@ def q_emb_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the one-pass partial-Gram build (mapInPandas partials, d²-row
     shuffle) and once by the per-vector transform, which computes
     INSIDE each row via zip_with/aggregate over v₁ broadcast as ONE
-    d-element array row (array_sort(collect_list) over the d-row
-    eigvec frame — the q_emb_whitening broadcast-mean discipline; no
-    vec_id shuffle, no repartition, no driver round-trip). The
-    iteration itself is d-bounded and corpus-free.
+    d-element array row (the q_emb_whitening broadcast-mean
+    discipline; no vec_id shuffle, no repartition). The iteration
+    itself is d-bounded, corpus-free, and runs on the driver (r15 —
+    see _power_iterate).
 
     Determinism: v₁ is bit-identical across engines (the power
     iteration quantizes every reduction per-term to int64 and
@@ -3115,9 +3145,7 @@ def q_emb_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize per-term at 10⁻¹² (the q_emb_whitening constants).
     pc1_proj can round to a tiny negative → rz()."""
     v_eig, _ = _power_iterate(spark, sf_dir)
-    v_row = v_eig.agg(
-        F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("vs")
-    ).select(F.expr("transform(vs, s -> s.val)").alias("v_arr"))
+    v_row = _np_array_row(spark, v_eig, "v_arr")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
@@ -3180,20 +3208,12 @@ def q_emb_remove_top_pc_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulps, so no SQL mirror can hash-match — the driver records the
     rows-only check, and the value-level contract is pinned by a
     pytest tolerance cross-check against the exact twin (every field
-    within 2e-6). v₁ arrives via a d-bounded driver pull (64 rows —
-    the BLAS-probe-cap discipline) and ships to executors in the
-    UDF closure, exactly how a production job would broadcast a
-    constant index artifact."""
+    within 2e-6). v₁ is the driver-side numpy eigenvector (r15 —
+    _power_iterate) and ships to executors in the UDF closure, exactly
+    how a production job would broadcast a constant index artifact."""
     import numpy as np
 
-    v_eig, _ = _power_iterate(spark, sf_dir)
-    v1 = np.array(
-        [
-            r["val"]
-            for r in sorted(v_eig.collect(), key=lambda r: r["pos"])
-        ],
-        dtype=np.float64,
-    )
+    v1, _ = _power_iterate(spark, sf_dir)  # numpy float64, pos order
 
     def _leg(batches):
         import pandas as pd
@@ -3306,46 +3326,29 @@ def q_emb_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_pi_rounds`` on the Spark side). Projections are exact int64
     sums of floor(x·v·10¹²) terms; rounded through rz() (either
     coordinate can be a tiny negative)."""
-    cov, v0 = _build_cov(spark, sf_dir)
-    v1, lam1 = _pi_rounds(cov, v0)
-    vi = v1.select(F.col("pos").alias("i"), F.col("val").alias("vi"))
-    vj = v1.select(F.col("pos").alias("j"), F.col("val").alias("vj"))
-    cov2 = (
-        cov.join(F.broadcast(vi), "i")
-        .join(F.broadcast(vj), "j")
-        .crossJoin(lam1)
-        .select(
-            "i",
-            "j",
-            (
-                F.col("c") - F.col("nrm") * F.col("vi") * F.col("vj")
-            ).alias("c"),
-        )
-        .localCheckpoint()
-    )
-    v2, _ = _pi_rounds(cov2, v0)
+    import numpy as np
+
+    C = _build_cov(spark, sf_dir)
+    v1, nrm1 = _pi_rounds(C)
+    # rank-1 deflation, cell-wise c − ((nrm·vᵢ)·vⱼ): np.outer(nrm1·v1, v1)
+    # is exactly that left-associated IEEE product chain per cell —
+    # the identical expression the r14 frame plan (and the oracle's
+    # cov2 CTE) evaluates on bit-identical operands.
+    C2 = C - np.outer(nrm1 * v1, v1)
+    v2, _ = _pi_rounds(C2)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
     )
     return (
-        emb.crossJoin(F.broadcast(_eig_as_array(v1, "v1_arr")))
-        .crossJoin(F.broadcast(_eig_as_array(v2, "v2_arr")))
+        emb.crossJoin(F.broadcast(_np_array_row(spark, v1, "v1_arr")))
+        .crossJoin(F.broadcast(_np_array_row(spark, v2, "v2_arr")))
         .select(
             "vec_id",
             rz(_qdot_expr("e", "v1_arr"), 6).alias("pc1"),
             rz(_qdot_expr("e", "v2_arr"), 6).alias("pc2"),
         )
     )
-
-
-def _eig_as_array(vdf: DataFrame, name: str) -> DataFrame:
-    """Collapse a d-row (pos, val) eigvec frame to ONE array row (pos
-    order) — the broadcastable shape the per-vector projection legs
-    fold against in-row. Shared by q_emb_pca2 / q_emb_pca_k."""
-    return vdf.agg(
-        F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("s")
-    ).select(F.expr("transform(s, t -> t.val)").alias(name))
 
 
 def _qdot_expr(earr: str, varr: str) -> Column:
@@ -3466,78 +3469,58 @@ def _pca_k_oracle() -> str:
     )
 
 
-def _block_pi_cols(
-    cov: DataFrame, v0: DataFrame, k: int | None = None,
-    iters: int | None = None,
-) -> list[DataFrame]:
-    """BLOCK power iteration: ``iters`` rounds over a (i, j, c) matrix
-    frame, iterating ``k`` columns JOINTLY — one matvec join per round
-    for the whole (pos, bc, val) block, then Gram-Schmidt in ascending
-    column order (quantized dots, single-IEEE subtractions, quantized
-    norms — _pi_rounds' exact discipline), with ONE localCheckpoint
-    per ROUND on the unioned block. That per-round (not per-chain)
-    materialization is the point: pca2's serial deflation pays
-    k·iters scheduling rounds, this pays ``iters`` — k components at
-    ~one chain's wall-clock, every frame still d-bounded (≤ d·k
-    rows). Column 0 never has projections subtracted, so its rounds
-    are arithmetic-identical to _pi_rounds from the same v₀ — pinning
+def _block_pi_cols(C, k: int | None = None, iters: int | None = None):
+    """BLOCK power iteration over a dense d×d numpy matrix, iterating
+    ``k`` columns JOINTLY — per round one matvec for the whole block,
+    then Gram-Schmidt in ascending column order (quantized dots,
+    single-IEEE subtractions, quantized norms — _pi_rounds' exact
+    discipline). Returns k numpy float64 eigvec arrays (pos order).
+
+    r15: evaluated on the DRIVER (guide §1.2 step 1 — the state is a
+    d·k block and the matrix is the d²-bounded collected covariance;
+    the r14 distributed form paid one scheduled Spark job per round
+    for microseconds of arithmetic). The arithmetic is byte-copied
+    from the r14 `_gs_rows` mapInPandas body (which already ran these
+    exact numpy expressions, just inside one executor task), so every
+    emitted block is bit-identical and the generated oracle's
+    CTE-for-CTE mirror is untouched:
+
+    - matvec term: floor((c·val)·10¹² + 0.5), int64-exact sums;
+    - GS dot: floor((w·v_b)·10¹² + 0.5) int64 sums / 10¹²; update
+      ``w − dot·v_b`` in ascending b order;
+    - norm via ``(Σ floor((w·w)·10¹²+0.5)/10¹²) ** 0.5`` (the
+      `_gs_rows` expression, oracle-verified); collapsed columns
+      still fail loudly (ADVICE r13);
+    - renormalize floor((w/nrm)·10⁹ + 0.5)/10⁹.
+
+    Column 0 never has projections subtracted, so its rounds are
+    arithmetic-identical to _pi_rounds from the same v₀ — pinning
     pc1 ≡ q_emb_pca2.pc1 bit-for-bit. Start block: v₀ = 1/√d in
     column 0 plus unnormalized pos-residue-class indicators (pos ≡ c
     mod k) — deterministic, linearly independent, normalized away by
     the first round. ``k``/``iters`` resolve module globals at CALL
     time (not def-time defaults) so mutation pins still bind."""
+    import numpy as np
+
     if k is None:
         k = _PCA_K
     if iters is None:
         iters = _PI_ITERS
-
-    def _quantsum(expr: Column) -> Column:
-        return (
-            F.sum(
-                F.floor(expr * _PI_SCALE + F.lit(0.5)).cast("bigint")
-            ).cast("double")
-            / _PI_SCALE
-        )
-
-    pos = v0.select("pos")
-    blocks = [v0.select("pos", F.lit(0).alias("bc"), "val")]
+    d = C.shape[0]
+    cols = [_v0(d)]
     for c in range(1, k):
-        blocks.append(
-            pos.select(
-                "pos",
-                F.lit(c).alias("bc"),
-                F.when(F.col("pos") % k == c, 1.0).otherwise(0.0).alias("val"),
-            )
-        )
-    block = blocks[0]
-    for b in blocks[1:]:
-        block = block.unionByName(b)
-    def _gs_rows(batches):
-        """One round of Gram-Schmidt over the whole (pos, bc, w) block
-        — a single d·k-row frame transform. Arithmetic mirrors the
-        oracle CTE-for-CTE: quantized dots (per-term floor(x·10¹²+½)
-        int64 sums — exact for any summation order), single-IEEE
-        ``w − dot·v_b`` subtractions in ascending b order, quantized
-        norm, 10⁻⁹ re-quantized normalize. numpy float64 ops are the
-        same left-associated IEEE expressions both engines evaluate,
-        and int64 partial sums are associative, so the emitted block
-        is bit-identical to the per-column frame formulation this
-        replaces (which spent ~90 tiny scheduler jobs per gate on
-        broadcast-of-aggregate evaluation roots; this is one task)."""
-        import numpy as np
-        import pandas as pd
-
-        chunks = [b for b in batches if len(b)]
-        if not chunks:
-            return
-        df = pd.concat(chunks, ignore_index=True)
+        cols.append((np.arange(d) % k == c).astype(np.float64))
+    for _ in range(iters):
         finals: dict[int, object] = {}
-        out = []
-        for c in sorted(df["bc"].unique()):
-            sub = df[df["bc"] == c].sort_values("pos")
-            pos_arr = sub["pos"].to_numpy()
-            w = sub["w"].to_numpy(dtype=np.float64)
-            for b in range(int(c)):
+        for c in range(k):
+            w = (
+                np.floor(C * cols[c][None, :] * _PI_SCALE + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+                / _PI_SCALE
+            )
+            for b in range(c):
                 vb = finals[b]
                 dot = (
                     float(
@@ -3556,51 +3539,28 @@ def _block_pi_cols(
             ) ** 0.5
             if not nrm > 0.0:
                 # a collapsed GS column would otherwise normalize to
-                # NaN/Inf that propagates into the checkpointed block
-                # and surfaces only as an opaque oracle hash mismatch
-                # (ADVICE r13) — fail loudly at the round that did it.
+                # NaN/Inf that propagates into the block and surfaces
+                # only as an opaque oracle hash mismatch (ADVICE r13)
+                # — fail loudly at the round that did it.
                 raise ValueError(
-                    f"Gram-Schmidt column {int(c)} collapsed (norm 0) — "
+                    f"Gram-Schmidt column {c} collapsed (norm 0) — "
                     "block columns are no longer independent"
                 )
-            val = np.floor(w / nrm * _COV_SCALE + 0.5) / _COV_SCALE
-            finals[int(c)] = val
-            out.append(
-                pd.DataFrame({"pos": pos_arr, "bc": int(c), "val": val})
-            )
-        yield pd.concat(out, ignore_index=True)
-
-    for _ in range(iters):
-        mat = cov.alias("m")
-        vec = block.alias("v")
-        w_all = (
-            mat.join(vec, F.col("m.j") == F.col("v.pos"))
-            .groupBy(F.col("m.i").alias("pos"), F.col("v.bc").alias("bc"))
-            .agg(_quantsum(F.col("m.c") * F.col("v.val")).alias("w"))
-        )
-        # one checkpoint per ROUND — matvec + whole-block GS in one
-        # lineage — is the sub-k× scheduling win over serial deflation
-        block = (
-            w_all.coalesce(1)
-            .mapInPandas(_gs_rows, schema="pos int, bc int, val double")
-            .localCheckpoint()
-        )
-    return [
-        block.where(F.col("bc") == c).select("pos", "val") for c in range(k)
-    ]
+            finals[c] = np.floor(w / nrm * _COV_SCALE + 0.5) / _COV_SCALE
+        cols = [finals[c] for c in range(k)]
+    return cols
 
 
 @register("q_emb_pca_k", oracle=_pca_k_oracle())
 def q_emb_pca_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-component PCA coordinates per vector (k = _PCA_K = 4) via
     BLOCK power iteration — the generalization VERDICT r12 item 4
-    asked for: q_emb_pca2's serial Hotelling deflation pays k·iters
-    scheduling rounds (~1.5 s/round locally — pca2's 3 s IS that
-    floor ×2 chains), while the block method pays ``iters`` rounds
-    regardless of k: one joint matvec for all k columns, per-round
-    Gram-Schmidt orthonormalization, one checkpoint per round. Output
-    (vec_id, pc1..pc{{k}}): the k-D corpus map behind drift dashboards
-    and cluster scatter, at ~one chain's wall-clock.
+    asked for: one joint matvec for all k columns per round plus
+    per-round Gram-Schmidt orthonormalization — and since r15 the
+    whole d·k-bounded iteration runs on the driver (_block_pi_cols),
+    so k components cost zero scheduled rounds beyond the shared
+    one-pass Gram build. Output (vec_id, pc1..pc{{k}}): the k-D corpus
+    map behind drift dashboards and cluster scatter.
 
     Scale shape (100 TB): the corpus is touched exactly twice — the
     shared one-pass partial-Gram build (d²-bounded shuffle) and the
@@ -3621,15 +3581,17 @@ def q_emb_pca_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance, not bit-exactly — the k=2 cross-check pins sign-aligned
     agreement. GS column order ascending; start block: v₀ plus pos ≡ c
     (mod k) indicator columns — deterministic and mirrored."""
-    cov, v0 = _build_cov(spark, sf_dir)
-    cols = _block_pi_cols(cov, v0)
+    C = _build_cov(spark, sf_dir)
+    cols = _block_pi_cols(C)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
     )
     out = emb
-    for c, vdf in enumerate(cols):
-        out = out.crossJoin(F.broadcast(_eig_as_array(vdf, f"v{c}_arr")))
+    for c, vec in enumerate(cols):
+        out = out.crossJoin(
+            F.broadcast(_np_array_row(spark, vec, f"v{c}_arr"))
+        )
     return out.select(
         "vec_id",
         *[

@@ -2933,12 +2933,12 @@ def test_pca_k_first_col_is_chain1_and_block_is_orthonormal(spark):
     )
     from tests.conftest import SF_SMOKE
 
-    cov, v0 = _build_cov(spark, SF_SMOKE)
-    chain1, _ = _pi_rounds(cov, v0)
-    cols = _block_pi_cols(cov, v0, k=2)
-    got0 = {r["pos"]: r["val"] for r in cols[0].collect()}
-    want = {r["pos"]: r["val"] for r in chain1.collect()}
-    assert got0 == want  # (a) bit-identical, not approximately
+    C = _build_cov(spark, SF_SMOKE)
+    chain1, _ = _pi_rounds(C)
+    cols = _block_pi_cols(C, k=2)
+    # (a) bit-identical, not approximately (r15: both are driver-side
+    # numpy arrays in pos order — exact elementwise equality)
+    assert list(cols[0]) == list(chain1)
 
     qs = all_queries()
     pca2 = {r["vec_id"]: r["pc1"] for r in qs["q_emb_pca2"](spark, SF_SMOKE).collect()}
@@ -2947,11 +2947,7 @@ def test_pca_k_first_col_is_chain1_and_block_is_orthonormal(spark):
     for vid, r in pk.items():
         assert r["pc1"] == pca2[vid], (vid, r["pc1"], pca2[vid])  # (b)
 
-    full = _block_pi_cols(cov, v0)  # k = _PCA_K
-    vecs = []
-    for cdf in full:
-        v = [r["val"] for r in sorted(cdf.collect(), key=lambda r: r["pos"])]
-        vecs.append(v)
+    vecs = [list(v) for v in _block_pi_cols(C)]  # k = _PCA_K
     assert len(vecs) == _PCA_K
     for a in range(len(vecs)):
         for b in range(a, len(vecs)):
