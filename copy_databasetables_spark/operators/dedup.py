@@ -394,33 +394,58 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> {_H.format(x=span_str)}) "
         "else array() end"
     )
-    d = (
+    # r15 (guide §2.3 "aggregate before you shuffle" + §7.2 duplicated
+    # subtrees): the r14 shape referenced the md5-span projection from
+    # THREE branches (n_spans, dup detection, per-doc count), and filter
+    # pushdown inlined the whole transform into two more Filter nodes —
+    # the plan evaluated the corpus-dominant span-hash expression ~5×
+    # per document. Now the corpus expression is evaluated exactly ONCE,
+    # in a single linear chain: explode → partial-aggregated groupBy
+    # (h, doc_id) → count() window over h (nd = in how many distinct
+    # docs the span appears — one row per (h, doc_id), so a plain row
+    # count IS the distinct-doc count) → one per-doc aggregate that
+    # folds both outputs (n_spans = Σ multiplicity ≡ size(spans);
+    # n_dup = Σ multiplicity where nd > 1). Span-less docs are restored
+    # by a doc_id-only left join (no text touched on that branch).
+    # Results bit-identical: same integers, same 4dp rounding — the
+    # conditional Σ over nd>1 rows equals the old equi-join against the
+    # nd>1 hash set.
+    from pyspark.sql.window import Window
+
+    span_counts = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
-        .select("doc_id", F.expr(spans_expr).alias("spans"))
+        .select("doc_id", F.explode(F.expr(spans_expr)).alias("h"))
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    ex = d.select("doc_id", F.explode("spans").alias("h"))
-    dup = (
-        ex.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("h")
-    )
-    perdoc = ex.join(dup, "h").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup")
+    perdoc = (
+        span_counts.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans_nz"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup"
+            ),
+        )
     )
     return (
-        d.select("doc_id", F.size("spans").alias("n_spans"))
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
         .join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_spans_nz"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
             F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
             F.when(
-                F.col("n_spans") > 0,
+                F.coalesce(F.col("n_spans_nz"), F.lit(0)) > 0,
                 F.round(
                     F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
-                    / F.col("n_spans"),
+                    / F.col("n_spans_nz"),
                     4,
                 ),
             )
@@ -533,47 +558,72 @@ def q_dedup_substring_minimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "then named_struct('p', p, 'v', element_at(sp, p)) else acc end"
         ").p)) else array() end"
     )
-    sel_struct = (
+    # Selected hashes as a flat array (the struct wrapper died in r15:
+    # n_sel re-derives as Σ multiplicity downstream, so only the hash
+    # list is needed). The expression is exploded DIRECTLY — not via a
+    # named intermediate column — because InferFiltersFromGenerate only
+    # fires on attribute-child explodes; with an attribute, the inferred
+    # size()>0 filter later collapses into a SECOND full evaluation of
+    # the winnowing expression below the exchange (measured: 2 md5
+    # subtrees in the plan and ~1.7× the runtime).
+    sel_arr = (
         f"element_at(transform(array({spans_expr}), sp -> "
         f"element_at(transform(array({sel_pos}), ps -> "
-        "named_struct('n_sel', size(ps), "
-        "'selh', transform(ps, p -> element_at(sp, p)))"
+        "transform(ps, p -> element_at(sp, p))"
         "), 1)), 1)"
     )
-    d = (
+    # r15 (guide §2.3/§7.2, same rewrite as q_dedup_substring): the r14
+    # tail referenced `d` (whose sel_struct projection is the corpus-
+    # dominant cost: md5 spans + winnowing lambdas) from THREE branches
+    # (dup-detect, per-doc dup count, n_sel output), so the selection
+    # expression executed 3×. Now ONE linear chain evaluates it once:
+    # explode selected hashes → partial-aggregated groupBy (h, doc_id)
+    # → count() window over h (rows per h ≡ distinct docs per h, one
+    # row per pair) → one per-doc fold (n_sel = Σ multiplicity ≡
+    # size(selh); n_dup = Σ multiplicity where nd > 1); sel-less docs
+    # restored by a doc_id-only left join (no text on that branch).
+    # Bit-identical: same integers, same 4dp rounding. The Window sits
+    # AFTER selection, on the ~2m/(w+1) selected-hash aggregate — the
+    # in-row selection contract (no per-(doc, window) exchange) is
+    # untouched and still pinned in test_plans.py.
+    from pyspark.sql.window import Window
+
+    sel_counts = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
-        .select("doc_id", F.expr(sel_struct).alias("s"))
-        .select(
-            "doc_id",
-            F.col("s.n_sel").alias("n_sel"),
-            F.col("s.selh").alias("selh"),
+        .select("doc_id", F.explode(F.expr(sel_arr)).alias("h"))
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    perdoc = (
+        sel_counts.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_sel_nz"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup"
+            ),
         )
     )
-    ex = d.select("doc_id", F.explode("selh").alias("h"))
-    dup = (
-        ex.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("h")
-    )
-    perdoc = ex.join(dup, "h").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup")
-    )
     return (
-        d.select("doc_id", "n_sel")
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
         .join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_sel").cast("bigint").alias("n_sel"),
+            F.coalesce(F.col("n_sel_nz"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sel"),
             F.coalesce(F.col("n_dup"), F.lit(0))
             .cast("bigint")
             .alias("n_dup_sel"),
             F.when(
-                F.col("n_sel") > 0,
+                F.coalesce(F.col("n_sel_nz"), F.lit(0)) > 0,
                 F.round(
                     F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
-                    / F.col("n_sel"),
+                    / F.col("n_sel_nz"),
                     4,
                 ),
             )
