@@ -205,8 +205,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw strings, so the differential gate itself verifies
     collision-freeness on the corpus. |A| / |B| stay sizes of the
     STRING token sets."""
-    t = _toks_df(spark, sf_dir).withColumn(
-        "toki", F.expr("transform(toks, t -> xxhash64(t))")
+    # r15: both sides of the blocked self-join evaluated the
+    # tokenize+xxhash64 projection — materialize once (the same
+    # intra-query localCheckpoint the containment op pins).
+    t = (
+        _toks_df(spark, sf_dir)
+        .withColumn("toki", F.expr("transform(toks, t -> xxhash64(t))"))
+        .select("doc_id", "lang", "sz", "toki")
+        .localCheckpoint(eager=False)
     )
     return _exact_tau_pairs(t, "toki")
 
@@ -302,6 +308,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
         .select("doc_id", "lang", F.expr(grams_hashed).alias("grams"))
         .withColumn("gsz", F.size("grams"))
+        # r15: both self-join sides evaluated the bigram-md5 projection
+        # — materialize once (see q_dedup_containment's t).
+        .localCheckpoint(eager=False)
     )
     a = d.select(
         F.col("doc_id").alias("doc_id_a"),
@@ -694,6 +703,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", F.expr(_SIMHASH).alias("simhash"))
+        # r15: the 16-bit SimHash fold (an O(tokens·16) aggregate) fed
+        # FOUR branches (pigeonhole self-join both sides + both verify
+        # fingerprint joins) — materialize once.
+        .localCheckpoint(eager=False)
     )
     blocks = fp.select(
         "doc_id",
@@ -909,9 +922,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant verify cost. Results are provably unchanged: every pruned
     pair would have failed the τ filter anyway, and the oracle carries
     the identical band."""
-    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    # r15 (guide §1.2 step 1 / §8 "fingerprints only" pattern): the
+    # four consumers of the tokenized corpus (LSH self-join a-side,
+    # b-side, verify a-side, verify b-side) each re-evaluated the
+    # corpus-dominant tokenize+md5 chain, and the banded self-join
+    # additionally evaluated the 16-hash minhash signature per side.
+    # Materialize the token-hash frame ONCE (lazy localCheckpoint —
+    # the same intra-query materialization the CC loop and PageRank
+    # already use; recomputed from parquet on every invocation) and the
+    # banded bucket keys ONCE (doc-id×4 small rows, no arrays), so
+    # tokenize+md5 runs 1× and the signature 1×. At 100 TB this is the
+    # guide §8 trade made explicit: store the fingerprint table once
+    # (MEMORY_AND_DISK, spills) instead of recomputing the corpus
+    # tokenization four times through four parquet scans.
+    toks = (
+        _toks_df(spark, sf_dir)
+        .withColumn("tokh", F.expr(_TOKH))
+        .select("doc_id", "lang", "sz", "tokh")
+        .localCheckpoint(eager=False)
+    )
     sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
-    cand = _band_candidates(spark, _band_keyed(sigs))
+    keyed = _band_keyed(sigs).localCheckpoint(eager=False)
+    cand = _band_candidates(spark, keyed)
     return _verify_jaccard(cand, toks)
 
 
@@ -1470,7 +1502,14 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     task."""
     from pyspark.sql.window import Window
 
-    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    # r15: same single-materialization shape as q_dedup_minhash — the
+    # token-hash frame and the (capped) banded keys each compute once.
+    toks = (
+        _toks_df(spark, sf_dir)
+        .withColumn("tokh", F.expr(_TOKH))
+        .select("doc_id", "lang", "sz", "tokh")
+        .localCheckpoint(eager=False)
+    )
     sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
     bw = Window.partitionBy("lang", "band", "bucket")
     kept = (
@@ -1478,6 +1517,7 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket_n", F.count(F.lit(1)).over(bw))
         .where(F.col("bucket_n") <= _BUCKET_CAP)
         .drop("bucket_n")
+        .localCheckpoint(eager=False)
     )
     cand = _band_candidates(spark, kept)
     return _verify_jaccard(cand, toks)
@@ -1865,9 +1905,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     no broadcast — same discipline as q_dedup_near), and the final
     attribution is a left join so 'new' documents are present in the
     output with NULL match columns."""
-    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    # r15: same single-materialization shape as q_dedup_minhash — the
+    # token-hash frame and the banded keys each compute once (the
+    # batch/index split consumes `keyed` twice, verify `toks` twice).
+    toks = (
+        _toks_df(spark, sf_dir)
+        .withColumn("tokh", F.expr(_TOKH))
+        .select("doc_id", "lang", "sz", "tokh")
+        .localCheckpoint(eager=False)
+    )
     sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
-    keyed = _band_keyed(sigs)
+    keyed = _band_keyed(sigs).localCheckpoint(eager=False)
     is_batch = F.expr(_BATCH_PRED)
     kb = keyed.where(is_batch).select(
         F.col("doc_id").alias("batch_id"), "lang", "band", "bucket",
@@ -2047,11 +2095,20 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit's cost is the sample's n², never the corpus's. The three
     counts reduce to one-row frames that broadcast-fan-out, so the
     final assembly adds no corpus-sized shuffle."""
-    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    # r15: same single-materialization shape as q_dedup_minhash, and
+    # here it pays 6×→1×: the tokenize+md5 chain fed the LSH self-join
+    # (2 sides), the verify joins (2 sides) AND the quadratic
+    # ground-truth self-join (2 sides).
+    toks = (
+        _toks_df(spark, sf_dir)
+        .withColumn("tokh", F.expr(_TOKH))
+        .select("doc_id", "lang", "sz", "tokh")
+        .localCheckpoint(eager=False)
+    )
     sigs = toks.select(
         "doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig")
     )
-    cand = _band_candidates(spark, _band_keyed(sigs))
+    cand = _band_candidates(spark, _band_keyed(sigs).localCheckpoint(eager=False))
     verified = _verify_jaccard(cand, toks)
     # the shared ground-truth definition, over the SAME md5 hash family
     # the verify stage uses — verified ⊆ true holds exactly.
