@@ -1167,27 +1167,25 @@ def _pq_codebook(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sub_cb, cb_row
 
 
-def _pq_encode(vdf: DataFrame, cb_row: DataFrame) -> DataFrame:
-    """ENCODE-ONLY half of the PQ build (r15 split of _pq_parts, code
-    and arithmetic unchanged): encode any (vec_id, e) frame against a
-    FROZEN codebook row — the production shape, where the codebook is
-    trained once at index build and every later corpus slice (the full
-    build, a CDC delta, a backfill) encodes against it. Cost is
-    O(|vdf|·M·K) map-side with zero shuffles, so a delta encodes in
-    time proportional to the delta, never the corpus
-    (q_sim_ivf_pq_cdc's contract)."""
+def _pq_enc_expr() -> str:
+    """The in-row PQ encode expression — per vector, the array of
+    ``(m, code_id)`` structs in subspace order, arg-min'd against the
+    broadcast ``cb_arr`` codebook row. Single-sourced (r15) so the
+    exploded-artifact encode (``_pq_encode``) and the in-row
+    encode+decode (``_pq_index``) can never diverge arithmetically.
+
+    d2 is bound ONCE per candidate by materializing (code_id, d2)
+    structs in a transform before the fold (ADVICE r13: the previous
+    formulation evaluated d2_of twice per candidate — once in the CASE
+    predicate, once in the kept struct — doubling the dominant
+    per-vector arithmetic of the corpus-sized encode leg). Same
+    arithmetic, same first-min-in-sorted-order tie-break, bit-identical
+    codes; the fold compares precomputed doubles only."""
     d2_of = (
         f"aggregate(zip_with(slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB}), c.cw, "
         "(x, w) -> (x - w) * (x - w)), cast(0.0 as double), (a, t) -> a + t)"
     )
-    # d2 is bound ONCE per candidate by materializing (code_id, d2)
-    # structs in a transform before the fold (ADVICE r13: the previous
-    # formulation evaluated d2_of twice per candidate — once in the CASE
-    # predicate, once in the kept struct — doubling the dominant
-    # per-vector arithmetic of the corpus-sized encode leg). Same
-    # arithmetic, same first-min-in-sorted-order tie-break, bit-identical
-    # codes; the fold now compares precomputed doubles only.
-    enc_expr = (
+    return (
         f"transform(sequence(0, {_PQ_M - 1}), m -> named_struct("
         "'m', m, "
         "'code_id', aggregate("
@@ -1197,9 +1195,20 @@ def _pq_encode(vdf: DataFrame, cb_row: DataFrame) -> DataFrame:
         "(acc, c) -> case when c.d < acc.d then c else acc end"
         ").id))"
     )
+
+
+def _pq_encode(vdf: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """ENCODE-ONLY half of the PQ build (r15 split of _pq_parts, code
+    and arithmetic unchanged): encode any (vec_id, e) frame against a
+    FROZEN codebook row — the production shape, where the codebook is
+    trained once at index build and every later corpus slice (the full
+    build, a CDC delta, a backfill) encodes against it. Cost is
+    O(|vdf|·M·K) map-side with zero shuffles, so a delta encodes in
+    time proportional to the delta, never the corpus
+    (q_sim_ivf_pq_cdc's contract)."""
     return (
         vdf.crossJoin(F.broadcast(cb_row))
-        .select("vec_id", F.explode(F.expr(enc_expr)).alias("mc"))
+        .select("vec_id", F.explode(F.expr(_pq_enc_expr())).alias("mc"))
         .select(
             "vec_id",
             F.col("mc.m").alias("m"),
@@ -1241,13 +1250,47 @@ def _pq_decode(codes: DataFrame, sub_cb: DataFrame) -> DataFrame:
 
 
 def _pq_index(v: DataFrame) -> DataFrame:
-    """The PQ index side shared by q_sim_pq and q_sim_pq_rerank: encode
-    every vector (bounded codebook broadcast + per-(vec, subspace)
-    window argmin), decode to the reconstruction, precompute its norm.
-    At 100 TB this runs once at index build and persists 8-byte codes
+    """The PQ index side shared by q_sim_pq / q_sim_pq_rerank /
+    q_sim_ivf_pq / _multiprobe: encode every vector and decode it to
+    the reconstruction ``(vec_id, d, nrm)``.
+
+    r15 (guide §2.4 remove shuffles outright): encode AND decode now
+    happen inside the vector's own row. The previous shape exploded the
+    in-row codes to (vec_id, m, code_id) rows, broadcast-joined the
+    codebook back, and re-grouped by vec_id (collect_list) — a corpus×M
+    exchange that existed only to look up codewords the encoding row
+    already had in its broadcast ``cb_arr``. The decode lookup is O(1)
+    per subspace: ``cb_arr`` is array_sort'ed by (m, code_id) and
+    code_id is DENSE 0..k-1 per m by construction (enumerate over the
+    collected codebook ids, every codebook vector contributes exactly
+    one codeword per m), so codeword (m, code_id) lives at index
+    m·(size/M) + code_id. Values bit-identical: same argmins
+    (_pq_enc_expr single-sources the arithmetic), same m-order
+    concatenation the array_sort(collect_list) decode produced, same
+    zero-norm drop. The exploded artifact path (_pq_encode/_pq_decode)
+    is unchanged — it IS the production storage format; this in-row
+    twin is the in-plan composition, where materializing (vec, m) rows
+    through an exchange bought nothing.
+
+    At 100 TB this deletes the only corpus-sized exchange in the
+    in-plan PQ legs; runs once at index build and persists 8-byte codes
     (q_sim_ivf_pq_persisted is that split executed)."""
-    sub_cb, codes = _pq_parts(v)
-    return _pq_decode(codes, sub_cb)
+    _, cb_row = _pq_codebook(v)
+    dec_expr = (
+        f"flatten(transform({_pq_enc_expr()}, s -> "
+        f"element_at(cb_arr, cast(s.m * (size(cb_arr) div {_PQ_M}) "
+        "+ s.code_id + 1 as int)).cw))"
+    )
+    return (
+        v.select("vec_id", "e")
+        .crossJoin(F.broadcast(cb_row))
+        .select("vec_id", F.expr(dec_expr).alias("d"))
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate(F.col("d"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .where(F.col("nrm") > 0.0)
+    )
 
 
 @register(
