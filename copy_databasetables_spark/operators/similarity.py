@@ -485,7 +485,15 @@ def q_sim_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign(v: DataFrame, c: DataFrame) -> DataFrame:
+def _collect_centroids(c: DataFrame) -> list:
+    """Collect the bounded centroid table once, cid-sorted — the
+    index-build constant every assign leg broadcasts (≤ K·d doubles)."""
+    return sorted(
+        c.select("cid", "ce", "cn").collect(), key=lambda r: r["cid"]
+    )
+
+
+def _ivf_assign(v: DataFrame, c: DataFrame | list) -> DataFrame:
     """The IVF index BUILD: every corpus vector coarse-quantizes to its
     single nearest centroid — a pure MAP-SIDE argmax (r14; the r13
     PQ-encode rewrite's template applied to the last corpus×K shuffle).
@@ -514,7 +522,11 @@ def _ivf_assign(v: DataFrame, c: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    cent = sorted(c.select("cid", "ce", "cn").collect(), key=lambda r: r["cid"])
+    # r15: ``c`` may be the centroid DataFrame (collected here — the
+    # original surface) or an already-collected, cid-sorted row list
+    # (``_collect_centroids``) — multi-leg callers like the CDC op run
+    # the bounded TakeOrdered pull ONCE instead of once per assign leg.
+    cent = c if isinstance(c, list) else _collect_centroids(c)
     if not cent:
         raise ValueError("IVF build: empty centroid set")
     cids = np.array([r["cid"] for r in cent], dtype=np.int64)
@@ -4785,10 +4797,22 @@ def q_sim_ivf_pq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # requires the delta to be disjoint from the training ids, which
     # _IDX_DELTA_FILTER guarantees — and whose violation the mutation
     # pin proves hash-red.
+    #
+    # r15 (guide §1.2 step 1 — don't recompute what three legs share):
+    # the centroid table collects ONCE (it previously re-collected in
+    # every _ivf_assign call — base build + two delta assigns), the
+    # codebook builds ONCE (previously rebuilt inside the base build),
+    # and its one-row broadcast form is checkpointed so each encode leg
+    # reuses the materialized row instead of re-running the
+    # collect_list aggregate per action.
     c = _centroids(old)
-    _sub_cb, cb_row = _pq_codebook(old)
-    path = _ivfpq_cdc_base_build(spark, old, c, sf_dir)
-    _ivfpq_cdc_apply(spark, v, c, cb_row, path)
+    cent_rows = _collect_centroids(c)
+    sub_cb, cb_row = _pq_codebook(old)
+    cb_row = cb_row.localCheckpoint(eager=False)
+    path = _ivfpq_cdc_base_build(
+        spark, old, cent_rows, sf_dir, sub_cb=sub_cb, cb_row=cb_row
+    )
+    _ivfpq_cdc_apply(spark, v, cent_rows, cb_row, path)
     return _ivfpq_cdc_query_leg(spark, v, c, path)
 
 
@@ -4815,14 +4839,22 @@ def _ivfpq_cdc_old_corpus(v: DataFrame) -> DataFrame:
 
 
 def _ivfpq_cdc_base_build(
-    spark: SparkSession, old: DataFrame, c: DataFrame, sf_dir: str
+    spark: SparkSession,
+    old: DataFrame,
+    c: DataFrame | list,
+    sf_dir: str,
+    sub_cb: DataFrame | None = None,
+    cb_row: DataFrame | None = None,
 ) -> str:
     """Day-0 BASE index for the CDC op, built FROM the day-0 corpus
     with its frozen quantizer, written in the inverted-list-with-codes
     layout (members/ partitionBy(cid) + codebook/). Amortized in
     production; split out so tests can snapshot the on-disk state
-    between base build and delta apply."""
-    sub_cb, cb_row = _pq_codebook(old)
+    between base build and delta apply. ``sub_cb``/``cb_row`` may be
+    passed in (r15) so the op body computes the codebook once for all
+    three legs; omitted, they build here (the test surface)."""
+    if sub_cb is None or cb_row is None:
+        sub_cb, cb_row = _pq_codebook(old)
     path = _ivf_index_path(sf_dir)
     (
         _pq_encode(old.select("vec_id", "e"), cb_row)
@@ -4846,16 +4878,25 @@ def _ivfpq_cdc_apply(
     """The delta-APPLY leg (steps 1-4 of the op docstring): returns
     the affected cell list so tests can pin the touched-partition
     set against the on-disk files."""
-    # the CDC log: op='U' rows carrying before+after images
-    delta = v.where(_IDX_DELTA_FILTER).select(
-        "vec_id",
-        F.expr(_IDX_OLD_IMAGE).alias("e_old"),
-        F.col("e").alias("e_new"),
+    # the CDC log: op='U' rows carrying before+after images.
+    # r15: the delta frame feeds four consumers (two assigns, the
+    # encode, the anti-join) and the new-assign feeds two actions
+    # (affected-cell collect + stage write) — materialize each once so
+    # neither the corpus filter nor a mapInPandas assign leg re-runs
+    # per action. All delta-sized.
+    delta = (
+        v.where(_IDX_DELTA_FILTER)
+        .select(
+            "vec_id",
+            F.expr(_IDX_OLD_IMAGE).alias("e_old"),
+            F.col("e").alias("e_new"),
+        )
+        .localCheckpoint(eager=False)
     )
     d_old = _ivf_assign(delta.select("vec_id", F.col("e_old").alias("e")), c)
     d_new_assign = _ivf_assign(
         delta.select("vec_id", F.col("e_new").alias("e")), c
-    )
+    ).localCheckpoint(eager=False)
     d_new_codes = _pq_encode(
         delta.select("vec_id", F.col("e_new").alias("e")), cb_row
     )
