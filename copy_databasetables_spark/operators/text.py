@@ -64,14 +64,22 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1.
-    Shape at scale: two aggregations sharing the tokenized scan; the df
-    side is |vocab| rows → broadcast back onto tf."""
+    Shape at scale: ONE tokenize+explode pass (r15) — df derives from
+    the tf table (one row per (doc, term), so a plain row count per
+    term IS the distinct-doc count; guide §2.3 aggregate-then-derive),
+    and the materialized tf frame feeds both the df aggregate and the
+    final join, so the corpus tokenization cannot re-run per branch.
+    The df side is |vocab| rows → broadcast back onto tf."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf_raw = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
@@ -625,7 +633,16 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # r15: freq feeds two consumers (tot + the score join) — without a
+    # materialization each re-ran the corpus tokenize under the
+    # aggregate; now the LM trains in one pass (the |vocab|-bounded
+    # frame checkpoints; the score join's own token stream is the one
+    # unavoidable second pass).
+    freq = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
     lp = F.log(F.col("cnt") / F.col("n"))
     return (
@@ -714,14 +731,33 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r15 (guide §2.3/§7.2): the r14 shape evaluated the corpus
+    # tokenize+explode up to 4× (dl, stats-via-dl, qtf, qdf). Now:
+    # dl is size(split(...)) per doc — same integer (explode emits one
+    # row per array element, so the group count IS the array size; the
+    # isNotNull guard mirrors explode dropping NULL-text docs) with no
+    # explode and no shuffle, materialized once for its two consumers;
+    # qdf derives from qtf (one row per (doc, term) → row count per
+    # term ≡ distinct-doc count); qtf materializes once for its two
+    # consumers. Exactly ONE corpus explode pass remains (qtf's).
+    dl = (
+        d.select(
+            "doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl")
+        )
+        .where(F.col("dl").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     qtok = tok.where(F.col("term").isin(*_BM25_QUERY))
-    qtf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    qdf = qtok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    qtf = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -800,7 +836,16 @@ def _bm25_index_build(spark: SparkSession, sf_dir: str) -> str:
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r15: dl is the no-explode size(split(...)) form — see
+    # q_text_bm25's comment for the equivalence argument — and df
+    # derives from tf (row count per term ≡ distinct-doc count), so
+    # the build runs 2 corpus explode passes instead of 4. NO
+    # localCheckpoint here: the build is write-bound (three parquet
+    # sinks) and an A/B showed the materialization barriers cost more
+    # than the saved tokenize passes at every tested size.
+    dl = d.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl")
+    ).where(F.col("dl").isNotNull())
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
