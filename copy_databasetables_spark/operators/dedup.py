@@ -2591,10 +2591,18 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     two token joins keyed on doc_id — linear in candidates; signatures
     are 16 int64s per doc, so a signature-only variant of this plan
     drops the token joins and ships 128 bytes per side."""
-    toks = _toks_df(spark, sf_dir).withColumn("tokh", F.expr(_TOKH))
+    # r15: six consumers of the tokenized corpus (band self-join ×2,
+    # sig joins ×2, token joins ×2) — materialize the token-hash frame
+    # and the signature frame once each (see q_dedup_minhash).
+    toks = (
+        _toks_df(spark, sf_dir)
+        .withColumn("tokh", F.expr(_TOKH))
+        .select("doc_id", "lang", "sz", "tokh")
+        .localCheckpoint(eager=False)
+    )
     sigs = toks.select(
         "doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig")
-    )
+    ).localCheckpoint(eager=False)
     cand = _band_candidates(spark, _band_keyed(sigs))
     sa = sigs.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")
