@@ -772,8 +772,19 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs.mapInPandas(
         _ppm_encode, schema="doc_id bigint, payload binary"
     ).mapInPandas(_ppm_dhash, schema="doc_id bigint, phash bigint")
-    vals = fp.groupBy("phash").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    # r15: `vals` feeds FOUR branches (pigeonhole self-join both sides
+    # + both value joins), and each branch re-ran the upstream
+    # encode+decode+dHash mapInPandas chain — the media pass, the
+    # op's dominant cost — so the corpus decoded 4× with 8 Python
+    # stages. Materialize the V-sized value table once (lazy
+    # localCheckpoint, the family-standard intra-query
+    # materialization): the media pass runs exactly once.
+    vals = (
+        fp.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+        )
+        .localCheckpoint(eager=False)
     )
     blk = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("blk")
     blocks = vals.select("phash", blk).withColumn(

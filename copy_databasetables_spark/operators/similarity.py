@@ -2874,8 +2874,16 @@ def q_sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerances are q_sim_topk's (last-ulp norm differences sit ~9
     orders below the ~1e-3 gaps that decide ranks at 4dp rounding)."""
     v = _vecs(spark, sf_dir)
+    # r15: the whitened frame feeds both join sides, and each branch
+    # re-ran the corpus-wide mean aggregate under its own broadcast
+    # (0 ReusedExchange in the before-plan — the branches' projections
+    # differ). The one-row mean materializes once; centering itself
+    # (one subtract per component over the scan) stays recomputed per
+    # side — corpus-float materialization is exactly what this family
+    # avoids.
+    mu = _mu_row(v).localCheckpoint(eager=False)
     wv = (
-        v.crossJoin(F.broadcast(_mu_row(v)))
+        v.crossJoin(F.broadcast(mu))
         .withColumn("we", F.zip_with("e", "mu_arr", lambda x, mu: x - mu))
         .withColumn(
             "wn",

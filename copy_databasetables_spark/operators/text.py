@@ -1678,7 +1678,14 @@ def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(t, i) -> concat(t, ' ', ts[i + 1]))), 1)"
     )
     bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
-    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt12"))
+    # r15: c12 feeds the left-context aggregate AND the score join —
+    # materialize the |bigram-vocab|-bounded counts once so the corpus
+    # bigram pass under it runs once, not per branch.
+    c12 = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt12"))
+        .localCheckpoint(eager=False)
+    )
     c1 = (
         c12.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
         .agg(F.sum("cnt12").cast("bigint").alias("cnt1"))

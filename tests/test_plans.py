@@ -1140,7 +1140,15 @@ def test_phash_pairs_at_value_level_through_equi_join(spark):
     nested loop."""
     p = plan(all_queries()["q_multimodal_phash"](spark, SF_SMOKE))
     final = p.split("== Initial Plan ==")[0]
-    assert final.count("MapInPandas") >= 1  # encode+dhash (may fuse/reuse)
+    # r15: the encode+dhash media pass runs exactly ONCE, inside the
+    # materialization of the V-sized value table (lazy localCheckpoint)
+    # — before, each of the four value-table consumers re-ran the two
+    # MapInPandas stages (8 Python nodes in the plan, the corpus
+    # decoded 4×). The query plan itself must therefore show NO
+    # MapInPandas (the pass is upstream of the Scan ExistingRDD
+    # leaves), and still never a cartesian/doc-level nested loop.
+    assert final.count("MapInPandas") == 0
+    assert "ExistingRDD" in final  # the materialized value table
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
     assert "Join [blk" in final or "join [blk" in final.lower()
