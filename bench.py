@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from copy_databasetables_spark import get_spark, operators  # noqa: E402
+from copy_databasetables_spark.operators._helpers import free_ckpts  # noqa: E402
 
 #: Headline queries: the flagship + one representative per operator
 #: family (scan, copy, join, window, streaming, dedup, LSH, ANN, text),
@@ -296,6 +297,7 @@ def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
         df = queries[name](spark, sf_dir)
         execute(df)  # warm the plan + exchanges
         out[f"warm_plan_{name}_sec"] = best(lambda: execute(df))
+        free_ckpts(spark)  # after df's LAST execute — see free_ckpts
     # q_dedup_cluster iterates driver-side (the returned DataFrame is
     # only the final window over checkpointed labels), so a cached-plan
     # replay would measure almost nothing. Its protocol number is the
@@ -306,6 +308,7 @@ def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
         lambda: execute(queries["q_dedup_cluster"](spark, sf_dir)), runs=2
     )
     out["warm_end_to_end_q_dedup_cluster_runs"] = 2
+    free_ckpts(spark)
     # Persisted-index per-leg rows (VERDICT r13 item 5): the gate ops
     # time build+search together, which buries the amortization story —
     # these standing numbers split it. The BUILD is timed once (a
@@ -364,6 +367,7 @@ def _flagship_protocol(spark, queries, sf_dir: str) -> dict:
     out["ivfpq_cdc_apply_leg_sec"] = best(
         lambda: _ivfpq_cdc_apply(spark, vv, cc, cb_row, cdc_path)
     )
+    free_ckpts(spark)  # after the section's last consuming action
     return out
 
 
@@ -576,6 +580,36 @@ def main() -> None:
         calib_shuffle = min(calib_shuffle, time.perf_counter() - t0)
     calib_shuffle = round(calib_shuffle, 4)
 
+    # Third anchor (VERDICT r15 item 1): a fixed mapInPandas identity
+    # job — Python-worker spawn + Arrow round-trip over 1M rows × 32
+    # partitions — so machine-state claims about the Python boundary
+    # are measurable, separately from the pure-JVM CPU/shuffle anchors
+    # (guide §4: every mapInPandas leg pays this path). The FIRST call
+    # is recorded separately: when the worker pool is cold it absorbs
+    # the one-time fork + pandas/pyarrow import (~4.5 s on a cold box,
+    # r15 measured), which previously landed inside whichever benched
+    # query hit the boundary first. Running the anchor BEFORE the
+    # headline loop is the same warmup-exclusion the protocol already
+    # applies to JVM/codegen (BASELINE.md: "session startup and
+    # first-query warmup are excluded").
+    def _py_ident(it):
+        for pdf in it:
+            yield pdf
+
+    def _py_job() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1_000_000, 1, 32)
+            .selectExpr("id")
+            .mapInPandas(_py_ident, "id long")
+            .selectExpr("sum(id) AS s")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    calib_python_cold = round(_py_job(), 4)
+    calib_python = round(min(_py_job() for _ in range(3)), 4)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -583,6 +617,12 @@ def main() -> None:
             t0 = time.perf_counter()
             execute(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            # untimed: free this run's localCheckpoint blocks (VERDICT
+            # r15 item 2 — unbounded, they evict the cached inputs and
+            # race ContextCleaner into accumulator errors). Strictly
+            # after the consuming noop action, per the free_ckpts
+            # contract; the next run rebuilds its frames from parquet.
+            free_ckpts(spark)
         times[name] = round(best, 4)
 
     payload = {
@@ -594,6 +634,8 @@ def main() -> None:
         "sf": sf,
         "calibration_sec": calib,
         "calibration_shuffle_sec": calib_shuffle,
+        "calibration_python_sec": calib_python,
+        "calibration_python_cold_sec": calib_python_cold,
         "protocol": _flagship_protocol(spark, queries, sf_dir),
         "skew_ab": _skew_ab(spark, sf_dir),
         "jdbc_copy": _jdbc_copy(spark, sf_dir),
@@ -638,9 +680,20 @@ def main() -> None:
     essential_keys = [
         "metric", "value", "unit", "queries", "runs", "sf",
         "calibration_sec", "calibration_shuffle_sec",
+        "calibration_python_sec", "calibration_python_cold_sec",
         "windowexec_warnings",
     ]
     compact = {k: payload[k] for k in essential_keys if k in payload}
+    # The per-query map must FIT the driver's ~2000-char stdout capture
+    # or the whole round loses per-query adjudication (r15's map at 4
+    # decimals was 2063 chars and degraded to a pointer — PERF_r15's
+    # per_query table was degenerate, VERDICT r15 item 4). 2 significant
+    # figures keeps all 76 name→seconds entries in the line (±5%
+    # quantization, far under machine noise); BENCH_FULL.json keeps the
+    # full 4-decimal values for anyone reading the side file.
+    compact["queries"] = {
+        k: float(f"{v:.2g}") for k, v in payload["queries"].items()
+    }
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1900 and len(essential_keys) > 5:
         # never drop the five spec fields; shed trailing extras first

@@ -28,6 +28,66 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# --- intra-query materialization with a bounded block lifecycle -------
+#
+# Operators materialize frames that feed multiple consumers with
+# ``localCheckpoint`` (recomputed from parquet on every invocation —
+# never a cross-run cache). The blocks a checkpoint leaves behind are
+# MEMORY_AND_DISK and, left alone, are freed only when driver GC +
+# ContextCleaner get to them — under a 76-query × best-of-4 bench that
+# backlog competes with the harness's cached input tables for the 8 GB
+# driver-heap storage pool and spams ``Failed to update accumulator``
+# cleaner races (VERDICT r15 item 2). ``free_ckpts`` bounds the
+# lifecycle: the HARNESS (bench.py after every timed run; tools/check.py
+# after every oracle comparison) sweeps the context's persistent-RDD
+# registry and unpersists every locally-checkpointed RDD. Cached input
+# tables are untouched (they are persisted, not checkpoint-marked), so
+# the sweep frees exactly the per-invocation materializations.
+#
+# Freeing is safe ONLY after the action that consumed the returned
+# frame (an unpersisted local checkpoint cannot recompute — its lineage
+# is truncated), which is where every harness call sits. Do NOT call
+# this between building a query DataFrame and executing it.
+#
+# ``ckpt`` additionally PINS the pre-checkpoint Dataset python-side
+# until the next ``free_ckpts``: the pre-checkpoint plan is otherwise a
+# Python temporary, py4j releases its JVM Dataset at once, and a JVM GC
+# landing while the (lazy) checkpoint is still materializing collects
+# the plan's weakly-registered metric accumulators mid-stage — every
+# task completion of that stage then logs
+# ``Failed to update accumulator N`` (the exact error spam in both r15
+# driver bench tails; reproduced deterministically with a System.gc()
+# loop and eliminated by the pin).
+
+_PLAN_PINS: list = []
+
+
+def ckpt(df, eager: bool = False):
+    """``df.localCheckpoint(eager)`` with the pre-checkpoint plan
+    pinned until the harness's next ``free_ckpts`` (see above)."""
+    _PLAN_PINS.append(df)
+    return df.localCheckpoint(eager=eager)
+
+
+def free_ckpts(spark) -> int:
+    """Unpersist every locally-checkpointed RDD in the context.
+    Harness-only: call strictly AFTER the action that consumed the
+    operator's returned frame. Returns the number of RDDs freed."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jid in list(jmap.keySet().toArray()):
+        jrdd = jmap.get(jid)
+        try:
+            r = jrdd.rdd()
+            if r.isLocallyCheckpointed():
+                r.unpersist(False)
+                n += 1
+        except Exception:
+            pass  # racing ContextCleaner already freed it: nothing to do
+    _PLAN_PINS.clear()
+    return n
+
+
 #: Fixed-point scale for exact sums: every money/quantity expression in
 #: the testdata has ≤6 true decimals, so round(x·10⁶) is an exact int64.
 _SCALE = 1_000_000

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import rz
+from copy_databasetables_spark.operators._helpers import ckpt, rz
 
 # --- shared fragments ----------------------------------------------------
 
@@ -208,11 +208,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: both sides of the blocked self-join evaluated the
     # tokenize+xxhash64 projection — materialize once (the same
     # intra-query localCheckpoint the containment op pins).
-    t = (
+    t = ckpt(
         _toks_df(spark, sf_dir)
         .withColumn("toki", F.expr("transform(toks, t -> xxhash64(t))"))
         .select("doc_id", "lang", "sz", "toki")
-        .localCheckpoint(eager=False)
     )
     return _exact_tau_pairs(t, "toki")
 
@@ -303,14 +302,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_hashed = (
         f"array_distinct(transform({_BIGRAMS}, g -> {_H.format(x='g')}))"
     )
-    d = (
+    d = ckpt(
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
         .select("doc_id", "lang", F.expr(grams_hashed).alias("grams"))
         .withColumn("gsz", F.size("grams"))
         # r15: both self-join sides evaluated the bigram-md5 projection
         # — materialize once (see q_dedup_containment's t).
-        .localCheckpoint(eager=False)
     )
     a = d.select(
         F.col("doc_id").alias("doc_id_a"),
@@ -699,14 +697,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-mates. The recall of the blocked query is exactly 100% (a
     sound cover, not an approximation), so the oracle — blocked the same
     way — proves blocked ≡ all-pairs output."""
-    fp = (
+    fp = ckpt(
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", F.expr(_SIMHASH).alias("simhash"))
         # r15: the 16-bit SimHash fold (an O(tokens·16) aggregate) fed
         # FOUR branches (pigeonhole self-join both sides + both verify
         # fingerprint joins) — materialize once.
-        .localCheckpoint(eager=False)
     )
     blocks = fp.select(
         "doc_id",
@@ -935,14 +932,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guide §8 trade made explicit: store the fingerprint table once
     # (MEMORY_AND_DISK, spills) instead of recomputing the corpus
     # tokenization four times through four parquet scans.
-    toks = (
+    toks = ckpt(
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", "sz", "tokh")
-        .localCheckpoint(eager=False)
     )
     sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
-    keyed = _band_keyed(sigs).localCheckpoint(eager=False)
+    keyed = ckpt(_band_keyed(sigs))
     cand = _band_candidates(spark, keyed)
     return _verify_jaccard(cand, toks)
 
@@ -1376,13 +1372,13 @@ def _scaled_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame — the single pair source both semantic-dedup compositions
     iterate over (vec ids double as doc ids: embeddings ⋈ documents is
     1:1 by construction, TESTDATA.md)."""
-    return (
+    return ckpt(
         q_dedup_embed_lsh_scaled(spark, sf_dir)
         .select(
             F.col("vec_id_a").alias("doc_id_a"),
             F.col("vec_id_b").alias("doc_id_b"),
-        )
-        .localCheckpoint()
+        ),
+        eager=True,
     )
 
 
@@ -1504,20 +1500,18 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r15: same single-materialization shape as q_dedup_minhash — the
     # token-hash frame and the (capped) banded keys each compute once.
-    toks = (
+    toks = ckpt(
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", "sz", "tokh")
-        .localCheckpoint(eager=False)
     )
     sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
     bw = Window.partitionBy("lang", "band", "bucket")
-    kept = (
+    kept = ckpt(
         _band_keyed(sigs)
         .withColumn("bucket_n", F.count(F.lit(1)).over(bw))
         .where(F.col("bucket_n") <= _BUCKET_CAP)
         .drop("bucket_n")
-        .localCheckpoint(eager=False)
     )
     cand = _band_candidates(spark, kept)
     return _verify_jaccard(cand, toks)
@@ -1598,7 +1592,7 @@ def _cluster_over_pairs(
     pairs = (
         pair_df
         if materialized
-        else pair_df.select("doc_id_a", "doc_id_b").localCheckpoint()
+        else ckpt(pair_df.select("doc_id_a", "doc_id_b"), eager=True)
     )
     n_edges = 2 * pairs.count()  # scalar: sizes the iterative parallelism
     edges = pairs.select(
@@ -1798,12 +1792,11 @@ def _min_label_propagate(
       round's shuffle to match the actual (tiny) label table; at
       billion-edge scale the same plan widens to shuffle.partitions.
     """
-    edges = edges.repartition(parts, "src").localCheckpoint()
-    labels = (
+    edges = ckpt(edges.repartition(parts, "src"), eager=True)
+    labels = ckpt(
         edges.groupBy(F.col("dst").alias("doc_id"))
         .agg(F.min("src").alias("m"))
         .select("doc_id", F.least("doc_id", "m").alias("label"))
-        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_probes):
@@ -1818,12 +1811,11 @@ def _min_label_propagate(
                 F.col("b.label").alias("label"),
             )
         )
-        labels = (
+        labels = ckpt(
             labels.unionByName(nbr)
             .unionByName(jump)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -1908,14 +1900,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: same single-materialization shape as q_dedup_minhash — the
     # token-hash frame and the banded keys each compute once (the
     # batch/index split consumes `keyed` twice, verify `toks` twice).
-    toks = (
+    toks = ckpt(
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", "sz", "tokh")
-        .localCheckpoint(eager=False)
     )
     sigs = toks.select("doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig"))
-    keyed = _band_keyed(sigs).localCheckpoint(eager=False)
+    keyed = ckpt(_band_keyed(sigs))
     is_batch = F.expr(_BATCH_PRED)
     kb = keyed.where(is_batch).select(
         F.col("doc_id").alias("batch_id"), "lang", "band", "bucket",
@@ -2099,16 +2090,15 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here it pays 6×→1×: the tokenize+md5 chain fed the LSH self-join
     # (2 sides), the verify joins (2 sides) AND the quadratic
     # ground-truth self-join (2 sides).
-    toks = (
+    toks = ckpt(
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", "sz", "tokh")
-        .localCheckpoint(eager=False)
     )
     sigs = toks.select(
         "doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig")
     )
-    cand = _band_candidates(spark, _band_keyed(sigs).localCheckpoint(eager=False))
+    cand = _band_candidates(spark, ckpt(_band_keyed(sigs)))
     verified = _verify_jaccard(cand, toks)
     # the shared ground-truth definition, over the SAME md5 hash family
     # the verify stage uses — verified ⊆ true holds exactly.
@@ -2394,10 +2384,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines; all scalar arithmetic ((1−d)/N + d·s)
     is written with identical association in both, so the rank vector
     is exactly equal at every iteration boundary, not merely close."""
-    pairs = (
-        q_dedup_minhash(spark, sf_dir)
-        .select("doc_id_a", "doc_id_b")
-        .localCheckpoint()
+    pairs = ckpt(
+        q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b"),
+        eager=True,
     )
     return _pagerank_over_pairs(spark, pairs)
 
@@ -2416,7 +2405,7 @@ def _pagerank_over_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     n_edges = 2 * pairs.count()  # scalar: sizes the iterative parallelism
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(shuffle_parts, n_edges // 500_000 + 1))
-    edges = (
+    edges = ckpt(
         pairs.select(F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d"))
         .unionByName(
             pairs.select(
@@ -2424,7 +2413,6 @@ def _pagerank_over_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             )
         )
         .repartition(parts, "s")
-        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy(F.col("s").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -2504,10 +2492,9 @@ def q_dedup_survivor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id."""
     from pyspark.sql.window import Window
 
-    pairs = (
-        q_dedup_minhash(spark, sf_dir)
-        .select("doc_id_a", "doc_id_b")
-        .localCheckpoint()
+    pairs = ckpt(
+        q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b"),
+        eager=True,
     )
     clusters = _cluster_over_pairs(spark, pairs, materialized=True)
     pr = _pagerank_over_pairs(spark, pairs).select("doc_id", "pr")
@@ -2594,15 +2581,16 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: six consumers of the tokenized corpus (band self-join ×2,
     # sig joins ×2, token joins ×2) — materialize the token-hash frame
     # and the signature frame once each (see q_dedup_minhash).
-    toks = (
+    toks = ckpt(
         _toks_df(spark, sf_dir)
         .withColumn("tokh", F.expr(_TOKH))
         .select("doc_id", "lang", "sz", "tokh")
-        .localCheckpoint(eager=False)
     )
-    sigs = toks.select(
-        "doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig")
-    ).localCheckpoint(eager=False)
+    sigs = ckpt(
+        toks.select(
+            "doc_id", "lang", "sz", F.expr(_MINHASH_SIG).alias("sig")
+        )
+    )
     cand = _band_candidates(spark, _band_keyed(sigs))
     sa = sigs.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")
@@ -2713,10 +2701,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized table instead of re-running the LSH pipeline per leg.
     Output: (doc_id, n_triangles) for every triangle-participating doc
     — exact integers, no float surface."""
-    pairs = (
-        q_dedup_minhash(spark, sf_dir)
-        .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
-        .localCheckpoint()
+    pairs = ckpt(
+        q_dedup_minhash(spark, sf_dir).select(
+            F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+        ),
+        eager=True,
     )
     deg = (
         pairs.select(F.col("a").alias("n"))
@@ -2730,10 +2719,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("d"),
-    ).localCheckpoint()
+    oriented = ckpt(
+        ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("d"),
+        ),
+        eager=True,
+    )
     e1 = oriented.select(F.col("s").alias("u"), F.col("d").alias("v"))
     e2 = oriented.select(F.col("s").alias("v"), F.col("d").alias("w"))
     e3 = oriented.select(F.col("s").alias("u"), F.col("d").alias("w"))
@@ -2792,17 +2784,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix unless the doc is almost ALL boilerplate)."""
     from pyspark.sql.window import Window
 
-    t = (
+    t = ckpt(
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)  # see _toks_df
         .select("doc_id", "lang", F.expr(_BIGRAMS).alias("bg"))
         .withColumn("toki", F.expr("transform(bg, t -> xxhash64(t))"))
         .withColumn("sz", F.size("toki"))
         .where(F.col("sz") > 0)
-        .drop("bg")
+        .drop("bg"),
         # referenced four times below (postings, prefix sizes, both
         # verify sides) — materialize once
-        .localCheckpoint()
+        eager=True,
     )
     # the posting index is CORPUS-SIZED (Σ|doc| rows) — never
     # materialize it: each of its three uses below is a narrow explode
@@ -2818,7 +2810,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.floor((F.lit(9) * F.col("sz") + F.lit(9)) / 10).cast("int")
         + F.lit(1)
     )
-    prefix = (
+    prefix = ckpt(
         posting.join(df_tab, "tok")
         .withColumn(
             "rn",
@@ -2833,10 +2825,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("lang_a"),
             F.col("tok").alias("tok_a"),
             F.col("df"),
-        )
+        ),
         # TINY (≈(1−τ)·shingle volume) and consumed twice: once for the
         # volume estimate, once as the join probe side
-        .localCheckpoint()
+        eager=True,
     )
     # Volume-derived parallelism (the _pagerank_over_pairs discipline,
     # extended to a two-stage pipeline): the candidate join emits

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import ckpt
 
 
 @register(
@@ -779,12 +780,10 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages. Materialize the V-sized value table once (lazy
     # localCheckpoint, the family-standard intra-query
     # materialization): the media pass runs exactly once.
-    vals = (
-        fp.groupBy("phash")
-        .agg(
+    vals = ckpt(
+        fp.groupBy("phash").agg(
             F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
         )
-        .localCheckpoint(eager=False)
     )
     blk = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("blk")
     blocks = vals.select("phash", blk).withColumn(

@@ -36,7 +36,12 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
-from copy_databasetables_spark.operators._helpers import _SCALE, _scaled, rz
+from copy_databasetables_spark.operators._helpers import (
+    _SCALE,
+    _scaled,
+    ckpt,
+    rz,
+)
 
 _K = 5
 _IVF_K = 3
@@ -2593,7 +2598,7 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrk = Window.partitionBy("probe_id").orderBy(
         F.col("cos_pc").desc(), F.col("cid").asc()
     )
-    pool = (
+    pool = ckpt(
         F.broadcast(p)
         .join(v, F.col("vec_id") != F.col("probe_id"))
         .select(
@@ -2604,11 +2609,11 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine_pre("pe", "e", "pn", "nrm").alias("cos_pc"),
         )
         .withColumn("rk", F.row_number().over(wrk))
-        .where(F.col("rk") <= _MMR_POOL)
-        # the pool feeds three selection joins; localCheckpoint keeps
+        .where(F.col("rk") <= _MMR_POOL),
+        # the pool feeds three selection joins; the checkpoint keeps
         # the corpus-sized top-k build from re-executing per branch
         # (probes·pool rows — 320 here, bounded by the probe cap).
-        .localCheckpoint()
+        eager=True,
     )
     s1 = pool.where(F.col("rk") == 1).select(
         "probe_id",
@@ -2881,7 +2886,7 @@ def q_sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (one subtract per component over the scan) stays recomputed per
     # side — corpus-float materialization is exactly what this family
     # avoids.
-    mu = _mu_row(v).localCheckpoint(eager=False)
+    mu = ckpt(_mu_row(v))
     wv = (
         v.crossJoin(F.broadcast(mu))
         .withColumn("we", F.zip_with("e", "mu_arr", lambda x, mu: x - mu))
@@ -4816,7 +4821,7 @@ def q_sim_ivf_pq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _centroids(old)
     cent_rows = _collect_centroids(c)
     sub_cb, cb_row = _pq_codebook(old)
-    cb_row = cb_row.localCheckpoint(eager=False)
+    cb_row = ckpt(cb_row)
     path = _ivfpq_cdc_base_build(
         spark, old, cent_rows, sf_dir, sub_cb=sub_cb, cb_row=cb_row
     )
@@ -4892,19 +4897,17 @@ def _ivfpq_cdc_apply(
     # (affected-cell collect + stage write) — materialize each once so
     # neither the corpus filter nor a mapInPandas assign leg re-runs
     # per action. All delta-sized.
-    delta = (
-        v.where(_IDX_DELTA_FILTER)
-        .select(
+    delta = ckpt(
+        v.where(_IDX_DELTA_FILTER).select(
             "vec_id",
             F.expr(_IDX_OLD_IMAGE).alias("e_old"),
             F.col("e").alias("e_new"),
         )
-        .localCheckpoint(eager=False)
     )
     d_old = _ivf_assign(delta.select("vec_id", F.col("e_old").alias("e")), c)
-    d_new_assign = _ivf_assign(
-        delta.select("vec_id", F.col("e_new").alias("e")), c
-    ).localCheckpoint(eager=False)
+    d_new_assign = ckpt(
+        _ivf_assign(delta.select("vec_id", F.col("e_new").alias("e")), c)
+    )
     d_new_codes = _pq_encode(
         delta.select("vec_id", F.col("e_new").alias("e")), cb_row
     )

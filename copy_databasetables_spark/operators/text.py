@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from copy_databasetables_spark.io import load_table
 from copy_databasetables_spark.operators import register
+from copy_databasetables_spark.operators._helpers import ckpt
 
 #: Spark/DuckDB portable 60-bit hash (see dedup.py).
 _H = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
@@ -74,10 +75,8 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = ckpt(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -638,10 +637,8 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate; now the LM trains in one pass (the |vocab|-bounded
     # frame checkpoints; the score join's own token stream is the one
     # unavoidable second pass).
-    freq = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+    freq = ckpt(
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     )
     tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
     lp = F.log(F.col("cnt") / F.col("n"))
@@ -740,22 +737,18 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qdf derives from qtf (one row per (doc, term) → row count per
     # term ≡ distinct-doc count); qtf materializes once for its two
     # consumers. Exactly ONE corpus explode pass remains (qtf's).
-    dl = (
+    dl = ckpt(
         d.select(
             "doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl")
-        )
-        .where(F.col("dl").isNotNull())
-        .localCheckpoint(eager=False)
+        ).where(F.col("dl").isNotNull())
     )
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     qtok = tok.where(F.col("term").isin(*_BM25_QUERY))
-    qtf = (
-        qtok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    qtf = ckpt(
+        qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -1081,19 +1074,20 @@ def q_text_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> struct(i as i, {_H.format(x=span_str)} as h)) "
         "else array() end"
     )
-    base = (
+    base = ckpt(
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             F.expr(f"{tok}").alias("tok"),
             F.expr(spans_expr).alias("spans"),
-        )
+        ),
         # materialized once for the three consumers below; localCheckpoint
-        # (not .persist()) so the blocks are ContextCleaner-released when
-        # the result frame is dropped — a CacheManager .persist() here
+        # (not .persist()) so the blocks are freed by the harness's
+        # free_ckpts sweep (or ContextCleaner as a fallback) when the
+        # result frame is dropped — a CacheManager .persist() here
         # would pin a corpus-sized frame for the session (r7 ADVICE).
-        .localCheckpoint(eager=True)
+        eager=True,
     )
     toks = base.select(
         "doc_id", F.posexplode("tok").alias("pos0", "tk")
@@ -1350,19 +1344,20 @@ def q_text_strip_spans_keep1(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> struct(i as i, {_H.format(x=span_str)} as h)) "
         "else array() end"
     )
-    base = (
+    base = ckpt(
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             F.expr(f"{tok}").alias("tok"),
             F.expr(spans_expr).alias("spans"),
-        )
+        ),
         # materialized once for the three consumers below; localCheckpoint
-        # (not .persist()) so the blocks are ContextCleaner-released when
-        # the result frame is dropped — a CacheManager .persist() here
+        # (not .persist()) so the blocks are freed by the harness's
+        # free_ckpts sweep (or ContextCleaner as a fallback) when the
+        # result frame is dropped — a CacheManager .persist() here
         # would pin a corpus-sized frame for the session (r7 ADVICE).
-        .localCheckpoint(eager=True)
+        eager=True,
     )
     toks = base.select(
         "doc_id", F.posexplode("tok").alias("pos0", "tk")
@@ -1681,10 +1676,8 @@ def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: c12 feeds the left-context aggregate AND the score join —
     # materialize the |bigram-vocab|-bounded counts once so the corpus
     # bigram pass under it runs once, not per branch.
-    c12 = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("cnt12"))
-        .localCheckpoint(eager=False)
+    c12 = ckpt(
+        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt12"))
     )
     c1 = (
         c12.groupBy(F.split("bg", " ").getItem(0).alias("w1"))

@@ -28,6 +28,7 @@ sys.path.insert(0, REPO)
 
 from copy_databasetables_spark import get_spark, operators  # noqa: E402
 from copy_databasetables_spark.io import TABLES, table_path  # noqa: E402
+from copy_databasetables_spark.operators._helpers import free_ckpts  # noqa: E402
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -147,6 +148,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir).toPandas()
+            # untimed: free this invocation's localCheckpoint blocks
+            # (strictly after toPandas consumed the frame — see
+            # _helpers.free_ckpts). A 281-query sweep otherwise leaves
+            # every materialization for GC + ContextCleaner.
+            free_ckpts(spark)
         except Exception:
             failed.append(name)
             print(f"FAIL  {name}: spark query raised")
