@@ -2428,14 +2428,55 @@ def _pi_rounds(C, iters: int | None = None):
     return v, nrm
 
 
-def _np_array_row(spark: SparkSession, arr, name: str) -> DataFrame:
-    """ONE-row DataFrame [``name``: array<double>] holding a driver-side
-    numpy vector — the broadcastable shape the per-vector projection
-    legs fold against in-row (the q_emb_whitening broadcast-mean
-    discipline). Python floats transfer bit-exactly."""
-    return spark.createDataFrame(
-        [([float(x) for x in arr],)], f"{name} array<double>"
+def _pca_project_rows(spark: SparkSession, sf_dir: str, cols) -> DataFrame:
+    """Per-vector quantized projections onto ``cols`` (driver-side numpy
+    eigvec arrays), vectorized in ONE Arrow-batched corpus pass.
+
+    r16 (guide §4.2 — hand whole batches to vectorized native code):
+    the r15 shape folded each projection in-row via zip_with/aggregate
+    higher-order functions, which Spark evaluates INTERPRETED (no
+    whole-stage codegen for HOF lambdas) at a measured ~5 µs per
+    element-eval — 1.2–2.8 s per run for k=4 at sf0.1 and linear in
+    corpus×k×d at scale. The numpy leg computes the IDENTICAL
+    arithmetic per batch: floor((x·v)·10¹² + 0.5) per term — the same
+    left-associated IEEE product chain — summed as int64 (EXACT, so
+    numpy's batching cannot move a bit vs the HOF fold or DuckDB's
+    mirror), then one int64→double cast and one division by 10¹². The
+    eigvecs ship in the UDF closure exactly like q_emb_remove_top_pc_
+    fast's v₁ (a constant index artifact). Rounding (rz) stays in
+    Spark expressions on the returned doubles, so the output surface
+    is unchanged. Oracle-verified hash-identical at sf0.001/0.01/0.1."""
+    import numpy as np
+
+    V = [np.asarray(c, dtype=np.float64) for c in cols]
+    k = len(V)
+    sc = float(_PI_SCALE)
+
+    def leg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            out = {"vec_id": pdf["vec_id"]}
+            for c in range(k):
+                out[f"pc{c + 1}"] = (
+                    np.floor(E * V[c][None, :] * sc + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                    .astype(np.float64)
+                    / sc
+                )
+            yield pd.DataFrame(out)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = "vec_id bigint, " + ", ".join(
+        f"pc{c + 1} double" for c in range(k)
     )
+    return emb.mapInPandas(leg, schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -3212,43 +3253,65 @@ def q_emb_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one identical IEEE expression on identical doubles; the norms
     quantize per-term at 10⁻¹² (the q_emb_whitening constants).
     pc1_proj can round to a tiny negative → rz()."""
+    import numpy as np
+
     v_eig, _ = _power_iterate(spark, sf_dir)
-    v_row = _np_array_row(spark, v_eig, "v_arr")
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    )
 
-    def _q(arr: Column, term, scale: int) -> Column:
-        """Σ floor(term(x)·scale + 0.5) over an array, int64-exact."""
-        return (
-            F.aggregate(
-                arr,
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc
-                + F.floor(term(x) * scale + F.lit(0.5)).cast("bigint"),
-            ).cast("double")
-            / F.lit(float(scale))
-        )
+    # r16 (guide §4.2): the r15 projection folded proj/rx/nb/na in-row
+    # via zip_with/aggregate HOFs — interpreted lambda evaluation, a
+    # measured ~2.4 s per run at sf0.1 and linear in corpus×d at scale.
+    # The numpy leg below computes the IDENTICAL arithmetic per Arrow
+    # batch: proj and both norms are exact int64 sums of the same
+    # floor((·)·scale + 0.5) terms (order-independent, so batching
+    # cannot move a bit); each residual component x − proj·w is the
+    # same single IEEE multiply+subtract on bit-identical doubles;
+    # np.sqrt and Spark's Math.sqrt are the same correctly-rounded
+    # IEEE sqrt. v₁ ships in the closure exactly like the _fast twin's.
+    # Final rounding/filtering stays in Spark expressions, so the
+    # output surface (and the unchanged DuckDB oracle's hash) is
+    # identical — verified at sf0.001/0.01/0.1.
+    v1 = np.asarray(v_eig, dtype=np.float64)
+    pis = float(_PI_SCALE)
+    wsq = float(_WHITEN_SQ)
 
-    ident = lambda t: t  # noqa: E731
-    sq = lambda t: t * t  # noqa: E731
-    out = (
-        emb.crossJoin(F.broadcast(v_row))
-        .withColumn(
-            "proj",
-            _q(F.zip_with("e", "v_arr", lambda x, w: x * w), ident, _PI_SCALE),
-        )
-        .withColumn(
-            "rx",
-            F.zip_with("e", "v_arr", lambda x, w: x - F.col("proj") * w),
-        )
-        .select(
-            "vec_id",
-            "proj",
-            F.sqrt(_q(F.col("e"), sq, _WHITEN_SQ)).alias("nb"),
-            F.sqrt(_q(F.col("rx"), sq, _WHITEN_SQ)).alias("na"),
-        )
+    def _leg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            proj = (
+                np.floor(E * v1[None, :] * pis + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+                / pis
+            )
+            R = E - proj[:, None] * v1[None, :]
+            nb = np.sqrt(
+                np.floor(E * E * wsq + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+                / wsq
+            )
+            na = np.sqrt(
+                np.floor(R * R * wsq + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+                / wsq
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": proj, "nb": nb, "na": na}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInPandas(
+        _leg, schema="vec_id bigint, proj double, nb double, na double"
     )
     return out.where(F.col("na") > 0).select(
         "vec_id",
@@ -3404,32 +3467,14 @@ def q_emb_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cov2 CTE) evaluates on bit-identical operands.
     C2 = C - np.outer(nrm1 * v1, v1)
     v2, _ = _pi_rounds(C2)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # r16: the two quantized projections run vectorized in one Arrow
+    # pass (_pca_project_rows — arithmetic identical to the previous
+    # in-row _qdot_expr folds, which interpreted-HOF-evaluate at ~5 µs
+    # per element); rz stays a Spark expression on the exact doubles.
+    return _pca_project_rows(spark, sf_dir, [v1, v2]).select(
         "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    )
-    return (
-        emb.crossJoin(F.broadcast(_np_array_row(spark, v1, "v1_arr")))
-        .crossJoin(F.broadcast(_np_array_row(spark, v2, "v2_arr")))
-        .select(
-            "vec_id",
-            rz(_qdot_expr("e", "v1_arr"), 6).alias("pc1"),
-            rz(_qdot_expr("e", "v2_arr"), 6).alias("pc2"),
-        )
-    )
-
-
-def _qdot_expr(earr: str, varr: str) -> Column:
-    """Per-term int64-quantized dot product of two in-row arrays — the
-    exact-summation projection idiom shared by q_emb_pca2/_pca_k."""
-    return (
-        F.aggregate(
-            F.zip_with(earr, varr, lambda x, w: x * w),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc
-            + F.floor(t * _PI_SCALE + F.lit(0.5)).cast("bigint"),
-        ).cast("double")
-        / F.lit(float(_PI_SCALE))
+        rz("pc1", 6).alias("pc1"),
+        rz("pc2", 6).alias("pc2"),
     )
 
 
@@ -3651,21 +3696,12 @@ def q_emb_pca_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mod k) indicator columns — deterministic and mirrored."""
     C = _build_cov(spark, sf_dir)
     cols = _block_pi_cols(C)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # r16: the k quantized projections run vectorized in one Arrow
+    # pass (_pca_project_rows — arithmetic identical to the previous
+    # in-row _qdot_expr folds); rz stays a Spark expression.
+    return _pca_project_rows(spark, sf_dir, cols).select(
         "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    )
-    out = emb
-    for c, vec in enumerate(cols):
-        out = out.crossJoin(
-            F.broadcast(_np_array_row(spark, vec, f"v{c}_arr"))
-        )
-    return out.select(
-        "vec_id",
-        *[
-            rz(_qdot_expr("e", f"v{c}_arr"), 6).alias(f"pc{c + 1}")
-            for c in range(len(cols))
-        ],
+        *[rz(f"pc{c + 1}", 6).alias(f"pc{c + 1}") for c in range(len(cols))],
     )
 
 

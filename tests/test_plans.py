@@ -1001,30 +1001,32 @@ def _index_scan_prunes_on_cid(final_plan: str) -> bool:
 
 
 def test_remove_top_pc_transform_is_in_row(spark):
-    """q_emb_remove_top_pc's per-vector leg mirrors the whitening plan
-    contract: v₁ returns as ONE broadcast array row and the projection/
-    residual/norms compute inside each vector's own row (zip_with/
-    aggregate) — no hashpartitioning on vec_id, no repartition
-    round-trip. (The one-pass Gram build legitimately exchanges on
-    (i, j) — d² rows — and is excluded by the checkpoint boundary.)"""
+    """q_emb_remove_top_pc's per-vector leg mirrors the whitening scale
+    contract: the projection/residual/norms compute per vector with NO
+    vec_id exchange and no repartition round-trip. Since r16 the leg is
+    ONE Arrow-batched MapInPandas (guide §4.2 — the quantized folds run
+    vectorized; v₁ ships in the closure like the _fast twin's), so the
+    plan must show exactly one MapInPandas over the narrow
+    (vec_id, embedding) scan and no Exchange at all in the final plan
+    (the one-pass Gram build's (i, j) exchange happens in the separate
+    driver-collected job, never in this plan)."""
     p = plan(all_queries()["q_emb_remove_top_pc"](spark, SF_SMOKE))
     assert "hashpartitioning(vec_id" not in p
     assert "RoundRobinPartitioning" not in p
-    assert "zip_with" in p
-    assert "BroadcastExchange" in p
+    assert p.count("MapInPandas") >= 1  # the single projection leg
+    assert "Exchange" not in p.split("== Initial Plan ==")[0]
 
 
 def test_pca2_projection_is_in_row_both_eigvecs_broadcast(spark):
-    """q_emb_pca2's per-vector leg: both eigvecs return as one-row
-    broadcast arrays and the two projections fold in-row — no vec_id
-    exchange, no repartition round-trip (the Gram build's (i,j)
-    exchange sits behind the checkpoint boundary, as in
-    q_emb_remove_top_pc)."""
+    """q_emb_pca2's per-vector leg: the two projections compute per
+    vector with NO vec_id exchange — since r16 as ONE Arrow-batched
+    MapInPandas (both eigvecs in the closure), exactly like
+    q_emb_remove_top_pc."""
     p = plan(all_queries()["q_emb_pca2"](spark, SF_SMOKE))
     assert "hashpartitioning(vec_id" not in p
     assert "RoundRobinPartitioning" not in p
-    assert "zip_with" in p
-    assert p.count("BroadcastExchange") >= 2  # v1_arr + v2_arr rows
+    assert p.count("MapInPandas") >= 1  # the single projection leg
+    assert "Exchange" not in p.split("== Initial Plan ==")[0]
 
 
 def test_bm25_persisted_query_leg_is_pruned_index_read(spark):
@@ -1076,19 +1078,18 @@ def test_substring_minimizer_selection_is_in_row_no_window(spark):
 
 def test_pca_k_projection_is_in_row_all_k_eigvecs_broadcast(spark):
     """q_emb_pca_k (r13) inherits pca2's projection-leg contract for
-    ALL _PCA_K components: every eigvec returns as a one-row broadcast
-    array and the k projections fold in-row — no vec_id exchange, no
-    repartition round-trip, no cartesian. The block iteration itself
-    (matvec + whole-block GS) sits behind per-round localCheckpoint
-    boundaries, so none of its d-bounded machinery can appear here."""
-    from copy_databasetables_spark.operators.similarity import _PCA_K
-
+    ALL _PCA_K components: the k projections compute per vector with NO
+    vec_id exchange, no repartition round-trip, no cartesian — since
+    r16 as ONE Arrow-batched MapInPandas with the whole eigvec block in
+    the closure. The block iteration itself (matvec + whole-block GS)
+    runs on the driver over the collected covariance, so none of its
+    d-bounded machinery can appear here."""
     p = plan(all_queries()["q_emb_pca_k"](spark, SF_SMOKE))
     assert "hashpartitioning(vec_id" not in p
     assert "RoundRobinPartitioning" not in p
     assert "CartesianProduct" not in p
-    assert "zip_with" in p
-    assert p.count("BroadcastExchange") >= _PCA_K  # one array row per comp
+    assert p.count("MapInPandas") >= 1  # the single projection leg
+    assert "Exchange" not in p.split("== Initial Plan ==")[0]
 
 
 def test_ivf_pq_multiprobe_keeps_pq_plan_shape(spark):
