@@ -208,10 +208,27 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_next = (
+    # The after-neighbor via the REVERSED running frame (r16, guide
+    # §1.2): the natural frame — first(... ignorenulls) over
+    # (1 following, unbounded following) — is evaluated by Spark's
+    # UnboundedFollowingWindowFunctionFrame, which re-aggregates the
+    # whole remaining partition FOR EVERY ROW: O(rows²) per user
+    # (measured ~445M frame-evals at sf0.1 ≈ 2.3 s of the op's 2.7 s).
+    # Sorting the same keys descending and taking last(... ignorenulls)
+    # over (unbounded preceding, -1) visits exactly the rows STRICTLY
+    # AFTER the current one in ascending order, via the incremental
+    # O(rows) running frame. Value-identical, not just equivalent: the
+    # ordering (pt, is_grid, v) is total up to rows whose extracted
+    # values (v, epoch(pt)) are themselves equal — v and pt ARE sort
+    # keys — so tied-row order cannot change what is picked; Spark's
+    # desc() places NULLs last, the exact mirror of asc()'s NULLs
+    # first. Same exchange (same partitionBy), one extra in-partition
+    # sort — O(n log n) replacing the O(n²) frame.
+    rev = [F.col("pt").desc(), F.col("is_grid").desc(), F.col("v").desc()]
+    w_next_rev = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     t_us = F.unix_micros(F.col("pt").cast("timestamp"))
     obs_us = F.when(F.col("v").isNotNull(), t_us)
@@ -221,8 +238,8 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(obs_us, ignorenulls=True).over(w_prev).alias("pt_us"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(obs_us, ignorenulls=True).over(w_next).alias("nt_us"),
+        F.last("v", ignorenulls=True).over(w_next_rev).alias("nv"),
+        F.last(obs_us, ignorenulls=True).over(w_next_rev).alias("nt_us"),
     ).where(F.col("is_grid") == 1)
     ratio = (t_us - F.col("pt_us")).cast("double") / (
         F.col("nt_us") - F.col("pt_us")
