@@ -1541,7 +1541,16 @@ def _register_recall_report() -> None:
         searches it audits."""
         from copy_databasetables_spark.operators import QUERIES
 
-        e = (
+        # r16 (guide §1.2 — don't recompute what three consumers share):
+        # the exact ground-truth leg is referenced by ALL THREE union
+        # branches, and without materialization each branch re-evaluates
+        # the full brute-force probes×corpus search — the report's most
+        # expensive subtree, 3×. Materialize it once per invocation
+        # (|probes|·k rows — 120 at sf0.1; recomputed from parquet every
+        # call, freed by the harness's free_ckpts like every ckpt site).
+        # Measured best-of-3: 5.18 s → 4.46 s at sf0.01 (the remaining
+        # cost is the three approximate legs themselves).
+        e = ckpt(
             QUERIES["q_sim_topk"](spark, sf_dir)
             .where(F.col("rank_pos") <= _IVF_K)
             .select("probe_id", "neighbor_id")
